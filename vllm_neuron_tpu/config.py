@@ -1,0 +1,373 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Engine configuration tree.
+
+One dataclass tree replaces the reference's three-layer config system
+(vLLM CLI kwargs + ``override_neuron_config`` deep-merge + env vars;
+reference: vllm_neuron/worker/neuronx_distributed_model_loader.py:725-900,
+vllm_neuron/platform.py:131-210). Policies carried over:
+
+- default ``max_num_batched_tokens`` = 131072 (platform.py:188)
+- default ``max_num_seqs`` = 32 (platform.py:196-201)
+- ``block_size`` falls back to ``max_model_len`` (contiguous KV) when prefix
+  caching is off (platform.py:203-207)
+- required KV blocks = ceil(max_model_len/block_size) * max_num_seqs plus a
+  reserved null block (model_loader.py:741-745) — unlike the reference's
+  error-prone external "+1" (platform.py:149-159), the null block is allocated
+  internally by the block pool and never exposed to users.
+"""
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from dataclasses import dataclass, field, asdict
+from typing import Any, Optional
+
+import jax.numpy as jnp
+
+from vllm_neuron_tpu.utils import cdiv, init_logger
+
+logger = init_logger(__name__)
+
+_DTYPE_MAP = {
+    "bfloat16": jnp.bfloat16,
+    "bf16": jnp.bfloat16,
+    "float32": jnp.float32,
+    "fp32": jnp.float32,
+    "float16": jnp.bfloat16,  # TPU has no fp16 MXU path; map to bf16
+    "half": jnp.bfloat16,
+    "auto": jnp.bfloat16,
+}
+
+
+def resolve_dtype(dtype: Any):
+    if isinstance(dtype, str):
+        try:
+            return _DTYPE_MAP[dtype]
+        except KeyError:
+            raise ValueError(f"unsupported dtype {dtype!r}") from None
+    return dtype
+
+
+@dataclass
+class ModelConfig:
+    """Model identity + architecture hyperparameters (from the HF config)."""
+
+    model: str  # local path to an HF-format checkpoint directory
+    tokenizer: Optional[str] = None
+    dtype: Any = "bfloat16"
+    max_model_len: Optional[int] = None
+    seed: int = 0
+    hf_config: Any = None  # transformers.PretrainedConfig, loaded lazily
+    hf_overrides: Optional[dict] = None
+
+    def __post_init__(self):
+        self.dtype = resolve_dtype(self.dtype)
+        if self.tokenizer is None:
+            self.tokenizer = self.model
+        if self.hf_config is None:
+            from transformers import AutoConfig
+            self.hf_config = AutoConfig.from_pretrained(self.model)
+        if self.hf_overrides:
+            for k, v in self.hf_overrides.items():
+                setattr(self.hf_config, k, v)
+        derived_max = getattr(self.hf_config, "max_position_embeddings", 2048)
+        if self.max_model_len is None:
+            self.max_model_len = derived_max
+        elif self.max_model_len > derived_max:
+            # Mirrors the reference's relaxed max-len policy
+            # (platform.py:92-97): allow exceeding the HF-derived limit with a
+            # warning instead of failing.
+            logger.warning(
+                "max_model_len %d exceeds the model's "
+                "max_position_embeddings %d", self.max_model_len, derived_max)
+
+    @property
+    def architecture(self) -> str:
+        archs = getattr(self.hf_config, "architectures", None) or []
+        return archs[0] if archs else self.hf_config.model_type
+
+    @property
+    def hidden_size(self) -> int:
+        return self.hf_config.hidden_size
+
+    @property
+    def num_layers(self) -> int:
+        return self.hf_config.num_hidden_layers
+
+    @property
+    def num_heads(self) -> int:
+        return self.hf_config.num_attention_heads
+
+    @property
+    def num_kv_heads(self) -> int:
+        return getattr(self.hf_config, "num_key_value_heads",
+                       self.num_heads) or self.num_heads
+
+    @property
+    def head_dim(self) -> int:
+        hd = getattr(self.hf_config, "head_dim", None)
+        return hd if hd else self.hidden_size // self.num_heads
+
+    @property
+    def vocab_size(self) -> int:
+        return self.hf_config.vocab_size
+
+    def stable_hash_dict(self) -> dict:
+        return {
+            "model": os.path.abspath(self.model),
+            "dtype": str(jnp.dtype(self.dtype)),
+            "max_model_len": self.max_model_len,
+            "hf": self.hf_config.to_json_string(),
+        }
+
+
+@dataclass
+class CacheConfig:
+    """Paged block-KV cache configuration."""
+
+    block_size: Optional[int] = None  # tokens per KV block
+    num_blocks: Optional[int] = None  # total blocks; derived if None
+    enable_prefix_caching: bool = False
+    kv_cache_dtype: Any = "auto"  # "auto" => model dtype; "fp8" later
+
+    def finalize(self, model_config: ModelConfig,
+                 scheduler_config: "SchedulerConfig") -> None:
+        if self.block_size is None:
+            # Contiguous-KV fallback when prefix caching is off
+            # (reference: platform.py:203-207); paged default otherwise.
+            self.block_size = (32 if self.enable_prefix_caching else
+                               model_config.max_model_len)
+        if self.enable_prefix_caching and \
+                self.block_size >= model_config.max_model_len:
+            raise ValueError(
+                "prefix caching requires a paged layout: block_size "
+                f"({self.block_size}) must be < max_model_len "
+                f"({model_config.max_model_len})")
+        min_blocks = self.min_required_blocks(model_config, scheduler_config)
+        if self.num_blocks is None:
+            self.num_blocks = min_blocks
+        elif self.num_blocks < min_blocks:
+            raise ValueError(
+                f"num_blocks={self.num_blocks} is insufficient: need at least "
+                f"ceil(max_model_len/block_size)*max_num_seqs = {min_blocks}")
+
+    def min_required_blocks(self, model_config: ModelConfig,
+                            scheduler_config: "SchedulerConfig") -> int:
+        # reference: model_loader.py:741-745 (pa_num_blocks default).
+        return (cdiv(model_config.max_model_len, self.block_size) *
+                scheduler_config.max_num_seqs)
+
+    @property
+    def blocks_per_seq(self) -> int:
+        raise AttributeError("use KVCacheSpec.max_blocks_per_seq")
+
+
+@dataclass
+class SchedulerConfig:
+    """Continuous-batching scheduler policy knobs."""
+
+    max_num_seqs: int = 32  # reference default: platform.py:196-201
+    max_num_batched_tokens: int = 131072  # reference: platform.py:188
+    max_prompt_batch_size: int = 1  # reference: core/scheduler.py:116
+    enable_chunked_prefill: bool = False
+    chunk_size: int = 2048  # tokens per chunked-prefill step
+
+    def finalize(self, model_config: ModelConfig) -> None:
+        if self.max_num_batched_tokens < model_config.max_model_len and \
+                not self.enable_chunked_prefill:
+            logger.warning(
+                "max_num_batched_tokens (%d) < max_model_len (%d); long "
+                "prompts will be rejected", self.max_num_batched_tokens,
+                model_config.max_model_len)
+
+
+@dataclass
+class ParallelConfig:
+    """Device-mesh parallelism. TP shards weights/KV-heads over the ``model``
+    mesh axis (ICI); DP is an outer replica axis (reference analogue: NxDI
+    tp_degree inside the compiled graph, model_loader.py:752-753)."""
+
+    tensor_parallel_size: int = 1
+    data_parallel_size: int = 1
+    sequence_parallel: bool = False
+    expert_parallel_size: int = 1
+    devices: Any = None  # explicit jax devices; default = jax.devices()
+
+    @property
+    def world_size(self) -> int:
+        return (self.tensor_parallel_size * self.data_parallel_size)
+
+
+@dataclass
+class BucketingConfig:
+    """Static-shape bucketing to bound XLA recompiles (reference analogue:
+    NxDI enable_bucketing / context_encoding_buckets / token_generation_buckets,
+    model_loader.py:762-763, README.md:79-81)."""
+
+    enable_bucketing: bool = True
+    # Prefill (context-encoding) sequence-length buckets; derived if None.
+    context_encoding_buckets: Optional[list[int]] = None
+    # Decode (token-generation) batch-size buckets; derived if None.
+    token_generation_buckets: Optional[list[int]] = None
+    min_bucket: int = 128
+
+    def finalize(self, model_config: ModelConfig,
+                 scheduler_config: SchedulerConfig) -> None:
+        max_len = model_config.max_model_len
+        if self.context_encoding_buckets is None:
+            buckets = []
+            b = min(self.min_bucket, max_len)
+            while b < max_len:
+                buckets.append(b)
+                b *= 2
+            buckets.append(max_len)
+            self.context_encoding_buckets = buckets
+        else:
+            self.context_encoding_buckets = sorted(
+                set(self.context_encoding_buckets))
+            if self.context_encoding_buckets[-1] < max_len:
+                self.context_encoding_buckets.append(max_len)
+        if self.token_generation_buckets is None:
+            self.token_generation_buckets = [scheduler_config.max_num_seqs]
+        else:
+            self.token_generation_buckets = sorted(
+                set(self.token_generation_buckets))
+            if self.token_generation_buckets[-1] < scheduler_config.max_num_seqs:
+                self.token_generation_buckets.append(
+                    scheduler_config.max_num_seqs)
+        if not self.enable_bucketing:
+            self.context_encoding_buckets = [max_len]
+            self.token_generation_buckets = [scheduler_config.max_num_seqs]
+
+    def prefill_bucket(self, num_tokens: int) -> int:
+        for b in self.context_encoding_buckets:
+            if num_tokens <= b:
+                return b
+        raise ValueError(
+            f"prompt of {num_tokens} tokens exceeds the largest context "
+            f"bucket {self.context_encoding_buckets[-1]}")
+
+    def decode_bucket(self, num_seqs: int) -> int:
+        for b in self.token_generation_buckets:
+            if num_seqs <= b:
+                return b
+        raise ValueError(f"{num_seqs} seqs exceeds the largest decode bucket")
+
+
+@dataclass
+class SpeculativeConfig:
+    """Eagle-V1 fused speculative decoding (reference:
+    model_loader.py:243-303, :786-792)."""
+
+    model: Optional[str] = None  # draft model path
+    num_speculative_tokens: int = 0
+    method: str = "eagle"
+
+    @property
+    def enabled(self) -> bool:
+        return self.num_speculative_tokens > 0 and self.model is not None
+
+
+@dataclass
+class QuantConfig:
+    """INT8/FP8 quantization (reference: model_loader.py:886-898)."""
+
+    quantization: Optional[str] = None  # "int8" | "fp8" | None
+    quantization_type: str = "per_channel_symmetric"
+    kv_cache_quant: bool = False
+    modules_to_not_convert: list[str] = field(default_factory=list)
+
+    @property
+    def enabled(self) -> bool:
+        return self.quantization is not None
+
+
+@dataclass
+class SamplerConfig:
+    """On-device vs host sampling policy (reference: OnDeviceSamplingConfig,
+    model_loader.py:731-732; env NEURON_ON_DEVICE_SAMPLING_DISABLED :67-68)."""
+
+    on_device_sampling: bool = True
+    dynamic: bool = True  # per-request params tensor
+    global_top_k: int = 256
+
+
+@dataclass
+class ObservabilityConfig:
+    collect_step_metrics: bool = True
+    profile_dir: Optional[str] = None
+
+
+@dataclass
+class EngineConfig:
+    """The full engine configuration tree."""
+
+    model: ModelConfig = None
+    cache: CacheConfig = field(default_factory=CacheConfig)
+    scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    bucketing: BucketingConfig = field(default_factory=BucketingConfig)
+    speculative: SpeculativeConfig = field(default_factory=SpeculativeConfig)
+    quant: QuantConfig = field(default_factory=QuantConfig)
+    sampler: SamplerConfig = field(default_factory=SamplerConfig)
+    observability: ObservabilityConfig = field(
+        default_factory=ObservabilityConfig)
+    # AOT-compiled executable cache dir (reference analogue: md5-keyed
+    # neuron-compiled-artifacts dir, model_loader.py:180-212). Overridable via
+    # $TPU_COMPILED_ARTIFACTS.
+    compiled_artifacts_dir: Optional[str] = None
+
+    def __post_init__(self):
+        if self.model is None:
+            raise ValueError("EngineConfig requires a ModelConfig")
+        self.scheduler.finalize(self.model)
+        self.cache.finalize(self.model, self.scheduler)
+        self.bucketing.finalize(self.model, self.scheduler)
+        if self.compiled_artifacts_dir is None:
+            self.compiled_artifacts_dir = os.environ.get(
+                "TPU_COMPILED_ARTIFACTS")
+        self._validate()
+
+    def _validate(self):
+        tp = self.parallel.tensor_parallel_size
+        if self.model.num_kv_heads % tp != 0 and tp % self.model.num_kv_heads != 0:
+            raise ValueError(
+                f"num_kv_heads ({self.model.num_kv_heads}) must divide or be "
+                f"divisible by tensor_parallel_size ({tp})")
+        if self.parallel.sequence_parallel:
+            # reference: test/tiny/test_sequence_parallel.py divisibility rule.
+            for b in self.bucketing.context_encoding_buckets:
+                if b % tp != 0:
+                    raise ValueError(
+                        f"sequence parallelism requires every context bucket "
+                        f"({b}) to be divisible by the TP group size ({tp})")
+        if self.speculative.enabled and self.cache.enable_prefix_caching:
+            logger.warning("speculative decoding + prefix caching is "
+                           "experimental")
+
+    def config_hash(self) -> str:
+        """Stable hash for the compiled-artifact cache key (reference
+        analogue: md5(config.to_json_string()), model_loader.py:180-183)."""
+        payload = {
+            "model": self.model.stable_hash_dict(),
+            "cache": {
+                "block_size": self.cache.block_size,
+                "num_blocks": self.cache.num_blocks,
+                "kv_dtype": str(self.cache.kv_cache_dtype),
+            },
+            "scheduler": asdict(self.scheduler),
+            "parallel": {
+                "tp": self.parallel.tensor_parallel_size,
+                "dp": self.parallel.data_parallel_size,
+                "sp": self.parallel.sequence_parallel,
+            },
+            "buckets": {
+                "ce": self.bucketing.context_encoding_buckets,
+                "tg": self.bucketing.token_generation_buckets,
+            },
+            "spec": asdict(self.speculative),
+            "quant": asdict(self.quant),
+        }
+        return hashlib.md5(
+            json.dumps(payload, sort_keys=True).encode()).hexdigest()

@@ -1,0 +1,162 @@
+# SPDX-License-Identifier: Apache-2.0
+"""EngineCore: the schedule -> execute -> update loop, plus output
+processing (detokenization, stop strings, RequestOutput assembly).
+
+TPU-native rebuild of the vLLM V1 EngineCore capability the reference relies
+on (SURVEY.md §2.2 V3; hot loop documented in SURVEY.md §3.2)."""
+from __future__ import annotations
+
+import itertools
+import time
+from typing import Optional, Union
+
+from vllm_neuron_tpu.config import EngineConfig
+from vllm_neuron_tpu.core.scheduler import EngineCoreOutput, Scheduler
+from vllm_neuron_tpu.engine.detokenizer import IncrementalDetokenizer
+from vllm_neuron_tpu.engine.outputs import CompletionOutput, RequestOutput
+from vllm_neuron_tpu.engine.request import Request
+from vllm_neuron_tpu.sampling.params import SamplingParams
+from vllm_neuron_tpu.utils import init_logger
+from vllm_neuron_tpu.worker.worker import Worker
+
+logger = init_logger(__name__)
+
+
+class StepMetrics:
+    """Per-step engine counters (queue depth, batch occupancy, token rates)."""
+
+    def __init__(self):
+        self.num_steps = 0
+        self.num_prefill_steps = 0
+        self.num_decode_steps = 0
+        self.prompt_tokens = 0
+        self.generation_tokens = 0
+        self.start_time = time.monotonic()
+
+    def snapshot(self) -> dict:
+        elapsed = max(time.monotonic() - self.start_time, 1e-9)
+        return {
+            "steps": self.num_steps,
+            "prefill_steps": self.num_prefill_steps,
+            "decode_steps": self.num_decode_steps,
+            "prompt_tokens": self.prompt_tokens,
+            "generation_tokens": self.generation_tokens,
+            "generation_tokens_per_s": self.generation_tokens / elapsed,
+        }
+
+
+class RequestState:
+    """Engine-side per-request output accumulation."""
+
+    def __init__(self, request: Request, prompt: Optional[str],
+                 detokenizer: Optional[IncrementalDetokenizer]):
+        self.request = request
+        self.prompt = prompt
+        self.detokenizer = detokenizer
+        self.token_ids: list[int] = []
+        self.logprobs: list[dict[int, float]] = []
+        self.finish_reason: Optional[str] = None
+        self.stop_reason = None
+        self.cumulative_logprob: Optional[float] = None
+
+
+class EngineCore:
+
+    def __init__(self, config: EngineConfig, tokenizer=None):
+        self.config = config
+        self.tokenizer = tokenizer
+        self.scheduler = Scheduler(config)
+        self.worker = Worker(config)
+        self.worker.init_device()
+        self.worker.load_model()
+        self.req_states: dict[str, RequestState] = {}
+        self.metrics = StepMetrics()
+        self._eos_token_id = self._resolve_eos()
+
+    def _resolve_eos(self) -> Optional[int]:
+        if self.tokenizer is not None and \
+                getattr(self.tokenizer, "eos_token_id", None) is not None:
+            return self.tokenizer.eos_token_id
+        eos = getattr(self.config.model.hf_config, "eos_token_id", None)
+        if isinstance(eos, list):
+            eos = eos[0] if eos else None
+        return eos
+
+    # ------------------------------------------------------------------
+
+    def add_request(self, req_id: str, prompt_token_ids: list[int],
+                    sampling_params: SamplingParams,
+                    prompt: Optional[str] = None) -> None:
+        request = Request(req_id, prompt_token_ids, sampling_params,
+                          eos_token_id=self._eos_token_id)
+        detok = None
+        if self.tokenizer is not None and sampling_params.detokenize:
+            detok = IncrementalDetokenizer(self.tokenizer, sampling_params,
+                                           prompt_token_ids)
+        self.req_states[req_id] = RequestState(request, prompt, detok)
+        self.scheduler.add_request(request)
+
+    def abort_request(self, req_id: str) -> None:
+        self.scheduler.abort_request(req_id)
+
+    def has_unfinished_requests(self) -> bool:
+        return self.scheduler.has_unfinished_requests()
+
+    # ------------------------------------------------------------------
+
+    def step(self) -> list[RequestOutput]:
+        """One engine iteration; returns deltas for requests that progressed."""
+        scheduler_output = self.scheduler.schedule()
+        runner_output = self.worker.execute_model(scheduler_output)
+        core_outputs = self.scheduler.update_from_output(
+            scheduler_output, runner_output)
+        self.metrics.num_steps += 1
+        if scheduler_output.is_prefill_step:
+            self.metrics.num_prefill_steps += 1
+            self.metrics.prompt_tokens += \
+                scheduler_output.total_num_scheduled_tokens
+        elif scheduler_output.num_scheduled_tokens:
+            self.metrics.num_decode_steps += 1
+        return [self._process_output(o) for o in core_outputs]
+
+    def _process_output(self, out: EngineCoreOutput) -> RequestOutput:
+        state = self.req_states[out.req_id]
+        state.token_ids.extend(out.new_token_ids)
+        self.metrics.generation_tokens += len(out.new_token_ids)
+        if out.logprobs is not None:
+            for ids, lps in zip(out.logprobs.token_ids,
+                                out.logprobs.logprobs):
+                state.logprobs.append(dict(zip(ids, lps)))
+        text_delta = ""
+        if state.detokenizer is not None:
+            text_delta = state.detokenizer.append(out.new_token_ids)
+            stop_str = state.detokenizer.check_stop_strings()
+            if stop_str is not None and not out.finished:
+                # Token-level checks missed it; stop on the string match.
+                self.scheduler.abort_request(out.req_id)
+                state.finish_reason = "stop"
+                state.stop_reason = stop_str
+        if out.finished and state.finish_reason is None:
+            state.finish_reason = out.finish_reason
+            state.stop_reason = out.stop_reason
+        return self._make_request_output(out.req_id, state)
+
+    def _make_request_output(self, req_id: str,
+                             state: RequestState) -> RequestOutput:
+        text = (state.detokenizer.output_text
+                if state.detokenizer is not None else "")
+        completion = CompletionOutput(
+            index=0,
+            text=text,
+            token_ids=list(state.token_ids),
+            logprobs=state.logprobs if state.logprobs else None,
+            finish_reason=state.finish_reason,
+            stop_reason=state.stop_reason,
+        )
+        return RequestOutput(
+            request_id=req_id,
+            prompt=state.prompt,
+            prompt_token_ids=state.request.prompt_token_ids,
+            outputs=[completion],
+            finished=state.finish_reason is not None,
+        )

@@ -1,0 +1,72 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Rotary position embeddings (HF rotate-half convention, incl. Llama-3
+frequency scaling) computed on the fly from positions — no cached tables, so
+any bucketed sequence length jits to the same program shape."""
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def compute_inv_freq(head_dim: int, rope_theta: float,
+                     rope_scaling: Optional[dict]) -> np.ndarray:
+    """Static (host-side) inverse frequencies, with optional Llama-3 scaling.
+
+    Matches HF ``ROPE_INIT_FUNCTIONS['llama3']`` semantics so checkpoints load
+    without permutation.
+    """
+    inv_freq = 1.0 / (rope_theta**(np.arange(0, head_dim, 2, dtype=np.float64)
+                                   / head_dim))
+    if rope_scaling:
+        rope_type = rope_scaling.get("rope_type",
+                                     rope_scaling.get("type", "default"))
+        if rope_type == "llama3":
+            factor = rope_scaling["factor"]
+            low = rope_scaling["low_freq_factor"]
+            high = rope_scaling["high_freq_factor"]
+            orig_max = rope_scaling["original_max_position_embeddings"]
+            wavelen = 2 * math.pi / inv_freq
+            low_wl = orig_max / low
+            high_wl = orig_max / high
+            scaled = inv_freq / factor
+            smooth = (orig_max / wavelen - low) / (high - low)
+            smoothed = (1 - smooth) * scaled + smooth * inv_freq
+            inv_freq = np.where(wavelen > low_wl, scaled, inv_freq)
+            is_medium = (wavelen <= low_wl) & (wavelen >= high_wl)
+            inv_freq = np.where(is_medium, smoothed, inv_freq)
+        elif rope_type in ("default", None):
+            pass
+        elif rope_type == "linear":
+            inv_freq = inv_freq / rope_scaling["factor"]
+        else:
+            raise NotImplementedError(f"rope_type {rope_type!r}")
+    return inv_freq.astype(np.float32)
+
+
+def apply_rope(q: jax.Array, k: jax.Array, positions: jax.Array,
+               inv_freq: jax.Array,
+               attention_scaling: float = 1.0) -> tuple[jax.Array, jax.Array]:
+    """Apply rotary embeddings.
+
+    q: [B, T, Hq, D]; k: [B, T, Hkv, D]; positions: [B, T] int32;
+    inv_freq: [D/2] f32. Rotation is computed in float32 (HF does the same)
+    and cast back to the input dtype.
+    """
+    angles = positions[..., None].astype(jnp.float32) * inv_freq  # [B,T,D/2]
+    cos = jnp.cos(angles) * attention_scaling
+    sin = jnp.sin(angles) * attention_scaling
+    # HF convention: cos/sin duplicated over both halves.
+    cos = jnp.concatenate([cos, cos], axis=-1)[:, :, None, :]  # [B,T,1,D]
+    sin = jnp.concatenate([sin, sin], axis=-1)[:, :, None, :]
+
+    def rot(x):
+        xf = x.astype(jnp.float32)
+        half = x.shape[-1] // 2
+        rotated = jnp.concatenate([-xf[..., half:], xf[..., :half]], axis=-1)
+        return (xf * cos + rotated * sin).astype(x.dtype)
+
+    return rot(q), rot(k)

@@ -1,0 +1,95 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Sharding rules: how params, KV caches, and step inputs lay out over the
+mesh.
+
+Tensor parallelism (reference analogue: NxDI tp_degree inside the compiled
+graph, model_loader.py:752-753):
+  - q/k/v projections: output (head) dim sharded over "model"
+  - o projection: input (head) dim sharded over "model"
+  - gate/up: output dim sharded; down: input dim sharded
+  - lm_head: vocab dim sharded -> logits all-gathered (the reference steers
+    vLLM the same way via use_all_gather()=True, platform.py:217-219)
+  - KV cache: kv-head dim sharded over "model"
+  - embeddings: replicated (gather is cheap, vocab-sharded gather is not)
+
+With these input shardings, XLA/GSPMD inserts exactly the classic Megatron
+collective pattern (one all-reduce after attention, one after MLP, one
+all-gather for logits) over ICI — no hand-written collectives in the model.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vllm_neuron_tpu.parallel.mesh import MODEL_AXIS
+from vllm_neuron_tpu.utils import init_logger
+
+logger = init_logger(__name__)
+
+# Param-tree path suffix -> PartitionSpec (leading layer axis is axis 0 for
+# stacked layer params).
+LAYER_PARAM_SPECS = {
+    "wq": P(None, None, MODEL_AXIS),
+    "wk": P(None, None, MODEL_AXIS),
+    "wv": P(None, None, MODEL_AXIS),
+    "wo": P(None, MODEL_AXIS, None),
+    "bq": P(None, MODEL_AXIS),
+    "bk": P(None, MODEL_AXIS),
+    "bv": P(None, MODEL_AXIS),
+    "wg": P(None, None, MODEL_AXIS),
+    "wu": P(None, None, MODEL_AXIS),
+    "wd": P(None, MODEL_AXIS, None),
+    "attn_norm": P(),
+    "mlp_norm": P(),
+    "q_norm": P(),
+    "k_norm": P(),
+    # MoE (Llama-4 / Qwen3-MoE): experts sharded over model axis too.
+    "router": P(),
+    "we_gate": P(None, None, None, MODEL_AXIS),
+    "we_up": P(None, None, None, MODEL_AXIS),
+    "we_down": P(None, None, MODEL_AXIS, None),
+}
+
+TOP_PARAM_SPECS = {
+    "embed": P(),
+    "final_norm": P(),
+    "lm_head": P(None, MODEL_AXIS),
+}
+
+
+def param_specs(params: dict) -> dict:
+    specs = {}
+    for name, value in params.items():
+        if name == "layers":
+            specs["layers"] = {
+                k: LAYER_PARAM_SPECS.get(k, P())
+                for k in value
+            }
+        else:
+            specs[name] = TOP_PARAM_SPECS.get(name, P())
+    return specs
+
+
+def shard_params(params: dict, mesh: Mesh, model=None) -> dict:
+    specs = param_specs(params)
+
+    def place(p, s):
+        if isinstance(p, dict):
+            return {k: place(v, s[k]) for k, v in p.items()}
+        return jax.device_put(p, NamedSharding(mesh, s))
+
+    return place(params, specs)
+
+
+KV_SPEC = P(None, None, MODEL_AXIS, None)  # [L, slots, kv_heads, head_dim]
+
+
+def shard_kv_cache(kv_shape_spec: dict, mesh: Mesh) -> dict:
+    sharding = NamedSharding(mesh, KV_SPEC)
+
+    def alloc(sds):
+        return jax.jit(lambda: jnp.zeros(sds.shape, sds.dtype),
+                       out_shardings=sharding)()
+
+    return {k: alloc(v) for k, v in kv_shape_spec.items()}
