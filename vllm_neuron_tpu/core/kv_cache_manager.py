@@ -78,6 +78,10 @@ class KVCacheManager:
         allocated block ids (possibly []) or None if the pool can't satisfy
         the request (caller decides whether to preempt)."""
         blocks = self.req_blocks.setdefault(request.req_id, [])
+        # The caller sets request.num_computed_tokens only after a successful
+        # allocation, so the cached-prefix length must come from
+        # computed_blocks here, not from the request.
+        base_tokens = request.num_computed_tokens
         if computed_blocks:
             assert not blocks, "computed blocks only apply to fresh requests"
             for b in computed_blocks:
@@ -85,7 +89,8 @@ class KVCacheManager:
             blocks.extend(computed_blocks)
             self._num_cached_tokens[request.req_id] = \
                 len(computed_blocks) * self.block_size
-        total_tokens = request.num_computed_tokens + num_new_tokens
+            base_tokens = len(computed_blocks) * self.block_size
+        total_tokens = base_tokens + num_new_tokens
         num_needed = cdiv(total_tokens, self.block_size)
         num_new_blocks = num_needed - len(blocks)
         if num_new_blocks <= 0:

@@ -58,6 +58,19 @@ TOP_PARAM_SPECS = {
 }
 
 
+def _divisible(spec: P, shape: tuple, tp: int) -> P:
+    """Drop the model-axis annotation on dims the TP degree doesn't divide
+    (e.g. KV heads when num_kv_heads < tp: replicate instead — the standard
+    GQA head-replication fallback)."""
+    parts = []
+    for i, axis in enumerate(spec):
+        if axis == MODEL_AXIS and shape[i] % tp != 0:
+            parts.append(None)
+        else:
+            parts.append(axis)
+    return P(*parts)
+
+
 def param_specs(params: dict) -> dict:
     specs = {}
     for name, value in params.items():
@@ -73,11 +86,13 @@ def param_specs(params: dict) -> dict:
 
 def shard_params(params: dict, mesh: Mesh, model=None) -> dict:
     specs = param_specs(params)
+    tp = mesh.shape[MODEL_AXIS]
 
     def place(p, s):
         if isinstance(p, dict):
             return {k: place(v, s[k]) for k, v in p.items()}
-        return jax.device_put(p, NamedSharding(mesh, s))
+        return jax.device_put(
+            p, NamedSharding(mesh, _divisible(s, p.shape, tp)))
 
     return place(params, specs)
 
@@ -86,9 +101,10 @@ KV_SPEC = P(None, None, MODEL_AXIS, None)  # [L, slots, kv_heads, head_dim]
 
 
 def shard_kv_cache(kv_shape_spec: dict, mesh: Mesh) -> dict:
-    sharding = NamedSharding(mesh, KV_SPEC)
+    tp = mesh.shape[MODEL_AXIS]
 
     def alloc(sds):
+        sharding = NamedSharding(mesh, _divisible(KV_SPEC, sds.shape, tp))
         return jax.jit(lambda: jnp.zeros(sds.shape, sds.dtype),
                        out_shardings=sharding)()
 
