@@ -29,23 +29,28 @@ def test_prefill_logits_match_hf(llm, tiny_llama_dir):
     model = runner.model
     executor = runner.executor
     import jax.numpy as jnp
-    from vllm_neuron_tpu.ops.attention import PrefillMeta
+    from vllm_neuron_tpu.ops.ragged_attention import RaggedMeta
 
     T = len(prompt)
-    ids = jnp.asarray([prompt], dtype=jnp.int32)
-    positions = jnp.arange(T, dtype=jnp.int32)[None]
-    meta = PrefillMeta(
-        slot_mapping=jnp.full((T,), -1, jnp.int32),
-        seq_lens=jnp.asarray([T], jnp.int32),
-        cached_lens=jnp.asarray([0], jnp.int32),
-        block_tables=jnp.zeros((1, executor.kv_spec.max_blocks_per_seq),
-                               jnp.int32),
+    spec = executor.kv_spec
+    ids = jnp.asarray(prompt, dtype=jnp.int32)
+    positions = jnp.arange(T, dtype=jnp.int32)
+    # One sequence writing into pages 1..: slot = page*bs + off.
+    bs = spec.block_size
+    slots = jnp.asarray([(1 + t // bs) * bs + t % bs for t in range(T)],
+                        jnp.int32)
+    page_idx = jnp.zeros((1, spec.max_blocks_per_seq), jnp.int32)
+    page_idx = page_idx.at[0, :4].set(jnp.arange(1, 5))
+    meta = RaggedMeta(
+        slot_mapping=slots,
+        kv_lens=jnp.asarray([T], jnp.int32),
+        page_indices=page_idx,
+        cu_q_lens=jnp.asarray([0, T], jnp.int32),
+        num_seqs=jnp.asarray([1], jnp.int32),
     )
-    kv = executor._alloc_kv()
-    hidden, _ = model.forward(executor.params, ids, positions, kv, meta,
-                              kind="prefill",
-                              block_size=executor.kv_spec.block_size)
-    logits = model.compute_logits(executor.params, hidden[0])
+    kv = jnp.zeros(spec.shape, spec.dtype)
+    hidden, _ = model.forward(executor.params, ids, positions, kv, meta)
+    logits = model.compute_logits(executor.params, hidden)
     got = np.asarray(logits)
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-3)
 

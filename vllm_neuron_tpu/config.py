@@ -60,6 +60,9 @@ class ModelConfig:
     seed: int = 0
     hf_config: Any = None  # transformers.PretrainedConfig, loaded lazily
     hf_overrides: Optional[dict] = None
+    # "auto": load safetensors from `model`; "random": randomly initialized
+    # weights (benchmarks / dryruns without a checkpoint on disk).
+    load_format: str = "auto"
 
     def __post_init__(self):
         self.dtype = resolve_dtype(self.dtype)
@@ -148,9 +151,18 @@ class CacheConfig:
         if self.num_blocks is None:
             self.num_blocks = min_blocks
         elif self.num_blocks < min_blocks:
+            # The reference hard-rejects this (model_loader.py:834-867); we
+            # allow explicit overcommit — the scheduler preempts under
+            # pressure — but flag it.
+            logger.warning(
+                "num_blocks=%d is below the no-preemption bound "
+                "ceil(max_model_len/block_size)*max_num_seqs = %d; requests "
+                "may be preempted under load", self.num_blocks, min_blocks)
+        if self.num_blocks < cdiv(model_config.max_model_len,
+                                  self.block_size):
             raise ValueError(
-                f"num_blocks={self.num_blocks} is insufficient: need at least "
-                f"ceil(max_model_len/block_size)*max_num_seqs = {min_blocks}")
+                f"num_blocks={self.num_blocks} cannot hold even one "
+                f"max-length sequence")
 
     def min_required_blocks(self, model_config: ModelConfig,
                             scheduler_config: "SchedulerConfig") -> int:
@@ -172,6 +184,10 @@ class SchedulerConfig:
     max_prompt_batch_size: int = 1  # reference: core/scheduler.py:116
     enable_chunked_prefill: bool = False
     chunk_size: int = 2048  # tokens per chunked-prefill step
+    # Decode steps fused into one device dispatch (token feedback stays on
+    # device; the host syncs once per window). Tokens generated past a stop
+    # condition inside a window are discarded by the scheduler. 1 disables.
+    decode_window: int = 8
 
     def finalize(self, model_config: ModelConfig) -> None:
         if self.max_num_batched_tokens < model_config.max_model_len and \
@@ -210,6 +226,9 @@ class BucketingConfig:
     context_encoding_buckets: Optional[list[int]] = None
     # Decode (token-generation) batch-size buckets; derived if None.
     token_generation_buckets: Optional[list[int]] = None
+    # Context-page buckets (pages gathered per sequence in the dense
+    # attention paths); derived from the cache geometry if None.
+    page_buckets: Optional[list[int]] = None
     min_bucket: int = 128
 
     def finalize(self, model_config: ModelConfig,
@@ -240,6 +259,28 @@ class BucketingConfig:
             self.context_encoding_buckets = [max_len]
             self.token_generation_buckets = [scheduler_config.max_num_seqs]
 
+    def finalize_pages(self, max_blocks_per_seq: int) -> None:
+        if self.page_buckets is None:
+            buckets = []
+            b = min(4, max_blocks_per_seq)
+            while b < max_blocks_per_seq:
+                buckets.append(b)
+                b *= 2
+            buckets.append(max_blocks_per_seq)
+            self.page_buckets = buckets
+        else:
+            self.page_buckets = sorted(set(self.page_buckets))
+            if self.page_buckets[-1] < max_blocks_per_seq:
+                self.page_buckets.append(max_blocks_per_seq)
+        if not self.enable_bucketing:
+            self.page_buckets = [max_blocks_per_seq]
+
+    def page_bucket(self, num_pages: int) -> int:
+        for b in self.page_buckets:
+            if num_pages <= b:
+                return b
+        raise ValueError(f"{num_pages} pages exceed the largest page bucket")
+
     def prefill_bucket(self, num_tokens: int) -> int:
         for b in self.context_encoding_buckets:
             if num_tokens <= b:
@@ -253,6 +294,22 @@ class BucketingConfig:
             if num_seqs <= b:
                 return b
         raise ValueError(f"{num_seqs} seqs exceeds the largest decode bucket")
+
+    @property
+    def token_buckets(self) -> list[int]:
+        """Buckets for the unified ragged step's padded token count N:
+        token-generation buckets serve decode steps (N = #seqs), context
+        buckets serve prefill/chunked steps (N = total new tokens)."""
+        return sorted(set(self.token_generation_buckets) |
+                      set(self.context_encoding_buckets))
+
+    def token_bucket(self, num_tokens: int) -> int:
+        for b in self.token_buckets:
+            if num_tokens <= b:
+                return b
+        raise ValueError(
+            f"{num_tokens} scheduled tokens exceed the largest bucket "
+            f"{self.token_buckets[-1]}")
 
 
 @dataclass
@@ -324,6 +381,8 @@ class EngineConfig:
         self.scheduler.finalize(self.model)
         self.cache.finalize(self.model, self.scheduler)
         self.bucketing.finalize(self.model, self.scheduler)
+        self.bucketing.finalize_pages(
+            cdiv(self.model.max_model_len, self.cache.block_size))
         if self.compiled_artifacts_dir is None:
             self.compiled_artifacts_dir = os.environ.get(
                 "TPU_COMPILED_ARTIFACTS")

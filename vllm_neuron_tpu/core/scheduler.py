@@ -158,7 +158,9 @@ class Scheduler:
             computed_blocks, num_cached = \
                 self.kv_manager.get_computed_blocks(request) \
                 if request.num_computed_tokens == 0 else ([], 0)
-            num_new_tokens = request.num_prompt_tokens - num_cached
+            # num_tokens (not num_prompt_tokens): a resumed preempted request
+            # re-encodes its generated tokens too.
+            num_new_tokens = request.num_tokens - num_cached
             assert num_new_tokens > 0
             new_block_ids = self.kv_manager.allocate_slots(
                 request, num_new_tokens, computed_blocks)
@@ -170,11 +172,13 @@ class Scheduler:
             request.status = RequestStatus.RUNNING
             request.num_computed_tokens = num_cached
             request.num_cached_tokens = num_cached
+            request.num_context_tokens = request.num_tokens
             self.running.append(request)
             out.scheduled_new_reqs.append(
                 NewRequestData(
                     req_id=request.req_id,
-                    prompt_token_ids=request.prompt_token_ids,
+                    # Full known context (prompt + any pre-preemption output).
+                    prompt_token_ids=list(request.all_token_ids),
                     block_ids=self.kv_manager.get_block_ids(request.req_id),
                     num_computed_tokens=num_cached,
                     sampling_params=request.sampling_params,
@@ -187,8 +191,18 @@ class Scheduler:
     def _schedule_decodes(self, out: SchedulerOutput) -> None:
         cached = out.scheduled_cached_reqs
         skipped: list[Request] = []
+        window = self.scheduler_config.decode_window
         for request in list(self.running):
-            num_new = 1 + len(request.spec_token_ids)
+            if request.spec_token_ids:
+                num_new = 1 + len(request.spec_token_ids)
+            else:
+                # Multi-step decode window, clamped so KV slots never run
+                # past max_model_len or the request's own token budget.
+                sp = request.sampling_params
+                remaining_len = self.max_model_len - request.num_tokens
+                remaining_out = ((sp.max_tokens - request.num_output_tokens)
+                                 if sp.max_tokens is not None else window)
+                num_new = max(1, min(window, remaining_len, remaining_out))
             new_block_ids = self.kv_manager.allocate_slots(request, num_new)
             while new_block_ids is None:
                 if not self._try_preempt(exclude=request):
@@ -243,10 +257,10 @@ class Scheduler:
         cached = out.scheduled_cached_reqs
         for request in self.running:
             in_prefill = request.num_computed_tokens < \
-                request.num_prompt_tokens
+                request.num_context_tokens
             if in_prefill:
                 num_new = min(
-                    request.num_prompt_tokens - request.num_computed_tokens,
+                    request.num_context_tokens - request.num_computed_tokens,
                     budget)
             else:
                 num_new = 1
@@ -267,7 +281,7 @@ class Scheduler:
             request = self.waiting[0]
             computed_blocks, num_cached = \
                 self.kv_manager.get_computed_blocks(request)
-            num_new = min(request.num_prompt_tokens - num_cached, budget)
+            num_new = min(request.num_tokens - num_cached, budget)
             if num_new <= 0:
                 break
             new_block_ids = self.kv_manager.allocate_slots(
@@ -278,12 +292,13 @@ class Scheduler:
             request.status = RequestStatus.RUNNING
             request.num_computed_tokens = num_cached
             request.num_cached_tokens = num_cached
+            request.num_context_tokens = request.num_tokens
             self.running.append(request)
             budget -= num_new
             out.scheduled_new_reqs.append(
                 NewRequestData(
                     req_id=request.req_id,
-                    prompt_token_ids=request.prompt_token_ids,
+                    prompt_token_ids=list(request.all_token_ids),
                     block_ids=self.kv_manager.get_block_ids(request.req_id),
                     num_computed_tokens=num_cached,
                     sampling_params=request.sampling_params,
@@ -303,18 +318,18 @@ class Scheduler:
             request = self.requests.get(req_id)
             if request is None or request.is_finished:
                 continue  # aborted mid-step
-            # Spec-decode: scheduled = 1 + K drafts, but only accepted tokens
-            # advance the context; recompute from sampled output below.
             idx = runner_output.req_id_to_index.get(req_id)
             new_token_ids = (runner_output.sampled_token_ids[idx]
                              if idx is not None else [])
-            spec_scheduled = scheduler_output.scheduled_spec_decode_tokens.get(
-                req_id)
-            if spec_scheduled is not None:
-                # context advanced by #accepted tokens (= len(sampled)).
-                request.num_computed_tokens += len(new_token_ids)
-            else:
+            # Uniform advance rule: context-encoding chunks advance by what
+            # was scheduled; generation (decode windows, speculative steps)
+            # advances by what was actually sampled — the runner may have run
+            # fewer steps (host-sampling fallback) and stop conditions
+            # discard window overshoot.
+            if request.num_computed_tokens < request.num_context_tokens:
                 request.num_computed_tokens += num_scheduled
+            else:
+                request.num_computed_tokens += len(new_token_ids)
             request.spec_token_ids = []
             if runner_output.spec_token_ids is not None and idx is not None:
                 request.spec_token_ids = list(

@@ -53,6 +53,10 @@ class Request:
         self.output_token_ids: list[int] = []
         # Tokens whose KV is already computed (scheduler bookkeeping).
         self.num_computed_tokens = 0
+        # Tokens that must be context-encoded before generation (re)starts:
+        # the prompt, plus any pre-preemption output on resumption. Set at
+        # admission.
+        self.num_context_tokens = len(self.prompt_token_ids)
         # Draft tokens proposed for the next step (speculative decoding).
         self.spec_token_ids: list[int] = []
         # Cumulative logprobs per sampled token (host sampling path).

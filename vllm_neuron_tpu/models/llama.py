@@ -7,8 +7,10 @@ vllm_neuron/worker/neuronx_distributed_model_loader.py:634-659). Design:
 
 - Layer-stacked params + ``lax.scan`` over layers: one compiled while-loop,
   not L inlined blocks.
-- One forward function covers context encoding and token generation; the
-  attention-metadata kind (a static argument) selects the attention path.
+- ONE forward function covers every serving phase (prefill / decode /
+  chunked / prefix-hit / speculative verify) via the unified ragged token
+  layout: tokens are a flat ``[N]`` stream, sequence structure lives in
+  ``RaggedMeta`` (ops/ragged_attention.py).
 - All matmuls hit the MXU in the model dtype (bf16 by default) with float32
   softmax/norm accumulation; logits are float32.
 - KV is written to the paged cache inside the same jitted program
@@ -20,6 +22,7 @@ Architecture deltas handled here:
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
 from dataclasses import dataclass
 from typing import Any, Optional
@@ -31,10 +34,9 @@ import numpy as np
 from vllm_neuron_tpu.config import ModelConfig
 from vllm_neuron_tpu.models.weights import (StackingLoader, iter_safetensors,
                                             transpose)
-from vllm_neuron_tpu.ops.attention import (DecodeMeta, PrefillMeta,
-                                           paged_decode_attention,
-                                           prefill_attention,
-                                           prefix_prefill_attention, write_kv)
+from vllm_neuron_tpu.ops.ragged_attention import (RaggedMeta,
+                                                  ragged_attention,
+                                                  write_kv_pages)
 from vllm_neuron_tpu.ops.norm import rms_norm
 from vllm_neuron_tpu.ops.rope import apply_rope, compute_inv_freq
 from vllm_neuron_tpu.utils import init_logger
@@ -149,40 +151,35 @@ class LlamaForCausalLM:
         }
 
     # ------------------------------------------------------------------
-    # Forward
+    # Forward (unified ragged step)
     # ------------------------------------------------------------------
 
-    def _attention(self, q, k, v, k_cache, v_cache, meta, kind: str,
-                   block_size: int):
-        if kind == "prefill":
-            return prefill_attention(q, k, v, meta.seq_lens, self.scale,
-                                     self.sliding_window)
-        if kind == "prefix_prefill":
-            return prefix_prefill_attention(q, k, v, k_cache, v_cache, meta,
-                                            self.scale, block_size,
-                                            self.sliding_window)
-        if kind == "decode":
-            return paged_decode_attention(q, k_cache, v_cache, meta,
-                                          self.scale, block_size,
-                                          self.sliding_window)
-        raise ValueError(f"unknown attention kind {kind!r}")
-
     def forward(self, params: dict, input_ids: jax.Array,
-                positions: jax.Array, kv_cache: dict, meta, *, kind: str,
-                block_size: int) -> tuple[jax.Array, dict]:
-        """Run the decoder. input_ids/positions: [B, T].
+                positions: jax.Array, kv_pages: jax.Array, meta: RaggedMeta,
+                *, kind: str = "mixed", attn_backend: Optional[str] = None
+                ) -> tuple[jax.Array, jax.Array]:
+        """Run the decoder over a ragged token stream.
 
-        Returns (hidden [B, T, H], updated kv_cache). kv_cache is
-        {'k': [L, num_slots, Hkv, D], 'v': ...} and is updated in-place via
-        donation at the jit boundary.
+        input_ids/positions: [N] (flat over all sequences' new tokens);
+        kv_pages: [L, num_pages, page_size, 2*Hkv, D], updated in place via
+        donation at the jit boundary. Returns (hidden [N, H], kv_pages).
         """
-        B, T = input_ids.shape
+        N = input_ids.shape[0]
         nH, nKV, D = self.num_heads, self.num_kv_heads, self.head_dim
-        x = params["embed"][input_ids]  # [B, T, H]
-        slot_mapping = meta.slot_mapping.reshape(-1)
+        L, pages, page_size, combined, Dp = kv_pages.shape
+        x = params["embed"][input_ids]  # [N, H]
+        # The cache is carried through the layer scan as ONE flat page array
+        # [L*pages, ...]; each layer scatters into its own page range
+        # (offset l*pages). A scan CARRY updated only by scatter keeps the
+        # whole 10s-of-GB buffer in place across the XLA while loop — never
+        # sliced, never copied.
+        kv_flat = kv_pages.reshape(L * pages, page_size, combined, Dp)
+        valid = meta.slot_mapping >= 0
+        layer_ids = jnp.arange(L, dtype=jnp.int32)
 
-        def layer(x, xs):
-            lp, k_cache_l, v_cache_l = xs
+        def layer(carry, xs):
+            x, kv_flat = carry
+            lp, l = xs
             h = rms_norm(x, lp["attn_norm"], self.rms_eps)
             q = h @ lp["wq"]
             k = h @ lp["wk"]
@@ -191,29 +188,33 @@ class LlamaForCausalLM:
                 q = q + lp["bq"]
                 k = k + lp["bk"]
                 v = v + lp["bv"]
-            q = q.reshape(B, T, nH, D)
-            k = k.reshape(B, T, nKV, D)
-            v = v.reshape(B, T, nKV, D)
+            q = q.reshape(N, nH, D)
+            k = k.reshape(N, nKV, D)
+            v = v.reshape(N, nKV, D)
             if self.qk_norm:
                 q = rms_norm(q, lp["q_norm"], self.rms_eps)
                 k = rms_norm(k, lp["k_norm"], self.rms_eps)
             q, k = apply_rope(q, k, positions, self.inv_freq,
                               self.attention_scaling)
-            k_cache_l, v_cache_l = write_kv(k_cache_l, v_cache_l,
-                                            k.reshape(B * T, nKV, D),
-                                            v.reshape(B * T, nKV, D),
-                                            slot_mapping)
-            attn = self._attention(q, k, v, k_cache_l, v_cache_l, meta, kind,
-                                   block_size)
-            x = x + attn.reshape(B, T, nH * D) @ lp["wo"]
+            slots_l = jnp.where(valid,
+                                meta.slot_mapping + l * (pages * page_size),
+                                -1)
+            kv_flat = write_kv_pages(kv_flat, k, v, slots_l)
+            meta_l = dataclasses.replace(
+                meta, slot_mapping=slots_l,
+                page_indices=meta.page_indices + l * pages)
+            attn = ragged_attention(q, kv_flat, meta_l, self.scale,
+                                    self.sliding_window, kind=kind,
+                                    backend=attn_backend)
+            x = x + attn.reshape(N, nH * D) @ lp["wo"]
             h = rms_norm(x, lp["mlp_norm"], self.rms_eps)
             gate = jax.nn.silu(h @ lp["wg"])
             x = x + (gate * (h @ lp["wu"])) @ lp["wd"]
-            return x, (k_cache_l, v_cache_l)
+            return (x, kv_flat), None
 
-        x, (k_new, v_new) = jax.lax.scan(
-            layer, x, (params["layers"], kv_cache["k"], kv_cache["v"]))
-        return x, {"k": k_new, "v": v_new}
+        (x, kv_flat), _ = jax.lax.scan(layer, (x, kv_flat),
+                                       (params["layers"], layer_ids))
+        return x, kv_flat.reshape(L, pages, page_size, combined, Dp)
 
     def compute_logits(self, params: dict, hidden: jax.Array) -> jax.Array:
         """hidden: [N, H] -> logits [N, V] float32."""

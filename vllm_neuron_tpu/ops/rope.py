@@ -52,16 +52,18 @@ def apply_rope(q: jax.Array, k: jax.Array, positions: jax.Array,
                attention_scaling: float = 1.0) -> tuple[jax.Array, jax.Array]:
     """Apply rotary embeddings.
 
-    q: [B, T, Hq, D]; k: [B, T, Hkv, D]; positions: [B, T] int32;
-    inv_freq: [D/2] f32. Rotation is computed in float32 (HF does the same)
-    and cast back to the input dtype.
+    q: [..., Hq, D]; k: [..., Hkv, D]; positions: [...] int32 (same leading
+    shape — e.g. flat ragged [N] or batched [B, T]); inv_freq: [D/2] f32.
+    Rotation is computed in float32 (HF does the same) and cast back to the
+    input dtype.
     """
-    angles = positions[..., None].astype(jnp.float32) * inv_freq  # [B,T,D/2]
+    angles = positions[..., None].astype(jnp.float32) * inv_freq  # [..., D/2]
     cos = jnp.cos(angles) * attention_scaling
     sin = jnp.sin(angles) * attention_scaling
-    # HF convention: cos/sin duplicated over both halves.
-    cos = jnp.concatenate([cos, cos], axis=-1)[:, :, None, :]  # [B,T,1,D]
-    sin = jnp.concatenate([sin, sin], axis=-1)[:, :, None, :]
+    # HF convention: cos/sin duplicated over both halves; broadcast over the
+    # heads axis.
+    cos = jnp.concatenate([cos, cos], axis=-1)[..., None, :]  # [..., 1, D]
+    sin = jnp.concatenate([sin, sin], axis=-1)[..., None, :]
 
     def rot(x):
         xf = x.astype(jnp.float32)

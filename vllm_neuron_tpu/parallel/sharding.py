@@ -97,15 +97,14 @@ def shard_params(params: dict, mesh: Mesh, model=None) -> dict:
     return place(params, specs)
 
 
-KV_SPEC = P(None, None, MODEL_AXIS, None)  # [L, slots, kv_heads, head_dim]
+# [L, num_pages, page_size, 2*kv_heads, head_dim]: combined KV heads sharded
+# over the model axis (2*Hkv is even, so tp <= 2*Hkv shards cleanly for
+# Hkv % (tp/2) == 0; otherwise replicate).
+KV_SPEC = P(None, None, None, MODEL_AXIS, None)
 
 
-def shard_kv_cache(kv_shape_spec: dict, mesh: Mesh) -> dict:
+def shard_kv_cache(sds: jax.ShapeDtypeStruct, mesh: Mesh) -> jax.Array:
     tp = mesh.shape[MODEL_AXIS]
-
-    def alloc(sds):
-        sharding = NamedSharding(mesh, _divisible(KV_SPEC, sds.shape, tp))
-        return jax.jit(lambda: jnp.zeros(sds.shape, sds.dtype),
-                       out_shardings=sharding)()
-
-    return {k: alloc(v) for k, v in kv_shape_spec.items()}
+    sharding = NamedSharding(mesh, _divisible(KV_SPEC, sds.shape, tp))
+    return jax.jit(lambda: jnp.zeros(sds.shape, sds.dtype),
+                   out_shardings=sharding)()

@@ -1,0 +1,68 @@
+# SPDX-License-Identifier: Apache-2.0
+"""On-device (fused-in-program) batched sampling.
+
+TPU-native equivalent of NxDI's on-device sampling graph (reference:
+``OnDeviceSamplingConfig(dynamic=True)``, vllm_neuron/worker/
+neuronx_distributed_model_loader.py:731-732; per-request ``[B, 3]`` params
+tensor built at model_runner.py:1106-1140; forward returns token ids instead
+of logits, model_loader.py:350-351). Sampling stays inside the jitted step,
+so decode never ships a ``[B, V]`` logits tensor to the host.
+
+Semantics (matching the host sampler / reference behavior):
+- temperature == 0 is greedy and must equal top_k == 1 (reference tiny test
+  test_dynamic_sampling.py temp0-eq-topk1);
+- top_k is clamped to MAX_ON_DEVICE_TOP_K = 256 (reference
+  _MAX_NEURON_SAMPLING_TOP_K, model_runner.py:74); requests needing more
+  (or penalties / seeds / logprobs) take the host path instead;
+- top_k <= 0 means disabled (all of the top-256 window);
+- top_p filters by cumulative probability over the sorted window, always
+  keeping the most probable token.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from vllm_neuron_tpu.sampling.params import MAX_ON_DEVICE_TOP_K
+
+
+def sample_tokens(logits: jax.Array, temperature: jax.Array,
+                  top_k: jax.Array, top_p: jax.Array,
+                  step_key: jax.Array) -> jax.Array:
+    """Sample one token per row.
+
+    logits: [S, V] float32; temperature/top_p: [S] f32; top_k: [S] int32
+    (-1 = disabled); step_key: jax PRNG key for this step. Returns [S] int32.
+
+    Fully vectorized: top-256 window -> temperature -> top-k mask -> top-p
+    mask -> Gumbel-max. Greedy rows (temp == 0) take pure argmax.
+    """
+    S, V = logits.shape
+    K = min(MAX_ON_DEVICE_TOP_K, V)
+
+    top_vals, top_idx = jax.lax.top_k(logits, K)  # [S, K] sorted desc
+    j = jnp.arange(K, dtype=jnp.int32)[None, :]  # [1, K]
+
+    # top-k mask (disabled => full window).
+    k_eff = jnp.where(top_k <= 0, K, jnp.minimum(top_k, K))[:, None]
+    keep = j < k_eff
+
+    # Temperature (greedy rows guarded; resolved by the argmax select below).
+    safe_temp = jnp.where(temperature > 0, temperature, 1.0)[:, None]
+    scaled = top_vals / safe_temp
+
+    # top-p over the sorted window: keep tokens while the cumulative
+    # probability BEFORE them is < top_p (always keeps rank 0).
+    probs = jax.nn.softmax(jnp.where(keep, scaled, -jnp.inf), axis=-1)
+    cum_before = jnp.cumsum(probs, axis=-1) - probs
+    keep &= cum_before < top_p[:, None]
+
+    masked = jnp.where(keep, scaled, -jnp.inf)
+    gumbel = jax.random.gumbel(step_key, (S, K), dtype=jnp.float32)
+    sampled_rank = jnp.argmax(masked + gumbel, axis=-1)
+    sampled = jnp.take_along_axis(top_idx, sampled_rank[:, None],
+                                  axis=-1)[:, 0]
+    # Greedy via direct argmax over the full vocab: first-max tie-breaking,
+    # bit-identical to the host sampler's np.argmax.
+    greedy = jnp.argmax(logits, axis=-1).astype(sampled.dtype)
+    return jnp.where(temperature <= 0, greedy, sampled)

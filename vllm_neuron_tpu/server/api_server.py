@@ -1,0 +1,391 @@
+# SPDX-License-Identifier: Apache-2.0
+"""OpenAI-compatible API server.
+
+TPU-native equivalent of the serving surface the reference gets from
+``python3 -m vllm.entrypoints.openai.api_server`` (reference:
+test/utils/server/start_server.sh:70-141; README.md:69-84): /health,
+/v1/models, /v1/completions, /v1/chat/completions with SSE streaming, chat
+templates, and auto tool choice with the llama3_json parser.
+
+Run: ``python -m vllm_neuron_tpu.server.api_server --model <path> [...]``
+"""
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+from typing import AsyncIterator, Optional
+
+from vllm_neuron_tpu.engine.async_llm import AsyncEngine
+from vllm_neuron_tpu.engine.llm import build_engine_config
+from vllm_neuron_tpu.sampling.params import SamplingParams
+from vllm_neuron_tpu.server.http import (HTTPServer, JSONResponse, Request,
+                                         StreamingResponse)
+from vllm_neuron_tpu.server.protocol import (UsageInfo, make_id, now,
+                                             sampling_from_body)
+from vllm_neuron_tpu.server.tool_parser import TOOL_PARSERS
+from vllm_neuron_tpu.utils import init_logger
+
+logger = init_logger(__name__)
+
+
+class OpenAIServer:
+
+    def __init__(self, engine: AsyncEngine, served_model_name: str,
+                 chat_template: Optional[str] = None,
+                 enable_auto_tools: bool = False,
+                 tool_parser: Optional[str] = None):
+        self.engine = engine
+        self.model_name = served_model_name
+        self.tokenizer = engine.tokenizer
+        self.chat_template = chat_template
+        self.enable_auto_tools = enable_auto_tools
+        self.tool_parser = TOOL_PARSERS.get(tool_parser) if tool_parser \
+            else None
+        self.app = HTTPServer()
+        self._register()
+
+    # ------------------------------------------------------------------
+
+    def _register(self):
+        app = self.app
+        app.route("GET", "/health")(self.health)
+        app.route("GET", "/v1/models")(self.list_models)
+        app.route("POST", "/v1/completions")(self.completions)
+        app.route("POST", "/v1/chat/completions")(self.chat_completions)
+        app.route("GET", "/metrics")(self.metrics)
+
+    async def health(self, request: Request):
+        if not self.engine.check_health():
+            return JSONResponse({"status": "unhealthy"}, 503)
+        return JSONResponse({"status": "ok"})
+
+    async def list_models(self, request: Request):
+        return JSONResponse({
+            "object": "list",
+            "data": [{
+                "id": self.model_name,
+                "object": "model",
+                "created": now(),
+                "owned_by": "vllm-neuron-tpu",
+            }],
+        })
+
+    async def metrics(self, request: Request):
+        m = self.engine.metrics.snapshot()
+        lines = [f"vllm_tpu_{k} {v}" for k, v in m.items()]
+        return JSONResponse({"metrics": m}) if \
+            "json" in request.headers.get("accept", "") else \
+            JSONResponse({"text": "\n".join(lines)})
+
+    # ------------------------------------------------------------------
+    # /v1/completions
+    # ------------------------------------------------------------------
+
+    def _tokenize_prompt(self, prompt) -> tuple[list[int], Optional[str]]:
+        if isinstance(prompt, list) and prompt and \
+                isinstance(prompt[0], int):
+            return list(prompt), None
+        if isinstance(prompt, str):
+            if self.tokenizer is None:
+                raise ValueError("server started without a tokenizer; send "
+                                 "token-id prompts")
+            return self.tokenizer.encode(prompt), prompt
+        raise ValueError("`prompt` must be a string or a list of token ids")
+
+    async def completions(self, request: Request):
+        body = request.json()
+        prompts = body.get("prompt")
+        if prompts is None:
+            raise ValueError("`prompt` is required")
+        if isinstance(prompts, str) or (isinstance(prompts, list) and prompts
+                                        and isinstance(prompts[0], int)):
+            prompts = [prompts]
+        sp = sampling_from_body(body, max_tokens_default=16)
+        stream = bool(body.get("stream", False))
+        completion_id = make_id("cmpl")
+        if stream:
+            if len(prompts) != 1 or sp.n != 1:
+                raise ValueError("streaming supports a single prompt, n=1")
+            token_ids, _ = self._tokenize_prompt(prompts[0])
+            return StreamingResponse(
+                self._stream_completion(completion_id, token_ids, sp))
+        return await self._full_completion(completion_id, prompts, sp, body)
+
+    async def _full_completion(self, completion_id, prompts, sp, body):
+        usage = UsageInfo()
+        choices = []
+        tasks = []
+        for prompt in prompts:
+            token_ids, text = self._tokenize_prompt(prompt)
+            for child in range(sp.n):
+                child_sp = sp
+                if sp.n > 1 and sp.seed is not None:
+                    import dataclasses
+                    child_sp = dataclasses.replace(sp, seed=sp.seed + child)
+                    child_sp.__post_init__()
+                tasks.append((token_ids, child_sp))
+        results = await asyncio.gather(*[
+            self._collect(token_ids, child_sp)
+            for token_ids, child_sp in tasks
+        ])
+        for i, out in enumerate(results):
+            comp = out.outputs[0]
+            usage.prompt_tokens += len(out.prompt_token_ids)
+            usage.completion_tokens += len(comp.token_ids)
+            choices.append({
+                "index": i,
+                "text": comp.text,
+                "logprobs": _format_logprobs(comp, self.tokenizer),
+                "finish_reason": comp.finish_reason,
+                "stop_reason": comp.stop_reason,
+            })
+        return JSONResponse({
+            "id": completion_id,
+            "object": "text_completion",
+            "created": now(),
+            "model": self.model_name,
+            "choices": choices,
+            "usage": usage.to_dict(),
+        })
+
+    async def _collect(self, token_ids: list[int], sp: SamplingParams):
+        last = None
+        async for out in self.engine.generate(token_ids, sp):
+            last = out
+        return last
+
+    async def _stream_completion(self, completion_id, token_ids,
+                                 sp) -> AsyncIterator[str]:
+        sent_len = 0
+        async for out in self.engine.generate(token_ids, sp):
+            comp = out.outputs[0]
+            delta = comp.text[sent_len:]
+            sent_len = len(comp.text)
+            if not delta and not out.finished:
+                continue
+            yield json.dumps({
+                "id": completion_id,
+                "object": "text_completion",
+                "created": now(),
+                "model": self.model_name,
+                "choices": [{
+                    "index": 0,
+                    "text": delta,
+                    "logprobs": None,
+                    "finish_reason": comp.finish_reason if out.finished
+                    else None,
+                }],
+            })
+
+    # ------------------------------------------------------------------
+    # /v1/chat/completions
+    # ------------------------------------------------------------------
+
+    def _apply_chat_template(self, messages: list[dict],
+                             tools: Optional[list] = None) -> list[int]:
+        if self.tokenizer is None:
+            raise ValueError("chat API requires a tokenizer")
+        kwargs = {"add_generation_prompt": True}
+        if self.chat_template:
+            kwargs["chat_template"] = self.chat_template
+        if tools:
+            kwargs["tools"] = tools
+        return self.tokenizer.apply_chat_template(messages, **kwargs)
+
+    async def chat_completions(self, request: Request):
+        body = request.json()
+        messages = body.get("messages")
+        if not messages:
+            raise ValueError("`messages` is required")
+        tools = body.get("tools")
+        tool_choice = body.get("tool_choice", "auto" if tools else "none")
+        use_tools = bool(tools) and tool_choice != "none" and \
+            (self.enable_auto_tools or tool_choice != "auto")
+        token_ids = self._apply_chat_template(
+            messages, tools if use_tools else None)
+        sp = sampling_from_body(body, max_tokens_default=1024)
+        chat_id = make_id("chatcmpl")
+        if body.get("stream", False):
+            return StreamingResponse(
+                self._stream_chat(chat_id, token_ids, sp))
+        out = await self._collect(token_ids, sp)
+        comp = out.outputs[0]
+        tool_calls, content = None, comp.text
+        if use_tools and self.tool_parser is not None:
+            tool_calls, content = self.tool_parser(comp.text)
+        message: dict = {"role": "assistant", "content": content or None}
+        finish_reason = comp.finish_reason
+        if tool_calls:
+            message["tool_calls"] = [{
+                "id": tc.id,
+                "type": "function",
+                "function": {"name": tc.name, "arguments": tc.arguments},
+            } for tc in tool_calls]
+            finish_reason = "tool_calls"
+        usage = UsageInfo(prompt_tokens=len(out.prompt_token_ids),
+                          completion_tokens=len(comp.token_ids))
+        return JSONResponse({
+            "id": chat_id,
+            "object": "chat.completion",
+            "created": now(),
+            "model": self.model_name,
+            "choices": [{
+                "index": 0,
+                "message": message,
+                "logprobs": _format_chat_logprobs(comp, self.tokenizer),
+                "finish_reason": finish_reason,
+            }],
+            "usage": usage.to_dict(),
+        })
+
+    async def _stream_chat(self, chat_id, token_ids, sp) -> AsyncIterator[str]:
+        def chunk(delta: dict, finish: Optional[str] = None) -> str:
+            return json.dumps({
+                "id": chat_id,
+                "object": "chat.completion.chunk",
+                "created": now(),
+                "model": self.model_name,
+                "choices": [{
+                    "index": 0,
+                    "delta": delta,
+                    "finish_reason": finish,
+                }],
+            })
+
+        yield chunk({"role": "assistant", "content": ""})
+        sent_len = 0
+        async for out in self.engine.generate(token_ids, sp):
+            comp = out.outputs[0]
+            delta = comp.text[sent_len:]
+            sent_len = len(comp.text)
+            if delta:
+                yield chunk({"content": delta})
+            if out.finished:
+                yield chunk({}, finish=comp.finish_reason)
+
+
+def _format_logprobs(comp, tokenizer):
+    if comp.logprobs is None:
+        return None
+    token_logprobs, tokens, top = [], [], []
+    for lp_map in comp.logprobs:
+        if not lp_map:
+            continue
+        best_tok = max(lp_map, key=lp_map.get)
+        sampled = None
+        # The sampled token is recorded first in insertion order.
+        sampled = next(iter(lp_map))
+        token_logprobs.append(lp_map[sampled])
+        tokens.append(tokenizer.decode([sampled]) if tokenizer else
+                      str(sampled))
+        top.append({(tokenizer.decode([t]) if tokenizer else str(t)): v
+                    for t, v in lp_map.items()})
+    return {"tokens": tokens, "token_logprobs": token_logprobs,
+            "top_logprobs": top, "text_offset": []}
+
+
+def _format_chat_logprobs(comp, tokenizer):
+    if comp.logprobs is None:
+        return None
+    content = []
+    for lp_map in comp.logprobs:
+        if not lp_map:
+            continue
+        sampled = next(iter(lp_map))
+        tok_str = tokenizer.decode([sampled]) if tokenizer else str(sampled)
+        content.append({
+            "token": tok_str,
+            "logprob": lp_map[sampled],
+            "top_logprobs": [{
+                "token": (tokenizer.decode([t]) if tokenizer else str(t)),
+                "logprob": v,
+            } for t, v in lp_map.items()],
+        })
+    return {"content": content}
+
+
+# ---------------------------------------------------------------------------
+# CLI
+# ---------------------------------------------------------------------------
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="vllm-neuron-tpu OpenAI server")
+    p.add_argument("--model", required=True)
+    p.add_argument("--served-model-name", default=None)
+    p.add_argument("--tokenizer", default=None)
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--max-model-len", type=int, default=None)
+    p.add_argument("--max-num-seqs", type=int, default=32)
+    p.add_argument("--max-num-batched-tokens", type=int, default=None)
+    p.add_argument("--block-size", type=int, default=None)
+    p.add_argument("--num-gpu-blocks-override", type=int, default=None)
+    p.add_argument("--tensor-parallel-size", type=int, default=1)
+    p.add_argument("--enable-prefix-caching", action="store_true")
+    p.add_argument("--enable-chunked-prefill", action="store_true")
+    p.add_argument("--quantization", default=None)
+    p.add_argument("--kv-cache-dtype", default="auto")
+    p.add_argument("--speculative-config", type=json.loads, default=None)
+    p.add_argument("--override-tpu-config", type=json.loads, default=None)
+    p.add_argument("--enable-auto-tool-choice", action="store_true")
+    p.add_argument("--tool-call-parser", default=None,
+                   choices=sorted(TOOL_PARSERS))
+    p.add_argument("--chat-template", default=None,
+                   help="path to a jinja chat template file")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+async def run_server(args) -> None:
+    config = build_engine_config(
+        args.model,
+        tokenizer=args.tokenizer,
+        dtype=args.dtype,
+        max_model_len=args.max_model_len,
+        max_num_seqs=args.max_num_seqs,
+        max_num_batched_tokens=args.max_num_batched_tokens,
+        block_size=args.block_size,
+        num_blocks=args.num_gpu_blocks_override,
+        enable_prefix_caching=args.enable_prefix_caching,
+        enable_chunked_prefill=args.enable_chunked_prefill,
+        tensor_parallel_size=args.tensor_parallel_size,
+        quantization=args.quantization,
+        kv_cache_dtype=args.kv_cache_dtype,
+        speculative_config=args.speculative_config,
+        override_tpu_config=args.override_tpu_config,
+        seed=args.seed,
+    )
+    tokenizer = None
+    try:
+        from transformers import AutoTokenizer
+        tokenizer = AutoTokenizer.from_pretrained(config.model.tokenizer)
+    except Exception as e:
+        logger.warning("tokenizer unavailable (%s)", e)
+    chat_template = None
+    if args.chat_template:
+        with open(args.chat_template) as f:
+            chat_template = f.read()
+    engine = AsyncEngine(config, tokenizer=tokenizer)
+    engine.start(asyncio.get_running_loop())
+    server = OpenAIServer(
+        engine,
+        served_model_name=args.served_model_name or args.model,
+        chat_template=chat_template,
+        enable_auto_tools=args.enable_auto_tool_choice,
+        tool_parser=args.tool_call_parser,
+    )
+    http = await server.app.serve(args.host, args.port)
+    async with http:
+        await http.serve_forever()
+
+
+def main():
+    args = build_parser().parse_args()
+    asyncio.run(run_server(args))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,16 +1,26 @@
 # SPDX-License-Identifier: Apache-2.0
 """Device-program executor: owns model params, the paged KV cache, and the
-per-bucket jitted programs.
+bucketed unified-step programs.
 
 TPU-native equivalent of the reference's compiled-NEFF-per-bucket layer
 (NxDI compile/load at vllm_neuron/worker/neuronx_distributed_model_loader.py:
-214-241): each (phase, bucket) pair is one XLA program, compiled on first use
-and cached both in-process and on disk via the JAX persistent compilation
-cache keyed under the engine-config hash (reference analogue: md5-keyed
+214-241) — but where the reference compiles separate context-encoding and
+token-generation graphs per bucket, every serving phase here is ONE program
+family parameterized only by the padded token count N: the unified ragged
+step (ops/ragged_attention.py). Each (N_bucket, return_logits) pair is one
+XLA program, compiled on first use and cached on disk via the JAX persistent
+compilation cache under the engine-config hash (reference analogue: md5-keyed
 neuron-compiled-artifacts dir, model_loader.py:180-212).
 
-KV caches are donated through every call, so XLA updates them in place — the
-cache never round-trips to host.
+The step fuses: embedding -> L decoder layers (KV scatter + ragged paged
+attention) -> final norm -> logits for each sequence's last scheduled token
+-> on-device sampling. Decode steps therefore ship only [S] sampled token ids
+to the host; full [S, V] logits cross only when a request needs the host
+sampler (reference analogue: on-device sampling returning token ids,
+model_loader.py:350-351, vs the CPU-sampling path).
+
+KV cache: [L, num_pages, page_size, 2*num_kv_heads, head_dim], donated
+through every call so XLA updates it in place — it never round-trips.
 """
 from __future__ import annotations
 
@@ -24,7 +34,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from vllm_neuron_tpu.config import EngineConfig, resolve_dtype
-from vllm_neuron_tpu.ops.attention import DecodeMeta, PrefillMeta
+from vllm_neuron_tpu.ops.ragged_attention import RaggedMeta, default_backend
+from vllm_neuron_tpu.sampling.ondevice import sample_tokens
 from vllm_neuron_tpu.utils import cdiv, init_logger
 
 logger = init_logger(__name__)
@@ -33,7 +44,7 @@ logger = init_logger(__name__)
 @dataclass(frozen=True)
 class KVCacheSpec:
     num_layers: int
-    num_blocks: int  # usable blocks (ids 1..num_blocks); block 0 is null
+    num_blocks: int  # usable pages (ids 1..num_blocks); page 0 is null
     block_size: int
     num_kv_heads: int
     head_dim: int
@@ -41,17 +52,25 @@ class KVCacheSpec:
     max_model_len: int
 
     @property
+    def num_pages(self) -> int:
+        return self.num_blocks + 1
+
+    @property
     def num_slots(self) -> int:
-        return (self.num_blocks + 1) * self.block_size
+        return self.num_pages * self.block_size
 
     @property
     def max_blocks_per_seq(self) -> int:
         return cdiv(self.max_model_len, self.block_size)
 
+    @property
+    def shape(self) -> tuple:
+        from vllm_neuron_tpu.ops.ragged_attention import padded_head_dim
+        return (self.num_layers, self.num_pages, self.block_size,
+                2 * self.num_kv_heads, padded_head_dim(self.head_dim))
+
     def bytes_total(self) -> int:
-        itemsize = jnp.dtype(self.dtype).itemsize
-        return (2 * self.num_layers * self.num_slots * self.num_kv_heads *
-                self.head_dim * itemsize)
+        return int(np.prod(self.shape)) * jnp.dtype(self.dtype).itemsize
 
 
 class ModelExecutor:
@@ -76,17 +95,25 @@ class ModelExecutor:
                    resolve_dtype(config.cache.kv_cache_dtype)),
             max_model_len=config.model.max_model_len,
         )
+        # The Mosaic kernel path needs shard_map to partition over a mesh;
+        # under GSPMD (mesh set) use the XLA fallback for now.
+        self.attn_backend = "jnp" if mesh is not None else default_backend()
         self._setup_compilation_cache()
         if mesh is not None:
             from vllm_neuron_tpu.parallel.sharding import (shard_kv_cache,
                                                            shard_params)
             params = shard_params(params, mesh, model)
-            self.kv_caches = shard_kv_cache(
-                self._alloc_kv_host_spec(), mesh)
+            self.kv_pages = shard_kv_cache(
+                jax.ShapeDtypeStruct(self.kv_spec.shape, self.kv_spec.dtype),
+                mesh)
         else:
-            self.kv_caches = self._alloc_kv()
+            logger.info("allocating paged KV cache: %s, %.2f GiB",
+                        self.kv_spec.shape,
+                        self.kv_spec.bytes_total() / 2**30)
+            self.kv_pages = jnp.zeros(self.kv_spec.shape, self.kv_spec.dtype)
         self.params = params
         self._fns: dict[tuple, Callable] = {}
+        self._step_counter = 0
 
     def _setup_compilation_cache(self):
         cache_dir = self.config.compiled_artifacts_dir
@@ -97,32 +124,80 @@ class ModelExecutor:
         try:
             os.makedirs(cache_dir, exist_ok=True)
             jax.config.update("jax_compilation_cache_dir", cache_dir)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1.0)
         except Exception as e:  # pragma: no cover
             logger.warning("persistent compile cache unavailable: %s", e)
 
-    def _alloc_kv_host_spec(self):
-        s = self.kv_spec
-        shape = (s.num_layers, s.num_slots, s.num_kv_heads, s.head_dim)
-        return {
-            "k": jax.ShapeDtypeStruct(shape, s.dtype),
-            "v": jax.ShapeDtypeStruct(shape, s.dtype),
-        }
-
-    def _alloc_kv(self) -> dict:
-        s = self.kv_spec
-        shape = (s.num_layers, s.num_slots, s.num_kv_heads, s.head_dim)
-        logger.info(
-            "allocating paged KV cache: %s x2, %.2f GiB total", shape,
-            self.kv_spec.bytes_total() / 2**30)
-        return {
-            "k": jnp.zeros(shape, s.dtype),
-            "v": jnp.zeros(shape, s.dtype),
-        }
-
     # ------------------------------------------------------------------
-    # Program builders (one jitted callable per (phase, static shapes))
+    # Program builder
     # ------------------------------------------------------------------
+
+    def _build_step(self, kind: str, return_logits: bool):
+        model = self.model
+        attn_backend = self.attn_backend
+
+        def fn(params, kv_pages, token_ids, positions, meta, logits_indices,
+               temperature, top_k, top_p, step_seed):
+            hidden, kv_pages = model.forward(params, token_ids, positions,
+                                             kv_pages, meta, kind=kind,
+                                             attn_backend=attn_backend)
+            sel = hidden[logits_indices]  # [S, H]
+            logits = model.compute_logits(params, sel)  # [S, V] f32
+            key = jax.random.PRNGKey(step_seed)
+            tokens = sample_tokens(logits, temperature, top_k, top_p, key)
+            if return_logits:
+                return tokens, logits, kv_pages
+            return tokens, kv_pages
+
+        return jax.jit(fn, donate_argnums=(1,))
+
+    def run_decode_window(self, first_tokens: np.ndarray,
+                          positions0: np.ndarray, slot_table: np.ndarray,
+                          kv_lens0: np.ndarray, page_indices: np.ndarray,
+                          num_seqs: int, temperature: np.ndarray,
+                          top_k: np.ndarray, top_p: np.ndarray) -> np.ndarray:
+        """K pipelined decode steps with device-resident token feedback: the
+        K dispatches enqueue back-to-back (each step's sampled tokens feed
+        the next WITHOUT visiting the host) and the host pays ONE
+        device-round-trip per window instead of per token. Reuses the
+        single-step program — no extra compilation.
+
+        first_tokens/positions0/kv_lens0: [N]; slot_table: [K, N] (-1 skips
+        the KV write); page_indices: [N, PP]. Returns sampled tokens [K, N].
+        """
+        K, N = slot_table.shape
+        key = ("step", "decode", N, page_indices.shape, False)
+        fn = self._get_fn(key, lambda: self._build_step("decode", False))
+        # One host->device transfer for the whole window.
+        active = kv_lens0 > 0
+        kv_lens_all = jnp.asarray(
+            np.where(active[None], kv_lens0[None] +
+                     np.arange(K, dtype=np.int32)[:, None], 0))
+        positions_all = jnp.asarray(
+            positions0[None] + np.arange(K, dtype=np.int32)[:, None])
+        slot_dev = jnp.asarray(slot_table)
+        pi = jnp.asarray(page_indices)
+        cu = jnp.arange(N + 1, dtype=jnp.int32)
+        li = jnp.arange(N, dtype=jnp.int32)
+        ns = jnp.asarray([num_seqs], jnp.int32)
+        temp = jnp.asarray(temperature)
+        tk = jnp.asarray(top_k)
+        tp = jnp.asarray(top_p)
+        toks = jnp.asarray(first_tokens)
+        outs = []
+        for k in range(K):
+            meta = RaggedMeta(slot_mapping=slot_dev[k],
+                              kv_lens=kv_lens_all[k], page_indices=pi,
+                              cu_q_lens=cu, num_seqs=ns)
+            self._step_counter += 1
+            seed = np.uint32((self.config.model.seed + self._step_counter)
+                             & 0xFFFFFFFF)
+            toks, self.kv_pages = fn(self.params, self.kv_pages, toks,
+                                     positions_all[k], meta, li, temp, tk,
+                                     tp, seed)
+            outs.append(toks)
+        return np.stack([np.asarray(jax.device_get(t)) for t in outs])
 
     def _get_fn(self, key: tuple, builder: Callable) -> Callable:
         fn = self._fns.get(key)
@@ -132,98 +207,78 @@ class ModelExecutor:
             self._fns[key] = fn
         return fn
 
-    def _build_prefill(self, prefix: bool):
-        model = self.model
-        block_size = self.kv_spec.block_size
-        kind = "prefix_prefill" if prefix else "prefill"
-
-        def fn(params, kv, input_ids, positions, meta, last_idx):
-            hidden, kv = model.forward(params, input_ids, positions, kv,
-                                       meta, kind=kind,
-                                       block_size=block_size)
-            # One logits row per prefill sequence (B==1 today).
-            h = jax.lax.dynamic_index_in_dim(hidden[0], last_idx, axis=0,
-                                             keepdims=True)
-            logits = model.compute_logits(params, h)
-            return logits, kv
-
-        return jax.jit(fn, donate_argnums=(1,))
-
-    def _build_decode(self):
-        model = self.model
-        block_size = self.kv_spec.block_size
-
-        def fn(params, kv, input_ids, positions, meta):
-            hidden, kv = model.forward(params, input_ids, positions, kv,
-                                       meta, kind="decode",
-                                       block_size=block_size)
-            logits = model.compute_logits(params, hidden[:, 0])
-            return logits, kv
-
-        return jax.jit(fn, donate_argnums=(1,))
-
     # ------------------------------------------------------------------
-    # Public stepping API (numpy in / numpy logits out)
+    # Public stepping API (numpy in / numpy out)
     # ------------------------------------------------------------------
 
-    def run_prefill(self, input_ids: np.ndarray, positions: np.ndarray,
-                    slot_mapping: np.ndarray, block_tables: np.ndarray,
-                    seq_lens: np.ndarray, cached_lens: np.ndarray,
-                    last_idx: int) -> np.ndarray:
-        """input_ids/positions/slot_mapping: [1, T_bucket]; returns logits
-        [1, V] float32 (host)."""
-        prefix = bool(cached_lens.max() > 0)
-        T = input_ids.shape[1]
-        fn = self._get_fn(("prefill", T, prefix),
-                          lambda: self._build_prefill(prefix))
-        meta = PrefillMeta(
-            slot_mapping=jnp.asarray(slot_mapping.reshape(-1)),
-            seq_lens=jnp.asarray(seq_lens),
-            cached_lens=jnp.asarray(cached_lens),
-            block_tables=jnp.asarray(block_tables),
-        )
-        logits, self.kv_caches = fn(self.params, self.kv_caches,
-                                    jnp.asarray(input_ids),
-                                    jnp.asarray(positions), meta,
-                                    np.int32(last_idx))
-        return np.asarray(jax.device_get(logits))
-
-    def run_decode(self, input_ids: np.ndarray, positions: np.ndarray,
-                   slot_mapping: np.ndarray, block_tables: np.ndarray,
-                   context_lens: np.ndarray) -> np.ndarray:
-        """All args row-sliced to the decode bucket B. input_ids: [B];
-        returns logits [B, V] float32 (host)."""
-        B = input_ids.shape[0]
-        fn = self._get_fn(("decode", B), self._build_decode)
-        meta = DecodeMeta(
+    def run_step(self, token_ids: np.ndarray, positions: np.ndarray,
+                 slot_mapping: np.ndarray, kv_lens: np.ndarray,
+                 page_indices: np.ndarray, cu_q_lens: np.ndarray,
+                 num_seqs: int, logits_indices: np.ndarray,
+                 temperature: np.ndarray, top_k: np.ndarray,
+                 top_p: np.ndarray, return_logits: bool,
+                 kind: str = "mixed"
+                 ) -> tuple[np.ndarray, Optional[np.ndarray]]:
+        """One unified step. token_ids/positions/slot_mapping: [N] (N = a
+        token bucket); kv_lens/logits_indices/sampling params: [S_step];
+        page_indices: [S_step, PP] (PP = a page bucket); cu_q_lens:
+        [S_step+1]. ``kind`` selects the attention path ("decode" /
+        "prefill" / "mixed"). Returns (sampled_tokens [S_step],
+        logits [S_step, V] | None)."""
+        N = token_ids.shape[0]
+        key = ("step", kind, N, page_indices.shape, return_logits)
+        fn = self._get_fn(key,
+                          lambda: self._build_step(kind, return_logits))
+        meta = RaggedMeta(
             slot_mapping=jnp.asarray(slot_mapping),
-            block_tables=jnp.asarray(block_tables),
-            context_lens=jnp.asarray(context_lens),
+            kv_lens=jnp.asarray(kv_lens),
+            page_indices=jnp.asarray(page_indices),
+            cu_q_lens=jnp.asarray(cu_q_lens),
+            num_seqs=jnp.asarray([num_seqs], jnp.int32),
         )
-        logits, self.kv_caches = fn(self.params, self.kv_caches,
-                                    jnp.asarray(input_ids)[:, None],
-                                    jnp.asarray(positions)[:, None], meta)
-        return np.asarray(jax.device_get(logits))
+        self._step_counter += 1
+        seed = np.uint32((self.config.model.seed + self._step_counter)
+                         & 0xFFFFFFFF)
+        out = fn(self.params, self.kv_pages, jnp.asarray(token_ids),
+                 jnp.asarray(positions), meta, jnp.asarray(logits_indices),
+                 jnp.asarray(temperature), jnp.asarray(top_k),
+                 jnp.asarray(top_p), seed)
+        if return_logits:
+            tokens, logits, self.kv_pages = out
+            return np.asarray(jax.device_get(tokens)), np.asarray(
+                jax.device_get(logits))
+        tokens, self.kv_pages = out
+        return np.asarray(jax.device_get(tokens)), None
+
+    def _dummy_step(self, kind: str, N: int, S_step: int, PP: int,
+                    return_logits: bool) -> None:
+        self.run_step(
+            token_ids=np.zeros(N, np.int32),
+            positions=np.zeros(N, np.int32),
+            slot_mapping=np.full(N, -1, np.int32),
+            kv_lens=np.zeros(S_step, np.int32),
+            page_indices=np.zeros((S_step, PP), np.int32),
+            cu_q_lens=np.zeros(S_step + 1, np.int32),
+            num_seqs=0,
+            logits_indices=np.zeros(S_step, np.int32),
+            temperature=np.zeros(S_step, np.float32),
+            top_k=np.full(S_step, -1, np.int32),
+            top_p=np.ones(S_step, np.float32),
+            return_logits=return_logits,
+            kind=kind,
+        )
 
     def warmup(self) -> None:
-        """Pre-compile all bucketed programs (reference analogue:
-        skip_warmup=False path — every bucket compiled at load)."""
-        V = 4  # tiny dummy token id
-        for T in self.config.bucketing.context_encoding_buckets:
-            ids = np.full((1, T), V, np.int32)
-            pos = np.arange(T, dtype=np.int32)[None]
-            slots = np.full((1, T), -1, np.int32)
-            bt = np.zeros((1, self.kv_spec.max_blocks_per_seq), np.int32)
-            self.run_prefill(ids, pos, slots, bt,
-                             np.array([1], np.int32),
-                             np.array([0], np.int32), 0)
-        for B in self.config.bucketing.token_generation_buckets:
-            ids = np.zeros(B, np.int32)
-            pos = np.zeros(B, np.int32)
-            slots = np.full(B, -1, np.int32)
-            bt = np.zeros((B, self.kv_spec.max_blocks_per_seq), np.int32)
-            ctx = np.zeros(B, np.int32)
-            self.run_decode(ids, pos, slots, bt, ctx)
+        """Pre-compile the step programs the engine will hit (reference
+        analogue: NxDI bucket warmup unless skip_warmup)."""
+        bucketing = self.config.bucketing
+        for B in bucketing.token_generation_buckets:
+            N = bucketing.token_bucket(B)
+            for PP in bucketing.page_buckets:
+                self._dummy_step("decode", N, N, PP, False)
+        for N in bucketing.context_encoding_buckets:
+            self._dummy_step("prefill", N, 1, bucketing.page_buckets[-1],
+                             False)
 
     def memory_stats(self) -> dict:
         """Device memory introspection (reference analogue:

@@ -1,12 +1,16 @@
 # SPDX-License-Identifier: Apache-2.0
-"""Model runner: translates SchedulerOutput into padded, slot-mapped,
-block-tabled device tensors and drives the bucketed programs.
+"""Model runner: translates SchedulerOutput into the unified ragged step's
+device tensors and drives the bucketed programs.
 
 TPU-native rebuild of the reference's NeuronxDistributedModelRunner
 (vllm_neuron/worker/neuronx_distributed_model_runner.py:72): persistent
-InputBatch sync (:381-510), continuous-batching input prep (:681-832) and
-chunked prefill (:938-1051) — but with all per-token loops vectorized in
-numpy and a single jitted device call per step.
+InputBatch sync (:381-510) and input prep — but where the reference needs
+four separate preparation paths (continuous-batching prefill :681-737,
+prefix-caching variants :739-832, decode :765-796, chunked prefill
+:938-1051), the ragged layout needs ONE: every scheduled request contributes
+``num_scheduled_tokens`` new tokens to a flat [N] stream, whatever phase it
+is in. All per-token loops are vectorized in numpy; each step is a single
+jitted device call.
 """
 from __future__ import annotations
 
@@ -35,6 +39,7 @@ class ModelRunner:
         self.block_size = config.cache.block_size
         self.max_blocks_per_seq = cdiv(config.model.max_model_len,
                                        self.block_size)
+        self.max_num_seqs = config.scheduler.max_num_seqs
         self.input_batch = InputBatch(
             max_num_seqs=config.scheduler.max_num_seqs,
             max_blocks_per_seq=self.max_blocks_per_seq,
@@ -43,13 +48,20 @@ class ModelRunner:
         self.model = None
         self.executor: Optional[ModelExecutor] = None
         self._sampler_states: dict[str, RequestSamplerState] = {}
+        # Host sampling for everything (debug / oracle) when disabled.
+        self.on_device_sampling = config.sampler.on_device_sampling
 
     # ------------------------------------------------------------------
 
     def load_model(self, params: Optional[dict] = None) -> None:
         self.model = get_model(self.config)
         if params is None:
-            params = self.model.load_params(self.config.model.model)
+            if self.config.model.load_format == "random":
+                import jax
+                params = self.model.random_params(
+                    jax.random.PRNGKey(self.config.model.seed))
+            else:
+                params = self.model.load_params(self.config.model.model)
         self.executor = ModelExecutor(self.model, self.config, params,
                                       mesh=self.mesh)
 
@@ -65,7 +77,7 @@ class ModelRunner:
             self.input_batch.remove_request(req_id)
             self._sampler_states.pop(req_id, None)
         for new in so.scheduled_new_reqs:
-            state = self.input_batch.add_request(
+            self.input_batch.add_request(
                 req_id=new.req_id,
                 prompt_token_ids=new.prompt_token_ids,
                 sampling_params=new.sampling_params,
@@ -83,20 +95,8 @@ class ModelRunner:
             state.num_computed_tokens = cached.num_computed_tokens[i]
 
     # ------------------------------------------------------------------
-    # Execution
+    # Execution (unified ragged step)
     # ------------------------------------------------------------------
-
-    def execute_model(self, so: SchedulerOutput) -> ModelRunnerOutput:
-        self._update_states(so)
-        if so.total_num_scheduled_tokens == 0:
-            return ModelRunnerOutput()
-        if self.config.scheduler.enable_chunked_prefill:
-            return self._execute_chunked(so)
-        if so.is_prefill_step:
-            return self._execute_prefills(so)
-        return self._execute_decode(so)
-
-    # -- prefill --------------------------------------------------------
 
     def _slot_mapping_for_range(self, block_ids: list[int], start: int,
                                 end: int) -> np.ndarray:
@@ -106,158 +106,201 @@ class ModelRunner:
         return (bt[pos // self.block_size] * self.block_size +
                 pos % self.block_size).astype(np.int32)
 
-    def _run_one_prefill(self, state, num_new: int) -> np.ndarray:
-        """Run one sequence's (possibly partial) prefill; returns [V] logits
-        of the last scheduled token."""
-        cached = state.num_computed_tokens
-        bucket = self.config.bucketing.prefill_bucket(num_new)
-        tokens = state.prompt_token_ids[cached:cached + num_new]
-        ids = np.zeros((1, bucket), np.int32)
-        ids[0, :num_new] = tokens
-        positions = (cached + np.arange(bucket, dtype=np.int32))[None]
-        slots = np.full((1, bucket), -1, np.int32)
-        slots[0, :num_new] = self._slot_mapping_for_range(
-            state.block_ids, cached, cached + num_new)
-        bt = np.zeros((1, self.max_blocks_per_seq), np.int32)
-        nb = min(len(state.block_ids), self.max_blocks_per_seq)
-        bt[0, :nb] = state.block_ids[:nb]
-        logits = self.executor.run_prefill(
-            ids, positions, slots, bt,
-            seq_lens=np.array([num_new], np.int32),
-            cached_lens=np.array([cached], np.int32),
-            last_idx=num_new - 1)
-        return logits[0]
+    def execute_model(self, so: SchedulerOutput) -> ModelRunnerOutput:
+        self._update_states(so)
+        if so.total_num_scheduled_tokens == 0:
+            return ModelRunnerOutput()
 
-    def _execute_prefills(self, so: SchedulerOutput) -> ModelRunnerOutput:
-        out = ModelRunnerOutput()
-        for new in so.scheduled_new_reqs:
-            req_id = new.req_id
-            state = self.input_batch.requests[req_id]
-            num_new = so.num_scheduled_tokens[req_id]
-            logits = self._run_one_prefill(state, num_new)
-            state.num_computed_tokens += num_new
-            done = state.num_computed_tokens >= state.num_prompt_tokens
-            idx = len(out.req_ids)
-            out.req_ids.append(req_id)
-            out.req_id_to_index[req_id] = idx
-            if done:
-                state.in_prefill = False
-                self._sample_and_record(out, state, logits)
-            else:
-                out.sampled_token_ids.append([])
-                out.logprobs.append(None)
-        return out
+        # Ragged order: new requests first, then cached — the order the
+        # scheduler emitted them.
+        items: list[tuple[str, int]] = [
+            (new.req_id, so.num_scheduled_tokens[new.req_id])
+            for new in so.scheduled_new_reqs
+        ]
+        items += [(req_id, so.num_scheduled_tokens[req_id])
+                  for req_id in so.scheduled_cached_reqs.req_ids]
+        assert len(items) <= self.max_num_seqs, \
+            "scheduler overcommitted the seq budget"
 
-    # -- decode ---------------------------------------------------------
-
-    def _execute_decode(self, so: SchedulerOutput) -> ModelRunnerOutput:
-        cached = so.scheduled_cached_reqs
+        # Static step-kind split: prompt-processing items run one prefill
+        # program each (the scheduler admits at most max_prompt_batch_size
+        # per step); pure decode items batch into one decode program.
         ib = self.input_batch
-        hi = ib.max_active_row()
-        B = self.config.bucketing.decode_bucket(hi)
-
-        ids = np.zeros(B, np.int32)
-        positions = np.zeros(B, np.int32)
-        slots = np.full(B, -1, np.int32)
-        ctx = np.zeros(B, np.int32)
-        scheduled_rows: list[tuple[str, int]] = []
-        for i, req_id in enumerate(cached.req_ids):
+        prefill_items: list[tuple[str, int]] = []
+        decode_items: list[str] = []
+        for req_id, num_new in items:
             state = ib.requests[req_id]
-            row = state.row
-            assert row < B, "active row beyond decode bucket"
-            nct = cached.num_computed_tokens[i]
-            last_pos = state.num_tokens - 1  # position of the token to feed
-            ids[row] = state.token_at(last_pos)
-            positions[row] = nct
-            slots[row] = self._slot_mapping_for_range(
-                state.block_ids, nct, nct + 1)[0]
-            ctx[row] = nct + 1
-            scheduled_rows.append((req_id, row))
-
-        logits = self.executor.run_decode(ids, positions, slots,
-                                          ib.block_tables[:B], ctx)
-
-        out = ModelRunnerOutput()
-        for req_id, row in scheduled_rows:
-            state = ib.requests[req_id]
-            idx = len(out.req_ids)
-            out.req_ids.append(req_id)
-            out.req_id_to_index[req_id] = idx
-            self._sample_and_record(out, state, logits[row])
-            state.num_computed_tokens += 1
-        return out
-
-    # -- chunked prefill (single concatenated row) ----------------------
-
-    def _execute_chunked(self, so: SchedulerOutput) -> ModelRunnerOutput:
-        """Chunked-prefill steps run each scheduled segment through the
-        bucketed prefix-prefill program. Decode-only rows (1 token) are
-        grouped into one decode call; prompt chunks run via prefix prefill.
-
-        (The reference concatenates everything into one row for one NEFF
-        call, model_runner.py:938-1051; here segments share the bucketed
-        programs — same capability, fewer compiled shapes.)"""
-        out = ModelRunnerOutput()
-        ib = self.input_batch
-        decode_items: list[tuple[str, int]] = []
-
-        def handle(req_id: str, num_new: int):
-            state = ib.requests[req_id]
-            if num_new == 1 and not state.in_prefill:
-                decode_items.append((req_id, state.num_computed_tokens))
-                return
-            logits = self._run_one_prefill(state, num_new)
-            state.num_computed_tokens += num_new
-            idx = len(out.req_ids)
-            out.req_ids.append(req_id)
-            out.req_id_to_index[req_id] = idx
-            if state.num_computed_tokens >= state.num_prompt_tokens:
-                state.in_prefill = False
-                self._sample_and_record(out, state, logits)
+            if state.num_computed_tokens < state.num_prompt_tokens:
+                prefill_items.append((req_id, num_new))
             else:
-                out.sampled_token_ids.append([])
-                out.logprobs.append(None)
+                decode_items.append((req_id, num_new))
 
-        for new in so.scheduled_new_reqs:
-            handle(new.req_id, so.num_scheduled_tokens[new.req_id])
-        cached = so.scheduled_cached_reqs
-        for i, req_id in enumerate(cached.req_ids):
-            handle(req_id, so.num_scheduled_tokens[req_id])
-
+        results: dict[str, tuple[list[int], object]] = {}
+        for req_id, num_new in prefill_items:
+            results[req_id] = self._run_prefill(req_id, num_new)
         if decode_items:
-            hi = ib.max_active_row()
-            B = self.config.bucketing.decode_bucket(hi)
-            ids = np.zeros(B, np.int32)
-            positions = np.zeros(B, np.int32)
-            slots = np.full(B, -1, np.int32)
-            ctx = np.zeros(B, np.int32)
-            for req_id, nct in decode_items:
-                state = ib.requests[req_id]
-                row = state.row
-                ids[row] = state.token_at(state.num_tokens - 1)
-                positions[row] = nct
-                slots[row] = self._slot_mapping_for_range(
-                    state.block_ids, nct, nct + 1)[0]
-                ctx[row] = nct + 1
-            logits = self.executor.run_decode(ids, positions, slots,
-                                              ib.block_tables[:B], ctx)
-            for req_id, _ in decode_items:
-                state = ib.requests[req_id]
-                idx = len(out.req_ids)
-                out.req_ids.append(req_id)
-                out.req_id_to_index[req_id] = idx
-                self._sample_and_record(out, state, logits[state.row])
-                state.num_computed_tokens += 1
+            results.update(self._run_decode(decode_items))
+
+        out = ModelRunnerOutput()
+        for req_id, _ in items:
+            sampled, logprobs = results[req_id]
+            idx = len(out.req_ids)
+            out.req_ids.append(req_id)
+            out.req_id_to_index[req_id] = idx
+            out.sampled_token_ids.append(sampled)
+            out.logprobs.append(logprobs)
         return out
 
-    # -- sampling --------------------------------------------------------
+    # -- per-kind steps --------------------------------------------------
 
-    def _sample_and_record(self, out: ModelRunnerOutput, state,
-                           logits_row: np.ndarray) -> None:
-        sampler_state = self._sampler_states[state.req_id]
-        result = sample_token(logits_row, state.sampling_params,
-                              sampler_state)
-        state.output_token_ids.append(result.token_id)
-        self.input_batch.last_tokens[state.row] = result.token_id
-        out.sampled_token_ids.append([result.token_id])
-        out.logprobs.append(result.logprobs)
+    def _sampling_row(self, state, arrays, i) -> None:
+        temperature, top_k, top_p = arrays
+        sp = state.sampling_params
+        temperature[i] = sp.temperature
+        top_k[i] = sp.top_k
+        top_p[i] = sp.top_p
+
+    def _needs_host(self, state) -> bool:
+        return (not self.on_device_sampling
+                or state.sampling_params.needs_host_sampling())
+
+    def _record_token(self, state, tok: int) -> None:
+        state.output_token_ids.append(tok)
+        self.input_batch.last_tokens[state.row] = tok
+
+    def _run_prefill(self, req_id: str, num_new: int
+                     ) -> tuple[list[int], object]:
+        """One sequence's (possibly partial/chunked, possibly prefix-cached)
+        prompt processing."""
+        state = self.input_batch.requests[req_id]
+        nct = state.num_computed_tokens
+        end = nct + num_new
+        N = self.config.bucketing.token_bucket(num_new)
+        PP = self.config.bucketing.page_bucket(cdiv(end, self.block_size))
+
+        token_ids = np.zeros(N, np.int32)
+        token_ids[:num_new] = [state.token_at(t) for t in range(nct, end)]
+        positions = np.zeros(N, np.int32)
+        positions[:num_new] = np.arange(nct, end)
+        slot_mapping = np.full(N, -1, np.int32)
+        slot_mapping[:num_new] = self._slot_mapping_for_range(
+            state.block_ids, nct, end)
+        page_indices = np.zeros((1, PP), np.int32)
+        nb = min(len(state.block_ids), PP)
+        page_indices[0, :nb] = state.block_ids[:nb]
+        temperature = np.zeros(1, np.float32)
+        top_k = np.full(1, -1, np.int32)
+        top_p = np.ones(1, np.float32)
+        self._sampling_row(state, (temperature, top_k, top_p), 0)
+        host = self._needs_host(state)
+
+        dev_tokens, logits = self.executor.run_step(
+            token_ids, positions, slot_mapping,
+            kv_lens=np.array([end], np.int32),
+            page_indices=page_indices,
+            cu_q_lens=np.array([0, num_new], np.int32),
+            num_seqs=1,
+            logits_indices=np.array([num_new - 1], np.int32),
+            temperature=temperature, top_k=top_k, top_p=top_p,
+            return_logits=host, kind="prefill")
+
+        state.num_computed_tokens = end
+        if end < state.num_prompt_tokens:
+            return [], None  # chunked prefill still in flight
+        state.in_prefill = False
+        if host:
+            result = sample_token(logits[0], state.sampling_params,
+                                  self._sampler_states[req_id])
+            tok, logprobs = result.token_id, result.logprobs
+        else:
+            tok, logprobs = int(dev_tokens[0]), None
+        self._record_token(state, tok)
+        return [tok], logprobs
+
+    def _run_decode(self, items: list[tuple[str, int]]
+                    ) -> dict[str, tuple[list[int], object]]:
+        """Decode for all running sequences. When every request samples on
+        device, the scheduler's decode window (K tokens per request) runs as
+        ONE fused multi-step dispatch; host-sampling requests force
+        single-step execution (token feedback must visit the host)."""
+        ib = self.input_batch
+        states = [ib.requests[req_id] for req_id, _ in items]
+        any_host = any(self._needs_host(s) for s in states)
+        K = 1 if any_host else max(n for _, n in items)
+        if K > 1:
+            return self._run_decode_window(items, states, K)
+        return self._run_decode_single(items, states)
+
+    def _decode_arrays(self, states, K: int):
+        n = len(states)
+        N = self.config.bucketing.token_bucket(n)
+        token_ids = np.zeros(N, np.int32)
+        positions = np.zeros(N, np.int32)
+        slot_table = np.full((K, N), -1, np.int32)
+        kv_lens = np.zeros(N, np.int32)
+        temperature = np.zeros(N, np.float32)
+        top_k = np.full(N, -1, np.int32)
+        top_p = np.ones(N, np.float32)
+        max_pages = 1
+        for i, state in enumerate(states):
+            nct = state.num_computed_tokens
+            token_ids[i] = state.token_at(nct)
+            positions[i] = nct
+            # Slots for this row's K steps; clamped rows get -1 (KV write
+            # skipped, sampled overshoot discarded by the scheduler).
+            k_req = min(K, len(state.block_ids) * self.block_size - nct)
+            slot_table[:k_req, i] = self._slot_mapping_for_range(
+                state.block_ids, nct, nct + k_req)
+            kv_lens[i] = nct + 1
+            max_pages = max(max_pages, cdiv(nct + K, self.block_size))
+            self._sampling_row(state, (temperature, top_k, top_p), i)
+        PP = self.config.bucketing.page_bucket(
+            min(max_pages, self.max_blocks_per_seq))
+        page_indices = np.zeros((N, PP), np.int32)
+        for i, state in enumerate(states):
+            nb = min(len(state.block_ids), PP)
+            page_indices[i, :nb] = state.block_ids[:nb]
+        return (N, token_ids, positions, slot_table, kv_lens, page_indices,
+                temperature, top_k, top_p)
+
+    def _run_decode_window(self, items, states, K: int
+                           ) -> dict[str, tuple[list[int], object]]:
+        (N, token_ids, positions, slot_table, kv_lens, page_indices,
+         temperature, top_k, top_p) = self._decode_arrays(states, K)
+        all_tokens = self.executor.run_decode_window(
+            token_ids, positions, slot_table, kv_lens, page_indices,
+            num_seqs=len(states), temperature=temperature, top_k=top_k,
+            top_p=top_p)  # [K, N]
+        results = {}
+        for i, ((req_id, num_new), state) in enumerate(zip(items, states)):
+            toks = [int(t) for t in all_tokens[:num_new, i]]
+            state.num_computed_tokens += num_new
+            for tok in toks:
+                self._record_token(state, tok)
+            results[req_id] = (toks, None)
+        return results
+
+    def _run_decode_single(self, items, states
+                           ) -> dict[str, tuple[list[int], object]]:
+        (N, token_ids, positions, slot_table, kv_lens, page_indices,
+         temperature, top_k, top_p) = self._decode_arrays(states, 1)
+        host_rows = {i for i, s in enumerate(states) if self._needs_host(s)}
+        dev_tokens, logits = self.executor.run_step(
+            token_ids, positions, slot_table[0], kv_lens, page_indices,
+            cu_q_lens=np.arange(N + 1, dtype=np.int32),
+            num_seqs=len(states),
+            logits_indices=np.arange(N, dtype=np.int32),
+            temperature=temperature, top_k=top_k, top_p=top_p,
+            return_logits=bool(host_rows), kind="decode")
+        results = {}
+        for i, ((req_id, _), state) in enumerate(zip(items, states)):
+            state.num_computed_tokens += 1
+            if i in host_rows:
+                result = sample_token(logits[i], state.sampling_params,
+                                      self._sampler_states[req_id])
+                tok, logprobs = result.token_id, result.logprobs
+            else:
+                tok, logprobs = int(dev_tokens[i]), None
+            self._record_token(state, tok)
+            results[req_id] = ([tok], logprobs)
+        return results
