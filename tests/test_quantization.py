@@ -1,0 +1,117 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Quantization: INT8/FP8 weights, FP8 KV cache, numerics deltas.
+
+BASELINE.md target: quantized-vs-BF16 perplexity delta <= 0.05 at matched bit
+widths; here the tiny-model analogue pins the NLL delta on fixed token
+streams (reference quant surface: model_loader.py:886-898, platform.py:30)."""
+import numpy as np
+import pytest
+
+from vllm_neuron_tpu import LLM, SamplingParams
+
+
+def _avg_nll(llm, token_stream: list[int]) -> float:
+    """Average NLL of token_stream[1:] given the prefix, through the
+    engine's prefill logits path (teacher forcing via logprobs)."""
+    sp = SamplingParams(temperature=0.0, max_tokens=1, logprobs=0,
+                        ignore_eos=True)
+    import jax.numpy as jnp
+
+    runner = llm.engine.worker.model_runner
+    model = runner.model
+    executor = runner.executor
+    from vllm_neuron_tpu.ops.ragged_attention import RaggedMeta
+
+    T = len(token_stream)
+    spec = executor.kv_spec
+    bs = spec.block_size
+    n_pages = (T + bs - 1) // bs
+    slots = jnp.asarray([(1 + t // bs) * bs + t % bs for t in range(T)],
+                        jnp.int32)
+    pi = jnp.zeros((1, spec.max_blocks_per_seq), jnp.int32)
+    pi = pi.at[0, :n_pages].set(jnp.arange(1, n_pages + 1))
+    meta = RaggedMeta(slot_mapping=slots,
+                      kv_lens=jnp.asarray([T], jnp.int32),
+                      page_indices=pi,
+                      cu_q_lens=jnp.asarray([0, T], jnp.int32),
+                      num_seqs=jnp.asarray([1], jnp.int32))
+    kv = jnp.zeros(spec.shape, spec.dtype)
+    ids = jnp.asarray(token_stream, jnp.int32)
+    pos = jnp.arange(T, dtype=jnp.int32)
+    hidden, _ = model.forward(executor.params, ids, pos, kv, meta)
+    logits = model.compute_logits(executor.params, hidden)  # [T, V]
+    logprobs = logits - jnp.log(jnp.sum(jnp.exp(logits), axis=-1,
+                                        keepdims=True))
+    nll = -logprobs[jnp.arange(T - 1), jnp.asarray(token_stream[1:])]
+    return float(jnp.mean(nll))
+
+
+STREAM = [5, 77, 301, 44, 12, 99, 8, 250, 251, 252, 100, 101, 30, 31, 32,
+          33, 90, 91, 92, 7, 8, 9, 10, 401, 3, 3, 17]
+
+
+@pytest.fixture(scope="module")
+def nll_f32(tiny_llama_dir):
+    llm = LLM(model=tiny_llama_dir, dtype="float32", max_model_len=128,
+              max_num_seqs=2, block_size=16, skip_tokenizer_init=True)
+    return _avg_nll(llm, STREAM)
+
+
+@pytest.mark.parametrize("quant", ["int8", "fp8"])
+def test_quantized_nll_delta(tiny_llama_dir, nll_f32, quant):
+    llm_q = LLM(model=tiny_llama_dir, dtype="float32", max_model_len=128,
+                max_num_seqs=2, block_size=16, skip_tokenizer_init=True,
+                quantization=quant)
+    delta = abs(_avg_nll(llm_q, STREAM) - nll_f32)
+    assert delta <= 0.06, f"{quant} NLL delta {delta:.4f} too large"
+
+
+@pytest.mark.parametrize("quant", ["int8", "fp8"])
+def test_quantized_generate(tiny_llama_dir, quant):
+    llm_q = LLM(model=tiny_llama_dir, dtype="float32", max_model_len=128,
+                max_num_seqs=2, block_size=16, skip_tokenizer_init=True,
+                quantization=quant)
+    out = llm_q.generate({"prompt_token_ids": [5, 77, 301, 44]},
+                         SamplingParams(temperature=0.0, max_tokens=8,
+                                        ignore_eos=True))[0]
+    assert len(out.outputs[0].token_ids) == 8
+
+
+def test_fp8_kv_cache(tiny_llama_dir, nll_f32):
+    llm = LLM(model=tiny_llama_dir, dtype="float32", max_model_len=128,
+              max_num_seqs=2, block_size=16, skip_tokenizer_init=True,
+              kv_cache_dtype="fp8")
+    delta = abs(_avg_nll(llm, STREAM) - nll_f32)
+    assert delta <= 0.08, f"fp8 KV NLL delta {delta:.4f} too large"
+    out = llm.generate({"prompt_token_ids": [5, 77, 301, 44]},
+                       SamplingParams(temperature=0.0, max_tokens=8,
+                                      ignore_eos=True))[0]
+    assert len(out.outputs[0].token_ids) == 8
+
+
+def test_dequant_matmul_numerics():
+    import jax.numpy as jnp
+
+    from vllm_neuron_tpu.ops.quant import dequant_matmul, quantize_per_channel
+
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(64, 48)).astype(np.float32)
+    x = rng.normal(size=(8, 64)).astype(np.float32)
+    for quant, tol in (("int8", 2e-2), ("fp8", 8e-2)):
+        wq, scale = quantize_per_channel(w, quant)
+        got = np.asarray(dequant_matmul(jnp.asarray(x), jnp.asarray(wq),
+                                        jnp.asarray(scale)))
+        ref = x @ w
+        err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+        assert err < tol, f"{quant}: relative error {err}"
+
+
+def test_quantized_weights_dtype(tiny_llama_dir):
+    import jax.numpy as jnp
+    llm_q = LLM(model=tiny_llama_dir, dtype="float32", max_model_len=128,
+                max_num_seqs=2, block_size=16, skip_tokenizer_init=True,
+                quantization="int8")
+    layers = llm_q.engine.worker.model_runner.executor.params["layers"]
+    assert layers["wq"].dtype == jnp.int8
+    assert layers["wq_scale"].dtype == jnp.float32
+    assert layers["attn_norm"].dtype != jnp.int8  # norms untouched

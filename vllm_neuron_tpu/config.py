@@ -37,6 +37,11 @@ _DTYPE_MAP = {
     "float16": jnp.bfloat16,  # TPU has no fp16 MXU path; map to bf16
     "half": jnp.bfloat16,
     "auto": jnp.bfloat16,
+    # FP8 KV cache storage (reference analogue: fbgemm_fp8 / kv quant,
+    # platform.py:30).
+    "fp8": jnp.float8_e4m3fn,
+    "fp8_e4m3": jnp.float8_e4m3fn,
+    "float8_e4m3fn": jnp.float8_e4m3fn,
 }
 
 

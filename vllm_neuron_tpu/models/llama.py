@@ -31,9 +31,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vllm_neuron_tpu.config import ModelConfig
+from vllm_neuron_tpu.config import ModelConfig, QuantConfig
 from vllm_neuron_tpu.models.weights import (StackingLoader, iter_safetensors,
                                             transpose)
+from vllm_neuron_tpu.ops.quant import linear, quantize_per_channel
 from vllm_neuron_tpu.ops.ragged_attention import (RaggedMeta,
                                                   ragged_attention,
                                                   write_kv_pages)
@@ -48,7 +49,16 @@ class LlamaForCausalLM:
     """Functional Llama-family model: holds static hyperparameters; params are
     an explicit pytree threaded through jitted calls."""
 
-    def __init__(self, model_config: ModelConfig):
+    # Layer projections eligible for quantization (lm_head/embed stay
+    # high-precision by default, mirroring common modules_to_not_convert
+    # conventions; reference checkpoint convention: test/utils/server/
+    # server.py:32-67).
+    QUANTIZABLE = ("wq", "wk", "wv", "wo", "wg", "wu", "wd")
+
+    def __init__(self, model_config: ModelConfig,
+                 quant_config: Optional[QuantConfig] = None):
+        self.quant = quant_config if (quant_config is not None
+                                      and quant_config.enabled) else None
         cfg = model_config.hf_config
         self.dtype = model_config.dtype
         self.num_layers = model_config.num_layers
@@ -112,7 +122,22 @@ class LlamaForCausalLM:
         params = ld.finalize()
         if self.tie_embeddings:
             params["lm_head"] = np.ascontiguousarray(params["embed"].T)
+        self._quantize_layer_params(params["layers"])
         return jax.tree.map(jnp.asarray, params)
+
+    def _quantize_layer_params(self, layers: dict) -> None:
+        """Replace eligible [L, K, N] weight stacks with int8/fp8 values +
+        per-channel scales (in place, host-side numpy)."""
+        if self.quant is None:
+            return
+        skip = set(self.quant.modules_to_not_convert)
+        for name in self.QUANTIZABLE:
+            if name in skip or name not in layers:
+                continue
+            wq, scale = quantize_per_channel(layers[name],
+                                             self.quant.quantization)
+            layers[name] = wq
+            layers[name + "_scale"] = scale
 
     def random_params(self, rng: jax.Array, scale: float = 0.02) -> dict:
         """Random params (bench / dryrun without a checkpoint)."""
@@ -143,6 +168,10 @@ class LlamaForCausalLM:
         if self.qk_norm:
             layers["q_norm"] = jnp.ones((L, D), self.dtype)
             layers["k_norm"] = jnp.ones((L, D), self.dtype)
+        if self.quant is not None:
+            layers = {k: np.asarray(v) for k, v in layers.items()}
+            self._quantize_layer_params(layers)
+            layers = {k: jnp.asarray(v) for k, v in layers.items()}
         return {
             "embed": w((V, H)),
             "final_norm": jnp.ones((H,), self.dtype),
@@ -181,9 +210,9 @@ class LlamaForCausalLM:
             x, kv_flat = carry
             lp, l = xs
             h = rms_norm(x, lp["attn_norm"], self.rms_eps)
-            q = h @ lp["wq"]
-            k = h @ lp["wk"]
-            v = h @ lp["wv"]
+            q = linear(h, lp, "wq")
+            k = linear(h, lp, "wk")
+            v = linear(h, lp, "wv")
             if self.qkv_bias:
                 q = q + lp["bq"]
                 k = k + lp["bk"]
@@ -206,10 +235,10 @@ class LlamaForCausalLM:
             attn = ragged_attention(q, kv_flat, meta_l, self.scale,
                                     self.sliding_window, kind=kind,
                                     backend=attn_backend)
-            x = x + attn.reshape(N, nH * D) @ lp["wo"]
+            x = x + linear(attn.reshape(N, nH * D), lp, "wo")
             h = rms_norm(x, lp["mlp_norm"], self.rms_eps)
-            gate = jax.nn.silu(h @ lp["wg"])
-            x = x + (gate * (h @ lp["wu"])) @ lp["wd"]
+            gate = jax.nn.silu(linear(h, lp, "wg"))
+            x = x + linear(gate * linear(h, lp, "wu"), lp, "wd")
             return (x, kv_flat), None
 
         (x, kv_flat), _ = jax.lax.scan(layer, (x, kv_flat),

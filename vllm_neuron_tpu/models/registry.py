@@ -9,7 +9,7 @@ from vllm_neuron_tpu.config import EngineConfig
 
 def _llama(config):
     from vllm_neuron_tpu.models.llama import LlamaForCausalLM
-    return LlamaForCausalLM(config.model)
+    return LlamaForCausalLM(config.model, config.quant)
 
 
 def _qwen3_moe(config):

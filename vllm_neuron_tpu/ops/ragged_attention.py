@@ -100,6 +100,8 @@ def _gather_ctx(kv_pages_l: jax.Array, page_indices: jax.Array
     B, PP = page_indices.shape
     _, ps, two_hkv, D = kv_pages_l.shape
     ctx = kv_pages_l[page_indices]  # [B, PP, ps, 2Hkv, D]
+    if jnp.dtype(ctx.dtype).itemsize == 1:  # fp8 KV storage
+        ctx = ctx.astype(jnp.bfloat16)
     ctx = ctx.reshape(B, PP * ps, two_hkv, D)
     return ctx[:, :, 0::2], ctx[:, :, 1::2]
 

@@ -44,6 +44,14 @@ LAYER_PARAM_SPECS = {
     "mlp_norm": P(),
     "q_norm": P(),
     "k_norm": P(),
+    # Quantization scales follow their weight's output-dim sharding.
+    "wq_scale": P(None, None, MODEL_AXIS),
+    "wk_scale": P(None, None, MODEL_AXIS),
+    "wv_scale": P(None, None, MODEL_AXIS),
+    "wo_scale": P(),
+    "wg_scale": P(None, None, MODEL_AXIS),
+    "wu_scale": P(None, None, MODEL_AXIS),
+    "wd_scale": P(),
     # MoE (Llama-4 / Qwen3-MoE): experts sharded over model axis too.
     "router": P(),
     "we_gate": P(None, None, None, MODEL_AXIS),
