@@ -1,0 +1,88 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Eagle-V1 fused speculative decoding.
+
+Key invariant (greedy acceptance): output WITH speculation must be
+token-identical to output WITHOUT — drafts only change speed, never content
+(reference: test/tiny/test_eagle_speculative_decoding.py drives the same
+greedy equivalence through goldens)."""
+import numpy as np
+import pytest
+
+from tests.conftest import hf_greedy
+from vllm_neuron_tpu import LLM, SamplingParams
+
+
+@pytest.fixture(scope="module")
+def tiny_eagle_dir(tmp_path_factory, tiny_llama_dir):
+    """Eagle-style draft checkpoint matching the tiny target's dims:
+    fc [H, 2H] + one Llama decoder layer."""
+    import torch
+    from safetensors.torch import save_file
+    from transformers import AutoConfig, LlamaConfig, LlamaForCausalLM
+
+    target_cfg = AutoConfig.from_pretrained(tiny_llama_dir)
+    cfg = LlamaConfig(
+        vocab_size=target_cfg.vocab_size,
+        hidden_size=target_cfg.hidden_size,
+        intermediate_size=target_cfg.intermediate_size,
+        num_hidden_layers=1,
+        num_attention_heads=target_cfg.num_attention_heads,
+        num_key_value_heads=target_cfg.num_key_value_heads,
+        max_position_embeddings=target_cfg.max_position_embeddings,
+    )
+    torch.manual_seed(3)
+    model = LlamaForCausalLM(cfg)
+    sd = {k: v for k, v in model.state_dict().items()
+          if k.startswith("model.layers.0.") and "rotary" not in k}
+    H = cfg.hidden_size
+    sd["fc.weight"] = torch.randn(H, 2 * H) * 0.02
+    path = tmp_path_factory.mktemp("tiny_eagle")
+    save_file(sd, str(path / "model.safetensors"))
+    cfg.save_pretrained(path)
+    return str(path)
+
+
+def test_spec_greedy_identical_to_baseline(tiny_llama_dir, tiny_eagle_dir):
+    prompts = [
+        [5, 77, 301, 44, 12, 99, 8],
+        [401, 3, 3, 17],
+        [250, 251, 252, 253, 254, 255, 256, 100, 101],
+    ]
+    sp = SamplingParams(temperature=0.0, max_tokens=16, ignore_eos=True)
+
+    base = LLM(model=tiny_llama_dir, dtype="float32", max_model_len=128,
+               max_num_seqs=4, block_size=16, skip_tokenizer_init=True)
+    base_out = base.generate([{"prompt_token_ids": p} for p in prompts],
+                             [sp] * len(prompts))
+
+    spec = LLM(model=tiny_llama_dir, dtype="float32", max_model_len=128,
+               max_num_seqs=4, block_size=16, skip_tokenizer_init=True,
+               speculative_config={"model": tiny_eagle_dir,
+                                   "num_speculative_tokens": 3,
+                                   "method": "eagle"})
+    spec_out = spec.generate([{"prompt_token_ids": p} for p in prompts],
+                             [sp] * len(prompts))
+
+    for p, b, s in zip(prompts, base_out, spec_out):
+        assert s.outputs[0].token_ids == b.outputs[0].token_ids, \
+            f"prompt {p}: spec {s.outputs[0].token_ids} " \
+            f"vs base {b.outputs[0].token_ids}"
+        assert s.outputs[0].token_ids == \
+            hf_greedy(tiny_llama_dir, p, 16)[:len(s.outputs[0].token_ids)]
+
+    # The fused spec programs actually ran.
+    fns = spec.engine.worker.model_runner.executor._fns
+    assert any(k[0] == "spec_decode" for k in fns)
+    assert any(k[0] == "prefill_spec" for k in fns)
+
+
+def test_spec_non_greedy_falls_back(tiny_llama_dir, tiny_eagle_dir):
+    """Sampled requests bypass greedy speculation but still work."""
+    spec = LLM(model=tiny_llama_dir, dtype="float32", max_model_len=128,
+               max_num_seqs=2, block_size=16, skip_tokenizer_init=True,
+               speculative_config={"model": tiny_eagle_dir,
+                                   "num_speculative_tokens": 3})
+    out = spec.generate({"prompt_token_ids": [4, 5, 6, 7]},
+                        SamplingParams(temperature=0.9, max_tokens=8,
+                                       ignore_eos=True))[0]
+    assert len(out.outputs[0].token_ids) == 8

@@ -406,9 +406,16 @@ class EngineConfig:
                     raise ValueError(
                         f"sequence parallelism requires every context bucket "
                         f"({b}) to be divisible by the TP group size ({tp})")
+        if self.speculative.enabled and self.scheduler.enable_chunked_prefill:
+            raise ValueError(
+                "speculative decoding is not supported with chunked prefill "
+                "(the Eagle draft stream cannot span prefill chunks yet)")
         if self.speculative.enabled and self.cache.enable_prefix_caching:
-            logger.warning("speculative decoding + prefix caching is "
-                           "experimental")
+            # The draft needs target features for every prompt position; a
+            # cache hit skips their computation.
+            logger.warning("prefix caching disabled: Eagle speculation needs "
+                           "full-prompt features")
+            self.cache.enable_prefix_caching = False
 
     def config_hash(self) -> str:
         """Stable hash for the compiled-artifact cache key (reference

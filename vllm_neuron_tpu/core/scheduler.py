@@ -192,6 +192,9 @@ class Scheduler:
         cached = out.scheduled_cached_reqs
         skipped: list[Request] = []
         window = self.scheduler_config.decode_window
+        if self.config.speculative.enabled:
+            # One fused speculation round consumes up to 1 + K positions.
+            window = 1 + self.config.speculative.num_speculative_tokens
         for request in list(self.running):
             if request.spec_token_ids:
                 num_new = 1 + len(request.spec_token_ids)

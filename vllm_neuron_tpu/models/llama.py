@@ -74,7 +74,7 @@ class LlamaForCausalLM:
         self.tie_embeddings = getattr(cfg, "tie_word_embeddings", False)
         self.qkv_bias = bool(getattr(cfg, "attention_bias", False)) or \
             cfg.model_type == "qwen2"
-        self.qk_norm = cfg.model_type == "qwen3"
+        self.qk_norm = cfg.model_type in ("qwen3", "qwen3_moe")
         self.sliding_window = None
         if getattr(cfg, "use_sliding_window", False):
             self.sliding_window = getattr(cfg, "sliding_window", None)
@@ -237,13 +237,17 @@ class LlamaForCausalLM:
                                     backend=attn_backend)
             x = x + linear(attn.reshape(N, nH * D), lp, "wo")
             h = rms_norm(x, lp["mlp_norm"], self.rms_eps)
-            gate = jax.nn.silu(linear(h, lp, "wg"))
-            x = x + linear(gate * linear(h, lp, "wu"), lp, "wd")
+            x = x + self._mlp(lp, h)
             return (x, kv_flat), None
 
         (x, kv_flat), _ = jax.lax.scan(layer, (x, kv_flat),
                                        (params["layers"], layer_ids))
         return x, kv_flat.reshape(L, pages, page_size, combined, Dp)
+
+    def _mlp(self, lp: dict, h: jax.Array) -> jax.Array:
+        """SwiGLU FFN; overridden by MoE variants."""
+        gate = jax.nn.silu(linear(h, lp, "wg"))
+        return linear(gate * linear(h, lp, "wu"), lp, "wd")
 
     def compute_logits(self, params: dict, hidden: jax.Array) -> jax.Array:
         """hidden: [N, H] -> logits [N, V] float32."""

@@ -14,7 +14,7 @@ def _llama(config):
 
 def _qwen3_moe(config):
     from vllm_neuron_tpu.models.qwen3_moe import Qwen3MoeForCausalLM
-    return Qwen3MoeForCausalLM(config.model)
+    return Qwen3MoeForCausalLM(config.model, config.quant)
 
 
 def _llama4(config):

@@ -66,7 +66,8 @@ class StackingLoader:
                        transform: Optional[Callable] = None):
         prefix, suffix = hf_template.split("{i}")
         self._layer_rules.append((prefix, suffix, dest, transform))
-        self._store[dest] = [None] * self.num_layers
+        # Multiple templates may feed one dest (checkpoint name variants).
+        self._store.setdefault(dest, [None] * self.num_layers)
 
     def register(self, hf_name: str, dest: str,
                  transform: Optional[Callable] = None):
@@ -93,15 +94,22 @@ class StackingLoader:
                 return True
         return False
 
-    def finalize(self) -> dict:
+    def finalize(self, allow_missing: Optional[set] = None) -> dict:
+        """``allow_missing`` names resolve to None when absent from the
+        checkpoint (e.g. an Eagle draft without its own embeddings)."""
+        allow_missing = allow_missing or set()
         layers = {}
         for dest, tensors in self._store.items():
             missing = [i for i, t in enumerate(tensors) if t is None]
             if missing:
+                if dest in allow_missing and len(missing) == len(tensors):
+                    continue
                 raise ValueError(f"missing layer tensors for {dest!r}: "
                                  f"layers {missing[:8]}...")
             layers[dest] = np.stack(tensors, axis=0)
         out = dict(self._globals)
+        for name in allow_missing:
+            out.setdefault(name, None)
         out["layers"] = layers
         return out
 

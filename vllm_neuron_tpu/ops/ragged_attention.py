@@ -148,6 +148,22 @@ def _decode_attention_dense(q: jax.Array, kv_pages_l: jax.Array,
     return out[:, 0]
 
 
+def _spec_verify_attention_dense(q: jax.Array, kv_pages_l: jax.Array,
+                                 meta: RaggedMeta, sm_scale: float,
+                                 sliding_window: Optional[int]) -> jax.Array:
+    """Speculative verification: every row is one sequence contributing
+    exactly T = N_tokens / S_rows new tokens (the step token + K drafts),
+    positions kv_len - T .. kv_len - 1."""
+    B = meta.kv_lens.shape[0]
+    T = q.shape[0] // B
+    k, v = _gather_ctx(kv_pages_l, meta.page_indices)
+    t = jnp.arange(T, dtype=jnp.int32)
+    q_pos = meta.kv_lens[:, None] - T + t[None]  # negative for pad rows
+    out = _dense_attention(q.reshape(B, T, *q.shape[1:]), k, v, q_pos,
+                           meta.kv_lens, sm_scale, sliding_window)
+    return out.reshape(B * T, *q.shape[1:])
+
+
 def _prefill_attention_dense(q: jax.Array, kv_pages_l: jax.Array,
                              meta: RaggedMeta, sm_scale: float,
                              sliding_window: Optional[int]) -> jax.Array:
@@ -299,6 +315,9 @@ def ragged_attention(q: jax.Array, kv_pages_l: jax.Array, meta: RaggedMeta,
     elif kind == "prefill":
         out = _prefill_attention_dense(q, kv_pages_l, meta, sm_scale,
                                        sliding_window)
+    elif kind == "spec_verify":
+        out = _spec_verify_attention_dense(q, kv_pages_l, meta, sm_scale,
+                                           sliding_window)
     elif backend == "pallas":
         out = _ragged_attention_pallas(q, kv_pages_l, meta, sm_scale,
                                        sliding_window)

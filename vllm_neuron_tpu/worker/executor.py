@@ -114,6 +114,26 @@ class ModelExecutor:
         self.params = params
         self._fns: dict[tuple, Callable] = {}
         self._step_counter = 0
+        # Eagle fused speculation state (reference analogue: the fused
+        # draft+target NEFF, model_loader.py:243-303): the draft model, its
+        # own paged KV cache (same page geometry/table as the target), and
+        # the per-row target feature of the last accepted token.
+        self.draft_model = None
+        self.draft_params = None
+        self.kv_draft = None
+        self.spec_hidden = None
+
+    def init_speculation(self, draft_model, draft_params) -> None:
+        self.draft_model = draft_model
+        self.draft_params = draft_params
+        from vllm_neuron_tpu.ops.ragged_attention import padded_head_dim
+        shape = (draft_model.num_layers, self.kv_spec.num_pages,
+                 self.kv_spec.block_size, 2 * draft_model.num_kv_heads,
+                 padded_head_dim(draft_model.head_dim))
+        self.kv_draft = jnp.zeros(shape, self.kv_spec.dtype)
+        self.spec_hidden = jnp.zeros(
+            (self.config.scheduler.max_num_seqs,
+             self.model.hidden_size), self.config.model.dtype)
 
     def _setup_compilation_cache(self):
         cache_dir = self.config.compiled_artifacts_dir
@@ -206,6 +226,176 @@ class ModelExecutor:
             fn = builder()
             self._fns[key] = fn
         return fn
+
+    # ------------------------------------------------------------------
+    # Eagle fused speculation programs
+    # ------------------------------------------------------------------
+
+    def _build_prefill_spec(self):
+        """Prefill + draft prefill + feature seed, one program: the target
+        encodes the prompt and samples; the draft encodes its shifted
+        (token_{i+1}, feature_i) stream so its KV is ready for drafting."""
+        model = self.model
+        draft = self.draft_model
+        attn_backend = self.attn_backend
+
+        def fn(params, dparams, kv, kv_d, spec_hidden, token_ids, positions,
+               meta, meta_d, row_id, last_idx, temperature, top_k, top_p,
+               step_seed):
+            hidden, kv = model.forward(params, token_ids, positions, kv,
+                                       meta, kind="prefill",
+                                       attn_backend=attn_backend)
+            sel = hidden[last_idx]  # [1, H]
+            logits = model.compute_logits(params, sel)
+            key = jax.random.PRNGKey(step_seed)
+            tokens = sample_tokens(logits, temperature, top_k, top_p, key)
+            # Draft stream: token_{i+1} paired with feature_i, i < T-1.
+            dr_tokens = jnp.roll(token_ids, -1)
+            embed_fn = lambda t: params["embed"][t]  # noqa: E731
+            dpos = jnp.maximum(positions, 0)
+            _, kv_d = draft.forward(dparams, embed_fn, dr_tokens, hidden,
+                                    dpos, kv_d, meta_d, kind="prefill",
+                                    attn_backend=attn_backend)
+            spec_hidden = spec_hidden.at[row_id].set(
+                sel.astype(spec_hidden.dtype))
+            return tokens, spec_hidden, kv, kv_d
+
+        return jax.jit(fn, donate_argnums=(2, 3, 4))
+
+    def _build_spec_decode(self, K: int):
+        """One fused speculation round: draft K tokens autoregressively,
+        verify all K+1 positions with one target pass, accept the matched
+        prefix, refresh the per-row feature — all on device. Greedy
+        acceptance (reference: Eagle-V1 fused spec, README.md:93)."""
+        model = self.model
+        draft = self.draft_model
+        attn_backend = self.attn_backend
+
+        def fn(params, dparams, kv, kv_d, spec_hidden, row_ids, first_tokens,
+               positions0, slot_table, dslot_table, kv_lens0, page_indices,
+               num_seqs):
+            N = first_tokens.shape[0]
+            embed_fn = lambda t: params["embed"][t]  # noqa: E731
+            active = kv_lens0 > 0
+
+            # --- draft K tokens (N parallel rows, K sequential steps) ---
+            feats = spec_hidden[row_ids].astype(model.dtype)  # [N, H]
+            tok = first_tokens
+            drafted = []
+            cu1 = jnp.arange(N + 1, dtype=jnp.int32)
+            for j in range(K):
+                # Draft position at step j is (target position - 1) + j; its
+                # post-write context length is kv_lens0 - 1 + j.
+                meta_d = RaggedMeta(
+                    slot_mapping=dslot_table[j],
+                    kv_lens=jnp.where(active, kv_lens0 - 1 + j, 0),
+                    page_indices=page_indices,
+                    cu_q_lens=cu1,
+                    num_seqs=num_seqs,
+                )
+                feats, kv_d = draft.forward(
+                    dparams, embed_fn, tok, feats, positions0 - 1 + j,
+                    kv_d, meta_d, kind="decode", attn_backend=attn_backend)
+                dlogits = jnp.dot(feats.astype(model.dtype),
+                                  params["lm_head"],
+                                  preferred_element_type=jnp.float32)
+                tok = jnp.argmax(dlogits, axis=-1).astype(jnp.int32)
+                drafted.append(tok)
+            drafted = jnp.stack(drafted, axis=1)  # [N, K]
+
+            # --- target verify: q_len = K+1 per row ------------------------
+            T = K + 1
+            ver_tokens = jnp.concatenate(
+                [first_tokens[:, None], drafted], axis=1)  # [N, K+1]
+            ver_flat = ver_tokens.reshape(N * T)
+            pos_flat = (positions0[:, None] +
+                        jnp.arange(T, dtype=jnp.int32)[None]).reshape(-1)
+            meta_v = RaggedMeta(
+                slot_mapping=slot_table.reshape(-1),  # [N, T] -> row-major
+                kv_lens=jnp.where(active, kv_lens0 + K, 0),
+                page_indices=page_indices,
+                cu_q_lens=jnp.arange(N + 1, dtype=jnp.int32) * T,
+                num_seqs=num_seqs,
+            )
+            hidden, kv = model.forward(params, ver_flat, pos_flat, kv, meta_v,
+                                       kind="spec_verify",
+                                       attn_backend=attn_backend)
+            logits = model.compute_logits(params, hidden)  # [N*T, V]
+            greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            greedy = greedy.reshape(N, T)  # g_0..g_K
+
+            # --- acceptance: leading-match prefix --------------------------
+            match = drafted == greedy[:, :K]  # d_j vs g_{j-1}
+            acc = jnp.cumprod(match.astype(jnp.int32), axis=1)  # [N, K]
+            m = 1 + jnp.sum(acc, axis=1)  # accepted count, 1..K+1
+            j_idx = jnp.arange(T, dtype=jnp.int32)[None]
+            tokens_out = jnp.where(j_idx < m[:, None], greedy, -1)  # [N,K+1]
+
+            # --- feature refresh: hidden at last accepted position ---------
+            hidden = hidden.reshape(N, T, -1)
+            last_feat = jnp.take_along_axis(
+                hidden, (m - 1)[:, None, None], axis=1)[:, 0]  # [N, H]
+            spec_hidden = spec_hidden.at[row_ids].set(
+                jnp.where(active[:, None],
+                          last_feat.astype(spec_hidden.dtype),
+                          spec_hidden[row_ids]))
+            return tokens_out, spec_hidden, kv, kv_d
+
+        return jax.jit(fn, donate_argnums=(2, 3, 4))
+
+    def run_prefill_spec(self, token_ids, positions, slot_mapping, kv_len,
+                         page_indices, num_new, row, temperature, top_k,
+                         top_p) -> np.ndarray:
+        N = token_ids.shape[0]
+        key = ("prefill_spec", N, page_indices.shape)
+        fn = self._get_fn(key, self._build_prefill_spec)
+        meta = RaggedMeta(
+            slot_mapping=jnp.asarray(slot_mapping),
+            kv_lens=jnp.asarray([kv_len], jnp.int32),
+            page_indices=jnp.asarray(page_indices),
+            cu_q_lens=jnp.asarray([0, num_new], jnp.int32),
+            num_seqs=jnp.asarray([1], jnp.int32),
+        )
+        # Draft stream is one position shorter; draft position i shares
+        # target position i's slot (same block table, separate cache buffer).
+        dslots = np.asarray(slot_mapping).copy()
+        dslots[max(num_new - 1, 0):] = -1
+        meta_d = RaggedMeta(
+            slot_mapping=jnp.asarray(dslots),
+            kv_lens=jnp.asarray([max(num_new - 1, 0)], jnp.int32),
+            page_indices=meta.page_indices,
+            cu_q_lens=jnp.asarray([0, max(num_new - 1, 0)], jnp.int32),
+            num_seqs=jnp.asarray([1], jnp.int32),
+        )
+        self._step_counter += 1
+        seed = np.uint32((self.config.model.seed + self._step_counter)
+                         & 0xFFFFFFFF)
+        tokens, self.spec_hidden, self.kv_pages, self.kv_draft = fn(
+            self.params, self.draft_params, self.kv_pages, self.kv_draft,
+            self.spec_hidden, jnp.asarray(token_ids), jnp.asarray(positions),
+            meta, meta_d, jnp.asarray([row], jnp.int32),
+            jnp.asarray([num_new - 1], jnp.int32), jnp.asarray(temperature),
+            jnp.asarray(top_k), jnp.asarray(top_p), seed)
+        return np.asarray(jax.device_get(tokens))
+
+    def run_spec_decode(self, row_ids, first_tokens, positions0, slot_table,
+                        dslot_table, kv_lens0, page_indices,
+                        num_seqs: int) -> np.ndarray:
+        """One fused speculation round. slot_table: [K+1, N] target slots;
+        dslot_table: [K, N] draft slots. Returns accepted tokens [N, K+1]
+        (-1 past each row's acceptance)."""
+        K = dslot_table.shape[0]
+        N = first_tokens.shape[0]
+        key = ("spec_decode", K, N, page_indices.shape)
+        fn = self._get_fn(key, lambda: self._build_spec_decode(K))
+        tokens, self.spec_hidden, self.kv_pages, self.kv_draft = fn(
+            self.params, self.draft_params, self.kv_pages, self.kv_draft,
+            self.spec_hidden, jnp.asarray(row_ids),
+            jnp.asarray(first_tokens), jnp.asarray(positions0),
+            jnp.asarray(slot_table.T), jnp.asarray(dslot_table),
+            jnp.asarray(kv_lens0), jnp.asarray(page_indices),
+            jnp.asarray([num_seqs], jnp.int32))
+        return np.asarray(jax.device_get(tokens))
 
     # ------------------------------------------------------------------
     # Public stepping API (numpy in / numpy out)

@@ -64,6 +64,25 @@ class ModelRunner:
                 params = self.model.load_params(self.config.model.model)
         self.executor = ModelExecutor(self.model, self.config, params,
                                       mesh=self.mesh)
+        spec = self.config.speculative
+        if spec.enabled:
+            import jax
+
+            from transformers import AutoConfig
+
+            from vllm_neuron_tpu.models.eagle import EagleDraft
+            if self.config.model.load_format == "random":
+                import copy
+                draft_hf = copy.deepcopy(self.config.model.hf_config)
+                draft_hf.num_hidden_layers = 1
+            else:
+                draft_hf = AutoConfig.from_pretrained(spec.model)
+            draft = EagleDraft(self.config.model, draft_hf)
+            if self.config.model.load_format == "random":
+                dparams = draft.random_params(jax.random.PRNGKey(1))
+            else:
+                dparams = draft.load_params(spec.model)
+            self.executor.init_speculation(draft, dparams)
 
     def warmup(self) -> None:
         self.executor.warmup()
@@ -194,15 +213,24 @@ class ModelRunner:
         self._sampling_row(state, (temperature, top_k, top_p), 0)
         host = self._needs_host(state)
 
-        dev_tokens, logits = self.executor.run_step(
-            token_ids, positions, slot_mapping,
-            kv_lens=np.array([end], np.int32),
-            page_indices=page_indices,
-            cu_q_lens=np.array([0, num_new], np.int32),
-            num_seqs=1,
-            logits_indices=np.array([num_new - 1], np.int32),
-            temperature=temperature, top_k=top_k, top_p=top_p,
-            return_logits=host, kind="prefill")
+        use_spec = (self.config.speculative.enabled and not host
+                    and nct == 0)
+        if use_spec:
+            dev_tokens = self.executor.run_prefill_spec(
+                token_ids, positions, slot_mapping, kv_len=end,
+                page_indices=page_indices, num_new=num_new, row=state.row,
+                temperature=temperature, top_k=top_k, top_p=top_p)
+            logits = None
+        else:
+            dev_tokens, logits = self.executor.run_step(
+                token_ids, positions, slot_mapping,
+                kv_lens=np.array([end], np.int32),
+                page_indices=page_indices,
+                cu_q_lens=np.array([0, num_new], np.int32),
+                num_seqs=1,
+                logits_indices=np.array([num_new - 1], np.int32),
+                temperature=temperature, top_k=top_k, top_p=top_p,
+                return_logits=host, kind="prefill")
 
         state.num_computed_tokens = end
         if end < state.num_prompt_tokens:
@@ -226,10 +254,45 @@ class ModelRunner:
         ib = self.input_batch
         states = [ib.requests[req_id] for req_id, _ in items]
         any_host = any(self._needs_host(s) for s in states)
+        if (self.config.speculative.enabled and not any_host
+                and all(s.sampling_params.is_greedy for s in states)):
+            K = max(n for _, n in items) - 1
+            if K >= 1:
+                return self._run_spec(items, states, K)
         K = 1 if any_host else max(n for _, n in items)
         if K > 1:
             return self._run_decode_window(items, states, K)
         return self._run_decode_single(items, states)
+
+    def _run_spec(self, items, states, K: int
+                  ) -> dict[str, tuple[list[int], object]]:
+        """One fused Eagle speculation round: schedule gave each request
+        1 + K potential tokens; the device returns the accepted prefix."""
+        (N, token_ids, positions, slot_table, kv_lens, page_indices,
+         temperature, top_k, top_p) = self._decode_arrays(states, K + 1)
+        # Draft slots: draft position p shares target position p's slot
+        # numbering; draft steps cover positions nct-1 .. nct+K-2.
+        dslot_table = np.full((K, N), -1, np.int32)
+        row_ids = np.zeros(N, np.int32)
+        for i, state in enumerate(states):
+            nct = state.num_computed_tokens
+            cap = len(state.block_ids) * self.block_size
+            k_req = min(K, cap - (nct - 1))
+            if nct >= 1 and k_req > 0:
+                dslot_table[:k_req, i] = self._slot_mapping_for_range(
+                    state.block_ids, nct - 1, nct - 1 + k_req)
+            row_ids[i] = state.row
+        accepted = self.executor.run_spec_decode(
+            row_ids, token_ids, positions, slot_table, dslot_table,
+            kv_lens, page_indices, num_seqs=len(states))  # [N, K+1]
+        results = {}
+        for i, ((req_id, num_new), state) in enumerate(zip(items, states)):
+            toks = [int(t) for t in accepted[i] if t >= 0][:num_new]
+            state.num_computed_tokens += len(toks)
+            for tok in toks:
+                self._record_token(state, tok)
+            results[req_id] = (toks, None)
+        return results
 
     def _decode_arrays(self, states, K: int):
         n = len(states)
