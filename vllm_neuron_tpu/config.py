@@ -79,7 +79,8 @@ class ModelConfig:
         if self.hf_overrides:
             for k, v in self.hf_overrides.items():
                 setattr(self.hf_config, k, v)
-        derived_max = getattr(self.hf_config, "max_position_embeddings", 2048)
+        derived_max = getattr(self.text_config, "max_position_embeddings",
+                              2048)
         if self.max_model_len is None:
             self.max_model_len = derived_max
         elif self.max_model_len > derived_max:
@@ -96,30 +97,36 @@ class ModelConfig:
         return archs[0] if archs else self.hf_config.model_type
 
     @property
+    def text_config(self):
+        """The text decoder's config — composite configs (Llama-4 class
+        multimodal) nest it under ``text_config``."""
+        return getattr(self.hf_config, "text_config", None) or self.hf_config
+
+    @property
     def hidden_size(self) -> int:
-        return self.hf_config.hidden_size
+        return self.text_config.hidden_size
 
     @property
     def num_layers(self) -> int:
-        return self.hf_config.num_hidden_layers
+        return self.text_config.num_hidden_layers
 
     @property
     def num_heads(self) -> int:
-        return self.hf_config.num_attention_heads
+        return self.text_config.num_attention_heads
 
     @property
     def num_kv_heads(self) -> int:
-        return getattr(self.hf_config, "num_key_value_heads",
+        return getattr(self.text_config, "num_key_value_heads",
                        self.num_heads) or self.num_heads
 
     @property
     def head_dim(self) -> int:
-        hd = getattr(self.hf_config, "head_dim", None)
+        hd = getattr(self.text_config, "head_dim", None)
         return hd if hd else self.hidden_size // self.num_heads
 
     @property
     def vocab_size(self) -> int:
-        return self.hf_config.vocab_size
+        return self.text_config.vocab_size
 
     def stable_hash_dict(self) -> dict:
         return {

@@ -19,7 +19,7 @@ def _qwen3_moe(config):
 
 def _llama4(config):
     from vllm_neuron_tpu.models.llama4 import Llama4ForCausalLM
-    return Llama4ForCausalLM(config.model)
+    return Llama4ForCausalLM(config.model, config.quant)
 
 
 # Llama-architecture dense models all share one implementation (Qwen2's QKV

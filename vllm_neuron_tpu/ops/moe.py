@@ -73,6 +73,49 @@ def _moe_ragged(x, weights, ids, we_gate, we_up, we_down):
     return jnp.einsum("nkh,nk->nh", out, weights)
 
 
+def moe_mlp_llama4(x: jax.Array, router_w: jax.Array, gate_up: jax.Array,
+                   down: jax.Array, top_k: int,
+                   backend: Optional[str] = None) -> jax.Array:
+    """Llama-4 MoE: router scores are sigmoid(top-k logits) applied to the
+    EXPERT INPUT (x * score), outputs summed over the selected experts
+    (shared expert handled by the caller). gate_up: [E, H, 2I] fused;
+    down: [E, I, H]."""
+    N, H = x.shape
+    E = gate_up.shape[0]
+    I = gate_up.shape[2] // 2
+    logits = jnp.dot(x.astype(jnp.float32), router_w.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)  # [N, E]
+    top_vals, ids = jax.lax.top_k(logits, top_k)
+    scores = jax.nn.sigmoid(top_vals)  # [N, k]
+    if backend is None:
+        backend = "ragged" if jax.devices()[0].platform == "tpu" else "dense"
+    xf = x.astype(gate_up.dtype)
+    if backend == "dense":
+        onehot = jax.nn.one_hot(ids, E, dtype=jnp.float32)  # [N, k, E]
+        xin = xf[:, None] * scores[:, :, None].astype(xf.dtype)  # [N, k, H]
+        gu = jnp.einsum("nkh,ehi->nkei", xin, gate_up)
+        gate, up = jnp.split(gu, 2, axis=-1)
+        act = jax.nn.silu(gate) * up
+        out = jnp.einsum("nkei,eih->nkeh", act, down)
+        out = jnp.einsum("nkeh,nke->nh", out.astype(jnp.float32), onehot)
+        return out.astype(x.dtype)
+    flat_ids = ids.reshape(-1)
+    order = jnp.argsort(flat_ids)
+    inv_order = jnp.argsort(order)
+    token_idx = jnp.arange(N * top_k, dtype=jnp.int32) // top_k
+    xin = (xf * 1.0)[token_idx] * scores.reshape(-1, 1).astype(xf.dtype)
+    xs = xin[order]
+    group_sizes = jnp.bincount(flat_ids, length=E).astype(jnp.int32)
+    gu = jax.lax.ragged_dot(xs, gate_up, group_sizes,
+                            preferred_element_type=jnp.float32)
+    gate, up = jnp.split(gu, 2, axis=-1)
+    act = (jax.nn.silu(gate) * up).astype(x.dtype)
+    out = jax.lax.ragged_dot(act, down, group_sizes,
+                             preferred_element_type=jnp.float32)
+    out = out[inv_order].reshape(N, top_k, H).sum(axis=1)
+    return out.astype(x.dtype)
+
+
 def moe_mlp(x: jax.Array, router_w: jax.Array, we_gate: jax.Array,
             we_up: jax.Array, we_down: jax.Array, top_k: int,
             norm_topk_prob: bool = True,

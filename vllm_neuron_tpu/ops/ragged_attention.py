@@ -108,7 +108,8 @@ def _gather_ctx(kv_pages_l: jax.Array, page_indices: jax.Array
 
 def _dense_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                      q_pos: jax.Array, kv_lens: jax.Array, sm_scale: float,
-                     sliding_window: Optional[int]) -> jax.Array:
+                     sliding_window: Optional[int],
+                     chunk_size: Optional[int] = None) -> jax.Array:
     """Masked dense GQA attention.
 
     q: [B, T, Hq, D]; k/v: [B, C, Hkv, D]; q_pos: [B, T] absolute position
@@ -126,6 +127,10 @@ def _dense_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     mask &= kv_pos[None, None, :] < kv_lens[:, None, None]
     if sliding_window is not None:
         mask &= kv_pos[None, None, :] > q_pos[:, :, None] - sliding_window
+    if chunk_size is not None:
+        # Llama-4 local layers: attention confined to position chunks.
+        mask &= (kv_pos[None, None, :] // chunk_size) == \
+            (q_pos[:, :, None] // chunk_size)
     has_any = jnp.any(mask, axis=-1, keepdims=True)
     scores = jnp.where(mask[:, None, None], scores, _NEG_INF)
     scores = jnp.where(has_any[:, None, None], scores, 0.0)
@@ -137,20 +142,23 @@ def _dense_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
 def _decode_attention_dense(q: jax.Array, kv_pages_l: jax.Array,
                             meta: RaggedMeta, sm_scale: float,
-                            sliding_window: Optional[int]) -> jax.Array:
+                            sliding_window: Optional[int],
+                            chunk_size: Optional[int] = None) -> jax.Array:
     """Decode step: every row is one sequence contributing one token
     (N == S_step). kv_lens == 0 marks inactive pad rows."""
     N = q.shape[0]
     k, v = _gather_ctx(kv_pages_l, meta.page_indices)
     q_pos = (meta.kv_lens - 1)[:, None]  # [N, 1]; -1 for inactive rows
     out = _dense_attention(q[:, None], k, v, q_pos, meta.kv_lens, sm_scale,
-                           sliding_window)
+                           sliding_window, chunk_size)
     return out[:, 0]
 
 
 def _spec_verify_attention_dense(q: jax.Array, kv_pages_l: jax.Array,
                                  meta: RaggedMeta, sm_scale: float,
-                                 sliding_window: Optional[int]) -> jax.Array:
+                                 sliding_window: Optional[int],
+                                 chunk_size: Optional[int] = None
+                                 ) -> jax.Array:
     """Speculative verification: every row is one sequence contributing
     exactly T = N_tokens / S_rows new tokens (the step token + K drafts),
     positions kv_len - T .. kv_len - 1."""
@@ -160,13 +168,15 @@ def _spec_verify_attention_dense(q: jax.Array, kv_pages_l: jax.Array,
     t = jnp.arange(T, dtype=jnp.int32)
     q_pos = meta.kv_lens[:, None] - T + t[None]  # negative for pad rows
     out = _dense_attention(q.reshape(B, T, *q.shape[1:]), k, v, q_pos,
-                           meta.kv_lens, sm_scale, sliding_window)
+                           meta.kv_lens, sm_scale, sliding_window,
+                           chunk_size)
     return out.reshape(B * T, *q.shape[1:])
 
 
 def _prefill_attention_dense(q: jax.Array, kv_pages_l: jax.Array,
                              meta: RaggedMeta, sm_scale: float,
-                             sliding_window: Optional[int]) -> jax.Array:
+                             sliding_window: Optional[int],
+                             chunk_size: Optional[int] = None) -> jax.Array:
     """Context-encoding step: ONE sequence (reference policy: at most one
     prompt per prefill step, vllm_neuron/core/scheduler.py:116) whose
     q_len = cu_q_lens[1] new tokens sit at the end of kv_lens[0] total
@@ -179,7 +189,7 @@ def _prefill_attention_dense(q: jax.Array, kv_pages_l: jax.Array,
     q_pos = (kv_len - q_len + t)[None]  # pad tokens get pos >= kv_len; their
     # rows attend to the full prefix (harmless: outputs discarded).
     out = _dense_attention(q[None], k, v, q_pos, meta.kv_lens[:1], sm_scale,
-                           sliding_window)
+                           sliding_window, chunk_size)
     return out[0]
 
 
@@ -292,7 +302,8 @@ def ragged_attention(q: jax.Array, kv_pages_l: jax.Array, meta: RaggedMeta,
                      sm_scale: float,
                      sliding_window: Optional[int] = None,
                      kind: str = "mixed",
-                     backend: Optional[str] = None) -> jax.Array:
+                     backend: Optional[str] = None,
+                     chunk_size: Optional[int] = None) -> jax.Array:
     """q: [N, Hq, D]; kv_pages_l: [pages, page_size, 2*Hkv, Dp>=D] (already
     containing this step's scattered K/V). Returns [N, Hq, D] in q.dtype.
 
@@ -311,13 +322,13 @@ def ragged_attention(q: jax.Array, kv_pages_l: jax.Array, meta: RaggedMeta,
         q = jnp.pad(q, ((0, 0), (0, 0), (0, Dp - D)))
     if kind == "decode":
         out = _decode_attention_dense(q, kv_pages_l, meta, sm_scale,
-                                      sliding_window)
+                                      sliding_window, chunk_size)
     elif kind == "prefill":
         out = _prefill_attention_dense(q, kv_pages_l, meta, sm_scale,
-                                       sliding_window)
+                                       sliding_window, chunk_size)
     elif kind == "spec_verify":
         out = _spec_verify_attention_dense(q, kv_pages_l, meta, sm_scale,
-                                           sliding_window)
+                                           sliding_window, chunk_size)
     elif backend == "pallas":
         out = _ragged_attention_pallas(q, kv_pages_l, meta, sm_scale,
                                        sliding_window)
