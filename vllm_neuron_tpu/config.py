@@ -193,7 +193,12 @@ class SchedulerConfig:
 
     max_num_seqs: int = 32  # reference default: platform.py:196-201
     max_num_batched_tokens: int = 131072  # reference: platform.py:188
-    max_prompt_batch_size: int = 1  # reference: core/scheduler.py:116
+    # Prompts admitted per prefill step. The reference pins this to 1
+    # (core/scheduler.py:116) because its compiled graph takes one prompt;
+    # here each prompt is its own bucketed program and the dispatches
+    # pipeline with a single device round-trip, so batching admissions is a
+    # pure throughput win.
+    max_prompt_batch_size: int = 8
     enable_chunked_prefill: bool = False
     chunk_size: int = 2048  # tokens per chunked-prefill step
     # Decode steps fused into one device dispatch (token feedback stays on

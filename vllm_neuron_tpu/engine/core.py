@@ -23,7 +23,13 @@ logger = init_logger(__name__)
 
 
 class StepMetrics:
-    """Per-step engine counters (queue depth, batch occupancy, token rates)."""
+    """Engine counters + latency histograms (the serving-metrics surface the
+    reference delegates to upstream vLLM; SURVEY.md §5 observability)."""
+
+    # Histogram bucket bounds in seconds.
+    TTFT_BUCKETS = (0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0,
+                    30.0)
+    TPOT_BUCKETS = (0.002, 0.005, 0.01, 0.02, 0.05, 0.1, 0.25, 0.5, 1.0)
 
     def __init__(self):
         self.num_steps = 0
@@ -31,7 +37,16 @@ class StepMetrics:
         self.num_decode_steps = 0
         self.prompt_tokens = 0
         self.generation_tokens = 0
+        self.requests_started = 0
+        self.requests_finished = 0
+        self.num_preemptions = 0
         self.start_time = time.monotonic()
+        self.ttft = Histogram(self.TTFT_BUCKETS)
+        self.tpot = Histogram(self.TPOT_BUCKETS)
+        # Live gauges, refreshed each step.
+        self.queue_depth = 0
+        self.running_seqs = 0
+        self.kv_usage = 0.0
 
     def snapshot(self) -> dict:
         elapsed = max(time.monotonic() - self.start_time, 1e-9)
@@ -42,7 +57,66 @@ class StepMetrics:
             "prompt_tokens": self.prompt_tokens,
             "generation_tokens": self.generation_tokens,
             "generation_tokens_per_s": self.generation_tokens / elapsed,
+            "requests_started": self.requests_started,
+            "requests_finished": self.requests_finished,
+            "num_preemptions": self.num_preemptions,
+            "queue_depth": self.queue_depth,
+            "running_seqs": self.running_seqs,
+            "kv_cache_usage": self.kv_usage,
+            "ttft_p50_s": self.ttft.percentile(0.5),
+            "ttft_p99_s": self.ttft.percentile(0.99),
+            "tpot_p50_s": self.tpot.percentile(0.5),
+            "tpot_p99_s": self.tpot.percentile(0.99),
         }
+
+    def prometheus(self, prefix: str = "vllm_tpu") -> str:
+        lines = []
+        for k, v in self.snapshot().items():
+            if v is None:
+                continue
+            lines.append(f"{prefix}_{k} {v}")
+        for name, hist in (("ttft", self.ttft), ("tpot", self.tpot)):
+            acc = 0
+            for bound, count in zip(hist.bounds, hist.counts):
+                acc += count
+                lines.append(
+                    f'{prefix}_{name}_seconds_bucket{{le="{bound}"}} {acc}')
+            lines.append(
+                f'{prefix}_{name}_seconds_bucket{{le="+Inf"}} {hist.total}')
+            lines.append(f"{prefix}_{name}_seconds_count {hist.total}")
+            lines.append(f"{prefix}_{name}_seconds_sum {hist.sum:.6f}")
+        return "\n".join(lines) + "\n"
+
+
+class Histogram:
+    __slots__ = ("bounds", "counts", "overflow", "total", "sum")
+
+    def __init__(self, bounds):
+        self.bounds = bounds
+        self.counts = [0] * len(bounds)
+        self.overflow = 0
+        self.total = 0
+        self.sum = 0.0
+
+    def observe(self, value: float) -> None:
+        self.total += 1
+        self.sum += value
+        for i, b in enumerate(self.bounds):
+            if value <= b:
+                self.counts[i] += 1
+                return
+        self.overflow += 1
+
+    def percentile(self, q: float):
+        if self.total == 0:
+            return None
+        target = q * self.total
+        acc = 0
+        for bound, count in zip(self.bounds, self.counts):
+            acc += count
+            if acc >= target:
+                return bound
+        return self.bounds[-1]
 
 
 class RequestState:
@@ -89,6 +163,7 @@ class EngineCore:
                     prompt: Optional[str] = None) -> None:
         request = Request(req_id, prompt_token_ids, sampling_params,
                           eos_token_id=self._eos_token_id)
+        self.metrics.requests_started += 1
         detok = None
         if self.tokenizer is not None and sampling_params.detokenize:
             detok = IncrementalDetokenizer(self.tokenizer, sampling_params,
@@ -110,19 +185,35 @@ class EngineCore:
         runner_output = self.worker.execute_model(scheduler_output)
         core_outputs = self.scheduler.update_from_output(
             scheduler_output, runner_output)
-        self.metrics.num_steps += 1
+        m = self.metrics
+        m.num_steps += 1
         if scheduler_output.is_prefill_step:
-            self.metrics.num_prefill_steps += 1
-            self.metrics.prompt_tokens += \
-                scheduler_output.total_num_scheduled_tokens
+            m.num_prefill_steps += 1
+            m.prompt_tokens += scheduler_output.total_num_scheduled_tokens
         elif scheduler_output.num_scheduled_tokens:
-            self.metrics.num_decode_steps += 1
+            m.num_decode_steps += 1
+        m.queue_depth = len(self.scheduler.waiting)
+        m.running_seqs = len(self.scheduler.running)
+        m.kv_usage = self.scheduler.kv_manager.usage()
+        m.num_preemptions = self.scheduler._num_preemptions
         return [self._process_output(o) for o in core_outputs]
 
     def _process_output(self, out: EngineCoreOutput) -> RequestOutput:
         state = self.req_states[out.req_id]
         state.token_ids.extend(out.new_token_ids)
         self.metrics.generation_tokens += len(out.new_token_ids)
+        now = time.monotonic()
+        request = state.request
+        if out.new_token_ids and request.first_token_time is None:
+            request.first_token_time = now
+            self.metrics.ttft.observe(now - request.arrival_time)
+        if out.finished:
+            self.metrics.requests_finished += 1
+            request.finish_time = now
+            n = len(state.token_ids)
+            if n > 1 and request.first_token_time is not None:
+                self.metrics.tpot.observe(
+                    (now - request.first_token_time) / (n - 1))
         if out.logprobs is not None:
             for ids, lps in zip(out.logprobs.token_ids,
                                 out.logprobs.logprobs):

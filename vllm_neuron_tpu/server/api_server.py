@@ -20,7 +20,7 @@ from vllm_neuron_tpu.engine.async_llm import AsyncEngine
 from vllm_neuron_tpu.engine.llm import build_engine_config
 from vllm_neuron_tpu.sampling.params import SamplingParams
 from vllm_neuron_tpu.server.http import (HTTPServer, JSONResponse, Request,
-                                         StreamingResponse)
+                                         StreamingResponse, TextResponse)
 from vllm_neuron_tpu.server.protocol import (UsageInfo, make_id, now,
                                              sampling_from_body)
 from vllm_neuron_tpu.server.tool_parser import TOOL_PARSERS
@@ -72,11 +72,9 @@ class OpenAIServer:
         })
 
     async def metrics(self, request: Request):
-        m = self.engine.metrics.snapshot()
-        lines = [f"vllm_tpu_{k} {v}" for k, v in m.items()]
-        return JSONResponse({"metrics": m}) if \
-            "json" in request.headers.get("accept", "") else \
-            JSONResponse({"text": "\n".join(lines)})
+        if "json" in request.headers.get("accept", ""):
+            return JSONResponse(self.engine.metrics.snapshot())
+        return TextResponse(self.engine.metrics.prometheus())
 
     # ------------------------------------------------------------------
     # /v1/completions

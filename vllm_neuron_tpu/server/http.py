@@ -44,6 +44,14 @@ class JSONResponse:
         self.status = status
 
 
+class TextResponse:
+    def __init__(self, text: str, status: int = 200,
+                 media_type: str = "text/plain; version=0.0.4"):
+        self.text = text
+        self.status = status
+        self.media_type = media_type
+
+
 class StreamingResponse:
     """Server-sent events: the handler returns an async iterator of `data:`
     payload strings (already JSON-encoded); we frame and chunk them."""
@@ -146,8 +154,19 @@ class HTTPServer:
                            "type": "internal_error"}}, 500)
         if isinstance(result, StreamingResponse):
             await self._write_stream(writer, result)
+        elif isinstance(result, TextResponse):
+            await self._write_text(writer, result)
         else:
             await self._write_json(writer, result)
+
+    async def _write_text(self, writer, response: "TextResponse") -> None:
+        payload = response.text.encode()
+        reason = _REASONS.get(response.status, "")
+        head = (f"HTTP/1.1 {response.status} {reason}\r\n"
+                f"Content-Type: {response.media_type}\r\n"
+                f"Content-Length: {len(payload)}\r\n\r\n")
+        writer.write(head.encode() + payload)
+        await writer.drain()
 
     async def _write_json(self, writer, response: JSONResponse) -> None:
         payload = json.dumps(response.obj).encode()

@@ -345,7 +345,7 @@ class ModelExecutor:
 
     def run_prefill_spec(self, token_ids, positions, slot_mapping, kv_len,
                          page_indices, num_new, row, temperature, top_k,
-                         top_p) -> np.ndarray:
+                         top_p, keep_device: bool = False) -> np.ndarray:
         N = token_ids.shape[0]
         key = ("prefill_spec", N, page_indices.shape)
         fn = self._get_fn(key, self._build_prefill_spec)
@@ -376,6 +376,8 @@ class ModelExecutor:
             meta, meta_d, jnp.asarray([row], jnp.int32),
             jnp.asarray([num_new - 1], jnp.int32), jnp.asarray(temperature),
             jnp.asarray(top_k), jnp.asarray(top_p), seed)
+        if keep_device:
+            return tokens
         return np.asarray(jax.device_get(tokens))
 
     def run_spec_decode(self, row_ids, first_tokens, positions0, slot_table,
@@ -407,7 +409,7 @@ class ModelExecutor:
                  num_seqs: int, logits_indices: np.ndarray,
                  temperature: np.ndarray, top_k: np.ndarray,
                  top_p: np.ndarray, return_logits: bool,
-                 kind: str = "mixed"
+                 kind: str = "mixed", keep_device: bool = False
                  ) -> tuple[np.ndarray, Optional[np.ndarray]]:
         """One unified step. token_ids/positions/slot_mapping: [N] (N = a
         token bucket); kv_lens/logits_indices/sampling params: [S_step];
@@ -435,10 +437,15 @@ class ModelExecutor:
                  jnp.asarray(top_p), seed)
         if return_logits:
             tokens, logits, self.kv_pages = out
-            return np.asarray(jax.device_get(tokens)), np.asarray(
-                jax.device_get(logits))
-        tokens, self.kv_pages = out
-        return np.asarray(jax.device_get(tokens)), None
+        else:
+            tokens, self.kv_pages = out
+            logits = None
+        if keep_device:
+            # Caller pipelines several dispatches and syncs once at the end.
+            return tokens, logits
+        tokens = np.asarray(jax.device_get(tokens))
+        return tokens, (np.asarray(jax.device_get(logits))
+                        if logits is not None else None)
 
     def _dummy_step(self, kind: str, N: int, S_step: int, PP: int,
                     return_logits: bool) -> None:

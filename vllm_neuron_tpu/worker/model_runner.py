@@ -61,7 +61,10 @@ class ModelRunner:
                 params = self.model.random_params(
                     jax.random.PRNGKey(self.config.model.seed))
             else:
-                params = self.model.load_params(self.config.model.model)
+                from vllm_neuron_tpu.tools.quantize import load_prequantized
+                params = load_prequantized(self.config.model.model)
+                if params is None:
+                    params = self.model.load_params(self.config.model.model)
         self.executor = ModelExecutor(self.model, self.config, params,
                                       mesh=self.mesh)
         spec = self.config.speculative
@@ -155,8 +158,12 @@ class ModelRunner:
                 decode_items.append((req_id, num_new))
 
         results: dict[str, tuple[list[int], object]] = {}
-        for req_id, num_new in prefill_items:
-            results[req_id] = self._run_prefill(req_id, num_new)
+        # Prefills dispatch back-to-back (async); ONE sync covers them all —
+        # M prompts cost M device times + 1 round trip, not M round trips.
+        pending = [(req_id, num_new, self._dispatch_prefill(req_id, num_new))
+                   for req_id, num_new in prefill_items]
+        for req_id, num_new, handle in pending:
+            results[req_id] = self._finalize_prefill(req_id, num_new, handle)
         if decode_items:
             results.update(self._run_decode(decode_items))
 
@@ -187,10 +194,9 @@ class ModelRunner:
         state.output_token_ids.append(tok)
         self.input_batch.last_tokens[state.row] = tok
 
-    def _run_prefill(self, req_id: str, num_new: int
-                     ) -> tuple[list[int], object]:
-        """One sequence's (possibly partial/chunked, possibly prefix-cached)
-        prompt processing."""
+    def _dispatch_prefill(self, req_id: str, num_new: int):
+        """Enqueue one sequence's (possibly partial/chunked, possibly
+        prefix-cached) prompt processing; returns device handles."""
         state = self.input_batch.requests[req_id]
         nct = state.num_computed_tokens
         end = nct + num_new
@@ -219,7 +225,8 @@ class ModelRunner:
             dev_tokens = self.executor.run_prefill_spec(
                 token_ids, positions, slot_mapping, kv_len=end,
                 page_indices=page_indices, num_new=num_new, row=state.row,
-                temperature=temperature, top_k=top_k, top_p=top_p)
+                temperature=temperature, top_k=top_k, top_p=top_p,
+                keep_device=True)
             logits = None
         else:
             dev_tokens, logits = self.executor.run_step(
@@ -230,18 +237,26 @@ class ModelRunner:
                 num_seqs=1,
                 logits_indices=np.array([num_new - 1], np.int32),
                 temperature=temperature, top_k=top_k, top_p=top_p,
-                return_logits=host, kind="prefill")
+                return_logits=host, kind="prefill", keep_device=True)
+        return dev_tokens, logits, host
 
-        state.num_computed_tokens = end
-        if end < state.num_prompt_tokens:
+    def _finalize_prefill(self, req_id: str, num_new: int, handle
+                          ) -> tuple[list[int], object]:
+        import jax
+        dev_tokens, logits, host = handle
+        state = self.input_batch.requests[req_id]
+        state.num_computed_tokens += num_new
+        if state.num_computed_tokens < state.num_prompt_tokens:
             return [], None  # chunked prefill still in flight
         state.in_prefill = False
         if host:
-            result = sample_token(logits[0], state.sampling_params,
+            result = sample_token(np.asarray(jax.device_get(logits))[0],
+                                  state.sampling_params,
                                   self._sampler_states[req_id])
             tok, logprobs = result.token_id, result.logprobs
         else:
-            tok, logprobs = int(dev_tokens[0]), None
+            tok = int(np.asarray(jax.device_get(dev_tokens))[0])
+            logprobs = None
         self._record_token(state, tok)
         return [tok], logprobs
 
