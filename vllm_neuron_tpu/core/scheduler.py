@@ -182,6 +182,7 @@ class Scheduler:
                     block_ids=self.kv_manager.get_block_ids(request.req_id),
                     num_computed_tokens=num_cached,
                     sampling_params=request.sampling_params,
+                    mm_inputs=request.mm_inputs,
                 ))
             out.num_scheduled_tokens[request.req_id] = num_new_tokens
             num_admitted += 1
@@ -305,6 +306,7 @@ class Scheduler:
                     block_ids=self.kv_manager.get_block_ids(request.req_id),
                     num_computed_tokens=num_cached,
                     sampling_params=request.sampling_params,
+                    mm_inputs=request.mm_inputs,
                 ))
             out.num_scheduled_tokens[request.req_id] = num_new
 

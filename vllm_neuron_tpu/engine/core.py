@@ -160,9 +160,10 @@ class EngineCore:
 
     def add_request(self, req_id: str, prompt_token_ids: list[int],
                     sampling_params: SamplingParams,
-                    prompt: Optional[str] = None) -> None:
+                    prompt: Optional[str] = None, mm_inputs=None) -> None:
         request = Request(req_id, prompt_token_ids, sampling_params,
-                          eos_token_id=self._eos_token_id)
+                          eos_token_id=self._eos_token_id,
+                          mm_inputs=mm_inputs)
         self.metrics.requests_started += 1
         detok = None
         if self.tokenizer is not None and sampling_params.detokenize:

@@ -121,16 +121,29 @@ class LLM:
 
     # ------------------------------------------------------------------
 
-    def _to_token_ids(self, prompt: PromptType) -> tuple[list[int],
-                                                         Optional[str]]:
+    def _to_token_ids(self, prompt: PromptType
+                      ) -> tuple[list[int], Optional[str], Optional[dict]]:
+        mm_inputs = None
         if isinstance(prompt, dict):
+            mm = prompt.get("multi_modal_data")
+            if mm:
+                import numpy as np
+                if "pixel_values" in mm:
+                    mm_inputs = {"pixel_values":
+                                 np.asarray(mm["pixel_values"])}
+                else:
+                    raise ValueError(
+                        "multi_modal_data must carry 'pixel_values' "
+                        "(preprocessed [tiles, C, H, W]); raw-image "
+                        "processing requires an AutoProcessor checkpoint")
             if "prompt_token_ids" in prompt:
-                return list(prompt["prompt_token_ids"]), prompt.get("prompt")
+                return (list(prompt["prompt_token_ids"]),
+                        prompt.get("prompt"), mm_inputs)
             prompt = prompt["prompt"]
         if self.tokenizer is None:
             raise ValueError("text prompts require a tokenizer; pass "
                              "{'prompt_token_ids': [...]} instead")
-        return self.tokenizer.encode(prompt), prompt
+        return self.tokenizer.encode(prompt), prompt, mm_inputs
 
     def generate(
         self,
@@ -151,7 +164,7 @@ class LLM:
         # makes the shared prefill cheap).
         parent_of: dict[str, tuple[int, int]] = {}
         for i, (prompt, sp) in enumerate(zip(prompts, sampling_params)):
-            token_ids, text = self._to_token_ids(prompt)
+            token_ids, text, mm_inputs = self._to_token_ids(prompt)
             for child in range(sp.n):
                 req_id = f"req-{next(self._req_counter)}"
                 parent_of[req_id] = (i, child)
@@ -161,7 +174,7 @@ class LLM:
                     child_sp = dataclasses.replace(sp, seed=sp.seed + child)
                     child_sp.__post_init__()
                 self.engine.add_request(req_id, token_ids, child_sp,
-                                        prompt=text)
+                                        prompt=text, mm_inputs=mm_inputs)
 
         latest: dict[str, RequestOutput] = {}
         while self.engine.has_unfinished_requests():

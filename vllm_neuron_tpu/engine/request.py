@@ -41,12 +41,15 @@ class Request:
         sampling_params: SamplingParams,
         eos_token_id: Optional[int] = None,
         arrival_time: Optional[float] = None,
+        mm_inputs=None,
     ):
         self.req_id = req_id
         self.prompt_token_ids = list(prompt_token_ids)
         self.sampling_params = sampling_params
         self.eos_token_id = eos_token_id
         self.arrival_time = arrival_time or time.monotonic()
+        # Multimodal inputs: {"pixel_values": np.ndarray [T, C, H, W]}.
+        self.mm_inputs = mm_inputs
 
         self.status = RequestStatus.WAITING
         self.stop_reason: Optional[int | str] = None

@@ -212,12 +212,20 @@ class Llama4ForCausalLM:
 
     def forward(self, params: dict, input_ids: jax.Array,
                 positions: jax.Array, kv_pages: jax.Array, meta: RaggedMeta,
-                *, kind: str = "mixed", attn_backend: Optional[str] = None
+                *, kind: str = "mixed", attn_backend: Optional[str] = None,
+                embeds_override: Optional[tuple] = None
                 ) -> tuple[jax.Array, jax.Array]:
         N = input_ids.shape[0]
         nH, nKV, D = self.num_heads, self.num_kv_heads, self.head_dim
         L, pages, page_size, combined, Dp = kv_pages.shape
         x = params["embed"][input_ids]
+        if embeds_override is not None:
+            # Multimodal: image-token rows carry projected vision features
+            # (reference analogue: vision-mask embedding merge,
+            # model_loader.py:596-601).
+            override, override_mask = embeds_override
+            x = jnp.where(override_mask[:, None], override.astype(x.dtype),
+                          x)
         kv_flat = kv_pages.reshape(L * pages, page_size, combined, Dp)
         valid = meta.slot_mapping >= 0
 

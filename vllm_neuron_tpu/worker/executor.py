@@ -153,15 +153,19 @@ class ModelExecutor:
     # Program builder
     # ------------------------------------------------------------------
 
-    def _build_step(self, kind: str, return_logits: bool):
+    def _build_step(self, kind: str, return_logits: bool, mm: bool = False):
         model = self.model
         attn_backend = self.attn_backend
 
         def fn(params, kv_pages, token_ids, positions, meta, logits_indices,
-               temperature, top_k, top_p, step_seed):
+               temperature, top_k, top_p, step_seed, *mm_args):
+            kwargs = {}
+            if mm:
+                kwargs["embeds_override"] = mm_args
             hidden, kv_pages = model.forward(params, token_ids, positions,
                                              kv_pages, meta, kind=kind,
-                                             attn_backend=attn_backend)
+                                             attn_backend=attn_backend,
+                                             **kwargs)
             sel = hidden[logits_indices]  # [S, H]
             logits = model.compute_logits(params, sel)  # [S, V] f32
             key = jax.random.PRNGKey(step_seed)
@@ -409,7 +413,9 @@ class ModelExecutor:
                  num_seqs: int, logits_indices: np.ndarray,
                  temperature: np.ndarray, top_k: np.ndarray,
                  top_p: np.ndarray, return_logits: bool,
-                 kind: str = "mixed", keep_device: bool = False
+                 kind: str = "mixed", keep_device: bool = False,
+                 embeds_override: Optional[np.ndarray] = None,
+                 override_mask: Optional[np.ndarray] = None
                  ) -> tuple[np.ndarray, Optional[np.ndarray]]:
         """One unified step. token_ids/positions/slot_mapping: [N] (N = a
         token bucket); kv_lens/logits_indices/sampling params: [S_step];
@@ -418,9 +424,10 @@ class ModelExecutor:
         "prefill" / "mixed"). Returns (sampled_tokens [S_step],
         logits [S_step, V] | None)."""
         N = token_ids.shape[0]
-        key = ("step", kind, N, page_indices.shape, return_logits)
-        fn = self._get_fn(key,
-                          lambda: self._build_step(kind, return_logits))
+        mm = embeds_override is not None
+        key = ("step", kind, N, page_indices.shape, return_logits, mm)
+        fn = self._get_fn(
+            key, lambda: self._build_step(kind, return_logits, mm))
         meta = RaggedMeta(
             slot_mapping=jnp.asarray(slot_mapping),
             kv_lens=jnp.asarray(kv_lens),
@@ -431,10 +438,14 @@ class ModelExecutor:
         self._step_counter += 1
         seed = np.uint32((self.config.model.seed + self._step_counter)
                          & 0xFFFFFFFF)
+        mm_args = ()
+        if mm:
+            mm_args = (jnp.asarray(embeds_override),
+                       jnp.asarray(override_mask))
         out = fn(self.params, self.kv_pages, jnp.asarray(token_ids),
                  jnp.asarray(positions), meta, jnp.asarray(logits_indices),
                  jnp.asarray(temperature), jnp.asarray(top_k),
-                 jnp.asarray(top_p), seed)
+                 jnp.asarray(top_p), seed, *mm_args)
         if return_logits:
             tokens, logits, self.kv_pages = out
         else:

@@ -67,6 +67,23 @@ class ModelRunner:
                     params = self.model.load_params(self.config.model.model)
         self.executor = ModelExecutor(self.model, self.config, params,
                                       mesh=self.mesh)
+        # Vision tower for multimodal models (reference analogue: separate
+        # vision_neuron_config graph, model_loader.py:421-440).
+        self.vision = None
+        self.vision_params = None
+        self.image_token_index = getattr(self.config.model.hf_config,
+                                         "image_token_index", None)
+        if (hasattr(self.config.model.hf_config, "vision_config")
+                and self.config.model.load_format != "random"):
+            import jax
+
+            from vllm_neuron_tpu.models.llama4_vision import (
+                Llama4VisionEncoder)
+            self.vision = Llama4VisionEncoder(self.config.model.hf_config,
+                                              self.config.model.dtype)
+            self.vision_params = self.vision.load_params(
+                self.config.model.model)
+            self._vision_fwd = jax.jit(self.vision.forward)
         spec = self.config.speculative
         if spec.enabled:
             import jax
@@ -219,6 +236,31 @@ class ModelRunner:
         self._sampling_row(state, (temperature, top_k, top_p), 0)
         host = self._needs_host(state)
 
+        mm_kwargs = {}
+        if self.vision is not None and state.mm_inputs and \
+                self.image_token_index is not None:
+            chunk_tokens = np.asarray(token_ids[:num_new])
+            img_rows = np.nonzero(
+                chunk_tokens == self.image_token_index)[0]
+            if img_rows.size:
+                pixel_values = np.asarray(state.mm_inputs["pixel_values"],
+                                          np.float32)
+                feats = np.asarray(
+                    self._vision_fwd(self.vision_params,
+                                     pixel_values))  # [T, P, H]
+                feats = feats.reshape(-1, feats.shape[-1])
+                # Image rows map to vision features in order; with chunked
+                # prefill, rows before this chunk consumed earlier features.
+                prior = sum(1 for t in range(nct)
+                            if state.token_at(t) == self.image_token_index)
+                override = np.zeros((N, feats.shape[-1]), np.float32)
+                mask = np.zeros(N, bool)
+                take = feats[prior:prior + img_rows.size]
+                override[img_rows[:take.shape[0]]] = take
+                mask[img_rows[:take.shape[0]]] = True
+                mm_kwargs = {"embeds_override": override,
+                             "override_mask": mask}
+
         use_spec = (self.config.speculative.enabled and not host
                     and nct == 0)
         if use_spec:
@@ -237,7 +279,8 @@ class ModelRunner:
                 num_seqs=1,
                 logits_indices=np.array([num_new - 1], np.int32),
                 temperature=temperature, top_k=top_k, top_p=top_p,
-                return_logits=host, kind="prefill", keep_device=True)
+                return_logits=host, kind="prefill", keep_device=True,
+                **mm_kwargs)
         return dev_tokens, logits, host
 
     def _finalize_prefill(self, req_id: str, num_new: int, handle
