@@ -221,7 +221,9 @@ class ModelExecutor:
                                      positions_all[k], meta, li, temp, tk,
                                      tp, seed)
             outs.append(toks)
-        return np.stack([np.asarray(jax.device_get(t)) for t in outs])
+        # Stack on device and fetch once — K sequential device_gets would be
+        # K round trips.
+        return np.asarray(jax.device_get(jnp.stack(outs)))
 
     def _get_fn(self, key: tuple, builder: Callable) -> Callable:
         fn = self._fns.get(key)

@@ -179,8 +179,13 @@ class ModelRunner:
         # M prompts cost M device times + 1 round trip, not M round trips.
         pending = [(req_id, num_new, self._dispatch_prefill(req_id, num_new))
                    for req_id, num_new in prefill_items]
-        for req_id, num_new, handle in pending:
-            results[req_id] = self._finalize_prefill(req_id, num_new, handle)
+        if pending:
+            import jax
+            fetched = jax.device_get([(h[0], h[1]) for _, _, h in pending])
+            for (req_id, num_new, handle), (toks, logits) in zip(pending,
+                                                                 fetched):
+                results[req_id] = self._finalize_prefill(
+                    req_id, num_new, (toks, logits, handle[2]))
         if decode_items:
             results.update(self._run_decode(decode_items))
 
@@ -285,20 +290,19 @@ class ModelRunner:
 
     def _finalize_prefill(self, req_id: str, num_new: int, handle
                           ) -> tuple[list[int], object]:
-        import jax
-        dev_tokens, logits, host = handle
+        tokens_np, logits_np, host = handle  # already fetched to host
         state = self.input_batch.requests[req_id]
         state.num_computed_tokens += num_new
         if state.num_computed_tokens < state.num_prompt_tokens:
             return [], None  # chunked prefill still in flight
         state.in_prefill = False
         if host:
-            result = sample_token(np.asarray(jax.device_get(logits))[0],
+            result = sample_token(np.asarray(logits_np)[0],
                                   state.sampling_params,
                                   self._sampler_states[req_id])
             tok, logprobs = result.token_id, result.logprobs
         else:
-            tok = int(np.asarray(jax.device_get(dev_tokens))[0])
+            tok = int(np.asarray(tokens_np)[0])
             logprobs = None
         self._record_token(state, tok)
         return [tok], logprobs

@@ -73,6 +73,24 @@ class Worker:
     def check_health(self) -> bool:
         return True
 
+    # -- LoRA (interface parity with the reference: surface present,
+    # runtime unimplemented — vllm_neuron/worker/neuron_worker.py:123-138) --
+
+    def add_lora(self, lora_request) -> bool:
+        raise NotImplementedError(
+            "LoRA is not yet supported on the TPU backend")
+
+    def remove_lora(self, lora_id: int) -> bool:
+        raise NotImplementedError(
+            "LoRA is not yet supported on the TPU backend")
+
+    def pin_lora(self, lora_id: int) -> bool:
+        raise NotImplementedError(
+            "LoRA is not yet supported on the TPU backend")
+
+    def list_loras(self) -> set:
+        return set()
+
     def profile(self, is_start: bool = True) -> None:
         """Real profiling, unlike the reference's NotImplementedError
         (neuron_worker.py:71-72): jax.profiler traces viewable in
