@@ -49,7 +49,8 @@ def test_prefill_logits_match_hf(llm, tiny_llama_dir):
         num_seqs=jnp.asarray([1], jnp.int32),
     )
     kv = jnp.zeros(spec.shape, spec.dtype)
-    hidden, _ = model.forward(executor.params, ids, positions, kv, meta)
+    hidden, _ = model.forward(executor.params, ids, positions, kv, meta,
+                              kind="prefill")
     logits = model.compute_logits(executor.params, hidden)
     got = np.asarray(logits)
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-3)

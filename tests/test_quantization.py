@@ -38,7 +38,8 @@ def _avg_nll(llm, token_stream: list[int]) -> float:
     kv = jnp.zeros(spec.shape, spec.dtype)
     ids = jnp.asarray(token_stream, jnp.int32)
     pos = jnp.arange(T, dtype=jnp.int32)
-    hidden, _ = model.forward(executor.params, ids, pos, kv, meta)
+    hidden, _ = model.forward(executor.params, ids, pos, kv, meta,
+                              kind="prefill")
     logits = model.compute_logits(executor.params, hidden)  # [T, V]
     logprobs = logits - jnp.log(jnp.sum(jnp.exp(logits), axis=-1,
                                         keepdims=True))

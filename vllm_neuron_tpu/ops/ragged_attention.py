@@ -61,8 +61,53 @@ def padded_head_dim(head_dim: int) -> int:
     return 128 if head_dim < 128 else head_dim
 
 
+def _kv_scatter_pallas(flat: jax.Array, kv_new: jax.Array,
+                       slot_mapping: jax.Array) -> jax.Array:
+    """Row scatter as a Mosaic kernel: one VMEM->HBM DMA per token row,
+    writing in place through an input/output alias (no cache copy, no XLA
+    scatter lowering). flat: [num_slots, C, Dp]; kv_new: [N, C, Dp]."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N = kv_new.shape[0]
+
+    def kernel(slots_ref, new_ref, kv_in_ref, kv_out_ref, sem):
+        def body(i, carry):
+            s = slots_ref[i]
+
+            @pl.when(s >= 0)
+            def _():
+                cp = pltpu.make_async_copy(new_ref.at[i], kv_out_ref.at[s],
+                                           sem)
+                cp.start()
+                cp.wait()
+
+            return carry
+
+        jax.lax.fori_loop(0, N, body, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # kv_new
+            pl.BlockSpec(memory_space=pl.ANY),      # flat (aliased)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[pltpu.SemaphoreType.DMA],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(flat.shape, flat.dtype),
+        input_output_aliases={2: 0},  # flat -> output, in place
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(slot_mapping, kv_new, flat)
+
+
 def write_kv_pages(kv_pages_l: jax.Array, k: jax.Array, v: jax.Array,
-                   slot_mapping: jax.Array) -> jax.Array:
+                   slot_mapping: jax.Array,
+                   backend: Optional[str] = None) -> jax.Array:
     """Scatter new K/V into one layer's page cache.
 
     kv_pages_l: [num_pages, page_size, 2*Hkv, Dp]; k/v: [N, Hkv, D<=Dp];
@@ -76,9 +121,42 @@ def write_kv_pages(kv_pages_l: jax.Array, k: jax.Array, v: jax.Array,
     if D < Dp:
         kv_new = jnp.pad(kv_new, ((0, 0), (0, 0), (0, Dp - D)))
     flat = kv_pages_l.reshape(num_pages * page_size, two_hkv, Dp)
-    flat = flat.at[slot_mapping].set(kv_new, mode="drop",
-                                     unique_indices=True)
+    # XLA's row scatter measures faster than a per-row-DMA Mosaic kernel on
+    # v5e (0.75 vs 1.1 ms); the Mosaic variant (_kv_scatter_pallas) is kept
+    # for future tuning but is off by default.
+    if backend == "pallas":
+        flat = _kv_scatter_pallas(flat, kv_new, slot_mapping)
+    else:
+        flat = flat.at[slot_mapping].set(kv_new, mode="drop",
+                                         unique_indices=True)
     return flat.reshape(num_pages, page_size, two_hkv, Dp)
+
+
+def write_kv_pages_all(kv_flat: jax.Array, ks: jax.Array, vs: jax.Array,
+                       slot_mapping: jax.Array) -> jax.Array:
+    """ONE scatter for every layer's new K/V (the deferred cache write that
+    replaces L per-layer scatters inside the scan — XLA's scatter has a flat
+    per-call cost on TPU, so batching the rows is an ~L-fold saving).
+
+    kv_flat: [L*pages, page_size, 2*Hkv, Dp]; ks/vs: [L, N, Hkv, D];
+    slot_mapping: [N] with -1 drop; each layer l writes at slot +
+    l*pages_per_layer*page_size.
+    """
+    Ltot, page_size, two_hkv, Dp = kv_flat.shape
+    L, N, Hkv, D = ks.shape
+    pages_per_layer = Ltot // L
+    kv_new = jnp.stack([ks, vs], axis=3)  # [L, N, Hkv, 2, D]
+    kv_new = kv_new.reshape(L * N, two_hkv, D).astype(kv_flat.dtype)
+    if D < Dp:
+        kv_new = jnp.pad(kv_new, ((0, 0), (0, 0), (0, Dp - D)))
+    layer_off = (jnp.arange(L, dtype=jnp.int32) *
+                 (pages_per_layer * page_size))[:, None]
+    slots_all = jnp.where(slot_mapping[None, :] >= 0,
+                          slot_mapping[None, :] + layer_off, -1)
+    flat2 = kv_flat.reshape(Ltot * page_size, two_hkv, Dp)
+    flat2 = flat2.at[slots_all.reshape(-1)].set(kv_new, mode="drop",
+                                                unique_indices=True)
+    return flat2.reshape(Ltot, page_size, two_hkv, Dp)
 
 
 # ---------------------------------------------------------------------------
@@ -107,14 +185,18 @@ def _gather_ctx(kv_pages_l: jax.Array, page_indices: jax.Array
 
 
 def _dense_attention(q: jax.Array, k: jax.Array, v: jax.Array,
-                     q_pos: jax.Array, kv_lens: jax.Array, sm_scale: float,
+                     q_pos: jax.Array, ctx_lens: jax.Array, sm_scale: float,
                      sliding_window: Optional[int],
-                     chunk_size: Optional[int] = None) -> jax.Array:
-    """Masked dense GQA attention.
+                     chunk_size: Optional[int] = None,
+                     new_kv: Optional[tuple] = None) -> jax.Array:
+    """Masked dense GQA attention with optional in-flight K/V.
 
-    q: [B, T, Hq, D]; k/v: [B, C, Hkv, D]; q_pos: [B, T] absolute position
-    of each query token (< 0 for pad rows); kv_lens: [B]. Key c is visible
-    to query (b, t) iff c <= q_pos[b, t] and c < kv_lens[b].
+    q: [B, T, Hq, D]; k/v (cached context): [B, C, Hkv, D]; q_pos: [B, T]
+    absolute position of each query token (< 0 for pad rows); ctx_lens: [B]
+    CACHED context length (this step's own tokens are NOT in the cache yet —
+    their K/V arrive via ``new_kv`` [B, T, Hkv, D] at positions ctx_lens + j
+    with causal visibility j_pos <= q_pos). This is what lets the cache
+    write be deferred out of the layer scan.
     """
     B, T, Hq, D = q.shape
     C, Hkv = k.shape[1], k.shape[2]
@@ -124,13 +206,32 @@ def _dense_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                         preferred_element_type=jnp.float32) * sm_scale
     kv_pos = jnp.arange(C, dtype=jnp.int32)
     mask = kv_pos[None, None, :] <= q_pos[:, :, None]  # [B, T, C]
-    mask &= kv_pos[None, None, :] < kv_lens[:, None, None]
+    mask &= kv_pos[None, None, :] < ctx_lens[:, None, None]
     if sliding_window is not None:
         mask &= kv_pos[None, None, :] > q_pos[:, :, None] - sliding_window
     if chunk_size is not None:
         # Llama-4 local layers: attention confined to position chunks.
         mask &= (kv_pos[None, None, :] // chunk_size) == \
             (q_pos[:, :, None] // chunk_size)
+
+    if new_kv is not None:
+        nk, nv = new_kv  # [B, T, Hkv, D]
+        nscores = jnp.einsum("btkgd,bjkd->bkgtj", qg, nk,
+                             preferred_element_type=jnp.float32) * sm_scale
+        j_pos = ctx_lens[:, None, None] + \
+            jnp.arange(T, dtype=jnp.int32)[None, None, :]  # [B, 1, T] abs
+        nmask = j_pos <= q_pos[:, :, None]  # causal over in-flight tokens
+        nmask &= (q_pos[:, :, None] >= 0)
+        if sliding_window is not None:
+            nmask &= j_pos > q_pos[:, :, None] - sliding_window
+        if chunk_size is not None:
+            nmask &= (j_pos // chunk_size) == (q_pos[:, :, None] //
+                                               chunk_size)
+        scores = jnp.concatenate(
+            [scores, nscores], axis=-1)  # [B, Hkv, G, T, C+T]
+        mask = jnp.concatenate([mask, nmask], axis=-1)
+        v = jnp.concatenate([v, nv.astype(v.dtype)], axis=1)
+
     has_any = jnp.any(mask, axis=-1, keepdims=True)
     scores = jnp.where(mask[:, None, None], scores, _NEG_INF)
     scores = jnp.where(has_any[:, None, None], scores, 0.0)
@@ -143,21 +244,26 @@ def _dense_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 def _decode_attention_dense(q: jax.Array, kv_pages_l: jax.Array,
                             meta: RaggedMeta, sm_scale: float,
                             sliding_window: Optional[int],
-                            chunk_size: Optional[int] = None) -> jax.Array:
+                            chunk_size: Optional[int] = None,
+                            new_kv: Optional[tuple] = None) -> jax.Array:
     """Decode step: every row is one sequence contributing one token
     (N == S_step). kv_lens == 0 marks inactive pad rows."""
     N = q.shape[0]
     k, v = _gather_ctx(kv_pages_l, meta.page_indices)
     q_pos = (meta.kv_lens - 1)[:, None]  # [N, 1]; -1 for inactive rows
-    out = _dense_attention(q[:, None], k, v, q_pos, meta.kv_lens, sm_scale,
-                           sliding_window, chunk_size)
+    nk, nv = new_kv
+    ctx_lens = jnp.maximum(meta.kv_lens - 1, 0)
+    out = _dense_attention(q[:, None], k, v, q_pos, ctx_lens, sm_scale,
+                           sliding_window, chunk_size,
+                           new_kv=(nk[:, None], nv[:, None]))
     return out[:, 0]
 
 
 def _spec_verify_attention_dense(q: jax.Array, kv_pages_l: jax.Array,
                                  meta: RaggedMeta, sm_scale: float,
                                  sliding_window: Optional[int],
-                                 chunk_size: Optional[int] = None
+                                 chunk_size: Optional[int] = None,
+                                 new_kv: Optional[tuple] = None
                                  ) -> jax.Array:
     """Speculative verification: every row is one sequence contributing
     exactly T = N_tokens / S_rows new tokens (the step token + K drafts),
@@ -167,16 +273,21 @@ def _spec_verify_attention_dense(q: jax.Array, kv_pages_l: jax.Array,
     k, v = _gather_ctx(kv_pages_l, meta.page_indices)
     t = jnp.arange(T, dtype=jnp.int32)
     q_pos = meta.kv_lens[:, None] - T + t[None]  # negative for pad rows
+    nk, nv = new_kv
+    ctx_lens = jnp.maximum(meta.kv_lens - T, 0)
     out = _dense_attention(q.reshape(B, T, *q.shape[1:]), k, v, q_pos,
-                           meta.kv_lens, sm_scale, sliding_window,
-                           chunk_size)
+                           ctx_lens, sm_scale, sliding_window,
+                           chunk_size,
+                           new_kv=(nk.reshape(B, T, *nk.shape[1:]),
+                                   nv.reshape(B, T, *nv.shape[1:])))
     return out.reshape(B * T, *q.shape[1:])
 
 
 def _prefill_attention_dense(q: jax.Array, kv_pages_l: jax.Array,
                              meta: RaggedMeta, sm_scale: float,
                              sliding_window: Optional[int],
-                             chunk_size: Optional[int] = None) -> jax.Array:
+                             chunk_size: Optional[int] = None,
+                             new_kv: Optional[tuple] = None) -> jax.Array:
     """Context-encoding step: ONE sequence (reference policy: at most one
     prompt per prefill step, vllm_neuron/core/scheduler.py:116) whose
     q_len = cu_q_lens[1] new tokens sit at the end of kv_lens[0] total
@@ -188,8 +299,11 @@ def _prefill_attention_dense(q: jax.Array, kv_pages_l: jax.Array,
     t = jnp.arange(T, dtype=jnp.int32)
     q_pos = (kv_len - q_len + t)[None]  # pad tokens get pos >= kv_len; their
     # rows attend to the full prefix (harmless: outputs discarded).
-    out = _dense_attention(q[None], k, v, q_pos, meta.kv_lens[:1], sm_scale,
-                           sliding_window, chunk_size)
+    nk, nv = new_kv
+    ctx_lens = jnp.maximum(kv_len - q_len, 0)[None]  # cached prefix only
+    out = _dense_attention(q[None], k, v, q_pos, ctx_lens, sm_scale,
+                           sliding_window, chunk_size,
+                           new_kv=(nk[None], nv[None]))
     return out[0]
 
 
@@ -303,7 +417,8 @@ def ragged_attention(q: jax.Array, kv_pages_l: jax.Array, meta: RaggedMeta,
                      sliding_window: Optional[int] = None,
                      kind: str = "mixed",
                      backend: Optional[str] = None,
-                     chunk_size: Optional[int] = None) -> jax.Array:
+                     chunk_size: Optional[int] = None,
+                     new_kv: Optional[tuple] = None) -> jax.Array:
     """q: [N, Hq, D]; kv_pages_l: [pages, page_size, 2*Hkv, Dp>=D] (already
     containing this step's scattered K/V). Returns [N, Hq, D] in q.dtype.
 
@@ -320,15 +435,19 @@ def ragged_attention(q: jax.Array, kv_pages_l: jax.Array, meta: RaggedMeta,
     Dp = kv_pages_l.shape[-1]
     if D < Dp:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, Dp - D)))
+        if new_kv is not None:
+            new_kv = tuple(
+                jnp.pad(a, ((0, 0), (0, 0), (0, Dp - D))) for a in new_kv)
     if kind == "decode":
         out = _decode_attention_dense(q, kv_pages_l, meta, sm_scale,
-                                      sliding_window, chunk_size)
+                                      sliding_window, chunk_size, new_kv)
     elif kind == "prefill":
         out = _prefill_attention_dense(q, kv_pages_l, meta, sm_scale,
-                                       sliding_window, chunk_size)
+                                       sliding_window, chunk_size, new_kv)
     elif kind == "spec_verify":
         out = _spec_verify_attention_dense(q, kv_pages_l, meta, sm_scale,
-                                           sliding_window, chunk_size)
+                                           sliding_window, chunk_size,
+                                           new_kv)
     elif backend == "pallas":
         out = _ragged_attention_pallas(q, kv_pages_l, meta, sm_scale,
                                        sliding_window)
