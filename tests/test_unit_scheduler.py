@@ -1,0 +1,156 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Pure unit tests: scheduler policy, block pool, bucketing, tool parsing —
+no model, no device (reference analogue: test/unit/test_scheduler.py
+holdback/batch-cap semantics, test_platform.py config defaults)."""
+import pytest
+
+from vllm_neuron_tpu.config import (BucketingConfig, CacheConfig,
+                                    EngineConfig, ModelConfig,
+                                    SchedulerConfig)
+from vllm_neuron_tpu.core.block_pool import BlockPool, hash_block_tokens
+from vllm_neuron_tpu.core.scheduler import Scheduler
+from vllm_neuron_tpu.engine.request import Request
+from vllm_neuron_tpu.sampling.params import SamplingParams
+
+
+def make_config(**kw):
+    from transformers import LlamaConfig
+    hf = LlamaConfig(vocab_size=128, hidden_size=32, intermediate_size=64,
+                     num_hidden_layers=1, num_attention_heads=2,
+                     num_key_value_heads=2, max_position_embeddings=256)
+    hf.architectures = ["LlamaForCausalLM"]
+    model = ModelConfig(model="__x__", tokenizer="__x__", dtype="float32",
+                        max_model_len=kw.pop("max_model_len", 64),
+                        hf_config=hf, load_format="random")
+    return EngineConfig(
+        model=model,
+        cache=CacheConfig(block_size=kw.pop("block_size", 8),
+                          num_blocks=kw.pop("num_blocks", None),
+                          enable_prefix_caching=kw.pop(
+                              "enable_prefix_caching", False)),
+        scheduler=SchedulerConfig(
+            max_num_seqs=kw.pop("max_num_seqs", 4),
+            max_prompt_batch_size=kw.pop("max_prompt_batch_size", 2),
+            max_num_batched_tokens=256,
+            decode_window=kw.pop("decode_window", 4)),
+        bucketing=BucketingConfig(),
+    )
+
+
+def req(i, n_prompt=8, **sp_kw):
+    sp_kw.setdefault("max_tokens", 16)
+    return Request(f"r{i}", list(range(1, n_prompt + 1)),
+                   SamplingParams(**sp_kw), eos_token_id=None)
+
+
+def test_prefill_priority_and_batch_cap():
+    """Waiting prompts preempt decode scheduling; at most
+    max_prompt_batch_size admitted per step (reference holdback policy)."""
+    sched = Scheduler(make_config(max_prompt_batch_size=2, max_num_seqs=4))
+    for i in range(4):
+        sched.add_request(req(i))
+    out = sched.schedule()
+    assert out.is_prefill_step
+    assert len(out.scheduled_new_reqs) == 2  # capped
+    assert out.scheduled_cached_reqs.num_reqs == 0
+    out2 = sched.schedule()
+    assert len(out2.scheduled_new_reqs) == 2
+
+
+def test_decode_window_clamps_to_budget():
+    sched = Scheduler(make_config(decode_window=4))
+    r = req(0, n_prompt=8, max_tokens=2)
+    sched.add_request(r)
+    out = sched.schedule()
+    # Simulate prefill completion.
+    from vllm_neuron_tpu.core.sched_output import ModelRunnerOutput
+    ro = ModelRunnerOutput(req_ids=["r0"], req_id_to_index={"r0": 0},
+                           sampled_token_ids=[[5]], logprobs=[None])
+    sched.update_from_output(out, ro)
+    out2 = sched.schedule()
+    # max_tokens=2, 1 already generated -> window clamped to 1.
+    assert out2.num_scheduled_tokens["r0"] == 1
+
+
+def test_admission_waits_for_blocks():
+    """When the pool can't hold a new prompt, admission defers (no
+    preemption thrash)."""
+    cfg = make_config(num_blocks=8, max_num_seqs=4, max_model_len=64)
+    sched = Scheduler(cfg)
+    sched.add_request(req(0, n_prompt=40))  # 5 blocks of 8
+    out = sched.schedule()
+    assert len(out.scheduled_new_reqs) == 1
+    sched.add_request(req(1, n_prompt=40))
+    out2 = sched.schedule()
+    assert len(out2.scheduled_new_reqs) == 0  # only 3 blocks free
+
+
+def test_block_pool_lru_and_prefix_reuse():
+    pool = BlockPool(num_blocks=4, enable_caching=True)
+    blocks = pool.allocate(2)
+    h1 = hash_block_tokens(None, (1, 2, 3))
+    pool.cache_block(blocks[0], h1)
+    pool.free(blocks)
+    # Revive by hash.
+    hit = pool.get_cached_block(h1)
+    assert hit is blocks[0]
+    pool.touch(hit)
+    assert pool.num_free_blocks == 3
+    # Allocating the rest evicts the uncached ones first (LRU from front).
+    pool.allocate(3)
+    assert pool.num_free_blocks == 0
+    pool.free([hit])
+    # Evicting the cached block drops its hash entry.
+    b = pool.allocate(1)[0]
+    assert b is hit
+    assert pool.get_cached_block(h1) is None
+
+
+def test_bucketing_derivation_and_lookup():
+    cfg = make_config(max_model_len=64)
+    b = cfg.bucketing
+    assert b.context_encoding_buckets[-1] == 64
+    assert b.token_bucket(3) <= b.token_bucket(5)
+    assert b.page_bucket(1) >= 1
+    with pytest.raises(ValueError):
+        b.token_bucket(10**9)
+
+
+def test_tool_parser_llama3_json():
+    from vllm_neuron_tpu.server.tool_parser import parse_llama3_json
+    calls, content = parse_llama3_json(
+        '{"name": "get_weather", "parameters": {"city": "Paris"}}')
+    assert calls is not None and len(calls) == 1
+    assert calls[0].name == "get_weather"
+    assert '"city"' in calls[0].arguments
+    assert content == ""
+    # Plain text passes through.
+    calls, content = parse_llama3_json("just some text")
+    assert calls is None and content == "just some text"
+    # python_tag prefix + multiple calls.
+    calls, _ = parse_llama3_json(
+        '<|python_tag|>{"name": "a", "arguments": {}};'
+        '{"name": "b", "parameters": {"x": 1}}')
+    assert calls is not None and [c.name for c in calls] == ["a", "b"]
+
+
+def test_sampling_param_validation():
+    with pytest.raises(ValueError):
+        SamplingParams(temperature=-1)
+    with pytest.raises(ValueError):
+        SamplingParams(top_p=0.0)
+    with pytest.raises(ValueError):
+        SamplingParams(top_k=0)
+    sp = SamplingParams(stop="END", stop_token_ids=[7])
+    assert sp.stop == ["END"] and 7 in sp._all_stop_token_ids
+
+
+def test_openai_protocol_parsing():
+    from vllm_neuron_tpu.server.protocol import sampling_from_body
+    sp = sampling_from_body({"max_tokens": 5, "temperature": 0.5,
+                             "logprobs": True, "top_logprobs": 3})
+    assert sp.max_tokens == 5 and sp.logprobs == 3
+    with pytest.raises(ValueError):
+        sampling_from_body({"temperature": "hot"})
+    with pytest.raises(ValueError):
+        sampling_from_body({"n": 2, "best_of": 3})

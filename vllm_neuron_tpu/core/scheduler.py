@@ -143,17 +143,21 @@ class Scheduler:
 
     # -- prefill-prioritized continuous batching -----------------------
 
-    def _can_admit(self, request: Request, num_admitted: int) -> bool:
+    def _can_admit(self, num_running_before: int, num_admitted: int) -> bool:
         """Reference can_schedule (core/scheduler.py:115-127): space in both
-        the decode batch and the prefill batch."""
-        start_new_batch = (len(self.running) + num_admitted) == 0
-        cond1 = (len(self.running) + num_admitted) < self.max_num_seqs
+        the decode batch and the prefill batch. ``num_running_before`` is the
+        running count at step start (self.running grows during admission)."""
+        total = num_running_before + num_admitted
+        start_new_batch = total == 0
+        cond1 = total < self.max_num_seqs
         cond2 = num_admitted < self.max_prompt_batch_size
         return start_new_batch or (cond1 and cond2)
 
     def _schedule_prefills(self, out: SchedulerOutput) -> bool:
         num_admitted = 0
-        while self.waiting and self._can_admit(self.waiting[0], num_admitted):
+        num_running_before = len(self.running)
+        while self.waiting and self._can_admit(num_running_before,
+                                               num_admitted):
             request = self.waiting[0]
             computed_blocks, num_cached = \
                 self.kv_manager.get_computed_blocks(request) \

@@ -28,6 +28,7 @@ from vllm_neuron_tpu.models.weights import (StackingLoader, iter_safetensors,
                                             transpose)
 from vllm_neuron_tpu.ops.norm import rms_norm
 from vllm_neuron_tpu.ops.ragged_attention import (RaggedMeta,
+                                                  gather_ctx_all_layers,
                                                   ragged_attention,
                                                   write_kv_pages_all)
 from vllm_neuron_tpu.ops.rope import apply_rope, compute_inv_freq
@@ -140,26 +141,25 @@ class EagleDraft:
         if params.get("fc_bias") is not None:
             x = x + params["fc_bias"]
         kv_flat = kv_pages.reshape(L * pages_total, page_size, combined, Dp)
-        import dataclasses
+        k_ctx_all, v_ctx_all = gather_ctx_all_layers(kv_pages,
+                                                     meta.page_indices)
 
         def layer(x, xs):
-            lp, l = xs
+            lp, k_ctx, v_ctx = xs
             h = rms_norm(x, lp["attn_norm"], self.rms_eps)
             q = (h @ lp["wq"]).reshape(N, nH, D)
             k = (h @ lp["wk"]).reshape(N, nKV, D)
             v = (h @ lp["wv"]).reshape(N, nKV, D)
             q, k = apply_rope(q, k, positions, self.inv_freq)
-            meta_l = dataclasses.replace(
-                meta, page_indices=meta.page_indices + l * pages_total)
-            attn = ragged_attention(q, kv_flat, meta_l, self.scale,
+            attn = ragged_attention(q, None, meta, self.scale,
                                     kind=kind, backend=attn_backend,
-                                    new_kv=(k, v))
+                                    new_kv=(k, v), ctx=(k_ctx, v_ctx))
             x = x + attn.reshape(N, nH * D) @ lp["wo"]
             h = rms_norm(x, lp["mlp_norm"], self.rms_eps)
             x = x + (jax.nn.silu(h @ lp["wg"]) * (h @ lp["wu"])) @ lp["wd"]
             return x, (k, v)
 
         x, (ks, vs) = jax.lax.scan(
-            layer, x, (params["layers"], jnp.arange(L, dtype=jnp.int32)))
+            layer, x, (params["layers"], k_ctx_all, v_ctx_all))
         kv_flat = write_kv_pages_all(kv_flat, ks, vs, meta.slot_mapping)
         return x, kv_flat.reshape(L, pages_total, page_size, combined, Dp)

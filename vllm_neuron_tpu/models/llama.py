@@ -36,6 +36,7 @@ from vllm_neuron_tpu.models.weights import (StackingLoader, iter_safetensors,
                                             transpose)
 from vllm_neuron_tpu.ops.quant import linear, quantize_per_channel
 from vllm_neuron_tpu.ops.ragged_attention import (RaggedMeta,
+                                                  gather_ctx_all_layers,
                                                   ragged_attention,
                                                   write_kv_pages_all)
 from vllm_neuron_tpu.ops.norm import rms_norm
@@ -209,10 +210,13 @@ class LlamaForCausalLM:
         # the loop. XLA's scatter has a flat per-call cost on TPU — batching
         # it is an ~L-fold saving over scatter-per-layer.
         kv_flat = kv_pages.reshape(L * pages, page_size, combined, Dp)
-        layer_ids = jnp.arange(L, dtype=jnp.int32)
+        # ONE page gather serves every layer (dynamic-index ops have a flat
+        # per-call cost on TPU); the scan consumes per-layer slices.
+        k_ctx_all, v_ctx_all = gather_ctx_all_layers(kv_pages,
+                                                     meta.page_indices)
 
         def layer(x, xs):
-            lp, l = xs
+            lp, k_ctx, v_ctx = xs
             h = rms_norm(x, lp["attn_norm"], self.rms_eps)
             q = linear(h, lp, "wq")
             k = linear(h, lp, "wk")
@@ -229,17 +233,17 @@ class LlamaForCausalLM:
                 k = rms_norm(k, lp["k_norm"], self.rms_eps)
             q, k = apply_rope(q, k, positions, self.inv_freq,
                               self.attention_scaling)
-            meta_l = dataclasses.replace(
-                meta, page_indices=meta.page_indices + l * pages)
-            attn = ragged_attention(q, kv_flat, meta_l, self.scale,
+            attn = ragged_attention(q, None, meta, self.scale,
                                     self.sliding_window, kind=kind,
-                                    backend=attn_backend, new_kv=(k, v))
+                                    backend=attn_backend, new_kv=(k, v),
+                                    ctx=(k_ctx, v_ctx))
             x = x + linear(attn.reshape(N, nH * D), lp, "wo")
             h = rms_norm(x, lp["mlp_norm"], self.rms_eps)
             x = x + self._mlp(lp, h)
             return x, (k, v)
 
-        x, (ks, vs) = jax.lax.scan(layer, x, (params["layers"], layer_ids))
+        x, (ks, vs) = jax.lax.scan(
+            layer, x, (params["layers"], k_ctx_all, v_ctx_all))
         kv_flat = write_kv_pages_all(kv_flat, ks, vs, meta.slot_mapping)
         return x, kv_flat.reshape(L, pages, page_size, combined, Dp)
 

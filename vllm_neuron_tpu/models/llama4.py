@@ -35,6 +35,7 @@ from vllm_neuron_tpu.models.weights import iter_safetensors, transpose
 from vllm_neuron_tpu.ops.moe import moe_mlp_llama4
 from vllm_neuron_tpu.ops.norm import rms_norm
 from vllm_neuron_tpu.ops.ragged_attention import (RaggedMeta,
+                                                  gather_ctx_all_layers,
                                                   ragged_attention,
                                                   write_kv_pages_all)
 from vllm_neuron_tpu.ops.rope import compute_inv_freq
@@ -227,6 +228,8 @@ class Llama4ForCausalLM:
             x = jnp.where(override_mask[:, None], override.astype(x.dtype),
                           x)
         kv_flat = kv_pages.reshape(L * pages, page_size, combined, Dp)
+        k_ctx_all, v_ctx_all = gather_ctx_all_layers(kv_pages,
+                                                     meta.page_indices)
         ks, vs = [], []
 
         for l, lp in enumerate(params["layers"]):
@@ -249,13 +252,12 @@ class Llama4ForCausalLM:
                      attn_scales[:, None, None]).astype(q.dtype)
             ks.append(k)
             vs.append(v)
-            meta_l = dataclasses.replace(
-                meta, page_indices=meta.page_indices + l * pages)
             chunk = self.attention_chunk_size if use_rope else None
-            attn = ragged_attention(q, kv_flat, meta_l, self.scale,
+            attn = ragged_attention(q, None, meta, self.scale,
                                     self.sliding_window, kind=kind,
                                     backend=attn_backend, chunk_size=chunk,
-                                    new_kv=(k, v))
+                                    new_kv=(k, v),
+                                    ctx=(k_ctx_all[l], v_ctx_all[l]))
             x = x + attn.reshape(N, nH * D) @ lp["wo"]
             h = rms_norm(x, lp["mlp_norm"], self.rms_eps)
             if "router" in lp:

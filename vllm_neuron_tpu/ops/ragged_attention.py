@@ -171,6 +171,27 @@ def write_kv_pages_all(kv_flat: jax.Array, ks: jax.Array, vs: jax.Array,
 # ---------------------------------------------------------------------------
 
 
+def gather_ctx_all_layers(kv_pages: jax.Array,
+                          page_indices: jax.Array
+                          ) -> tuple[jax.Array, jax.Array]:
+    """ONE page gather covering every layer (dynamic-index ops have a flat
+    ~1 ms cost on TPU, so L per-layer gathers dominated the step; batching
+    them costs one flat overhead plus the actual HBM traffic). Safe because
+    cache writes are deferred to the end of the step — the cache is
+    read-only while layers run.
+
+    kv_pages: [L, pages, ps, 2Hkv, Dp]; page_indices: [B, PP].
+    Returns (k, v): each [L, B, PP*ps, Hkv, Dp].
+    """
+    L, pages, ps, two_hkv, Dp = kv_pages.shape
+    B, PP = page_indices.shape
+    ctx = kv_pages[:, page_indices]  # [L, B, PP, ps, 2Hkv, Dp]
+    if jnp.dtype(ctx.dtype).itemsize == 1:  # fp8 KV storage
+        ctx = ctx.astype(jnp.bfloat16)
+    ctx = ctx.reshape(L, B, PP * ps, two_hkv, Dp)
+    return ctx[:, :, :, 0::2], ctx[:, :, :, 1::2]
+
+
 def _gather_ctx(kv_pages_l: jax.Array, page_indices: jax.Array
                 ) -> tuple[jax.Array, jax.Array]:
     """Gather each row's context pages. page_indices: [B, PP] ->
@@ -241,7 +262,7 @@ def _dense_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     return out.reshape(B, T, Hq, D).astype(q.dtype)
 
 
-def _decode_attention_dense(q: jax.Array, kv_pages_l: jax.Array,
+def _decode_attention_dense(q: jax.Array, ctx: tuple,
                             meta: RaggedMeta, sm_scale: float,
                             sliding_window: Optional[int],
                             chunk_size: Optional[int] = None,
@@ -249,7 +270,7 @@ def _decode_attention_dense(q: jax.Array, kv_pages_l: jax.Array,
     """Decode step: every row is one sequence contributing one token
     (N == S_step). kv_lens == 0 marks inactive pad rows."""
     N = q.shape[0]
-    k, v = _gather_ctx(kv_pages_l, meta.page_indices)
+    k, v = ctx
     q_pos = (meta.kv_lens - 1)[:, None]  # [N, 1]; -1 for inactive rows
     nk, nv = new_kv
     ctx_lens = jnp.maximum(meta.kv_lens - 1, 0)
@@ -259,7 +280,7 @@ def _decode_attention_dense(q: jax.Array, kv_pages_l: jax.Array,
     return out[:, 0]
 
 
-def _spec_verify_attention_dense(q: jax.Array, kv_pages_l: jax.Array,
+def _spec_verify_attention_dense(q: jax.Array, ctx: tuple,
                                  meta: RaggedMeta, sm_scale: float,
                                  sliding_window: Optional[int],
                                  chunk_size: Optional[int] = None,
@@ -270,7 +291,7 @@ def _spec_verify_attention_dense(q: jax.Array, kv_pages_l: jax.Array,
     positions kv_len - T .. kv_len - 1."""
     B = meta.kv_lens.shape[0]
     T = q.shape[0] // B
-    k, v = _gather_ctx(kv_pages_l, meta.page_indices)
+    k, v = ctx
     t = jnp.arange(T, dtype=jnp.int32)
     q_pos = meta.kv_lens[:, None] - T + t[None]  # negative for pad rows
     nk, nv = new_kv
@@ -283,7 +304,7 @@ def _spec_verify_attention_dense(q: jax.Array, kv_pages_l: jax.Array,
     return out.reshape(B * T, *q.shape[1:])
 
 
-def _prefill_attention_dense(q: jax.Array, kv_pages_l: jax.Array,
+def _prefill_attention_dense(q: jax.Array, ctx: tuple,
                              meta: RaggedMeta, sm_scale: float,
                              sliding_window: Optional[int],
                              chunk_size: Optional[int] = None,
@@ -295,7 +316,7 @@ def _prefill_attention_dense(q: jax.Array, kv_pages_l: jax.Array,
     T = q.shape[0]
     kv_len = meta.kv_lens[0]
     q_len = meta.cu_q_lens[1]
-    k, v = _gather_ctx(kv_pages_l, meta.page_indices[:1])
+    k, v = ctx
     t = jnp.arange(T, dtype=jnp.int32)
     q_pos = (kv_len - q_len + t)[None]  # pad tokens get pos >= kv_len; their
     # rows attend to the full prefix (harmless: outputs discarded).
@@ -412,15 +433,19 @@ def default_backend() -> str:
     return "pallas" if platform == "tpu" else "jnp"
 
 
-def ragged_attention(q: jax.Array, kv_pages_l: jax.Array, meta: RaggedMeta,
+def ragged_attention(q: jax.Array, kv_pages_l, meta: RaggedMeta,
                      sm_scale: float,
                      sliding_window: Optional[int] = None,
                      kind: str = "mixed",
                      backend: Optional[str] = None,
                      chunk_size: Optional[int] = None,
-                     new_kv: Optional[tuple] = None) -> jax.Array:
-    """q: [N, Hq, D]; kv_pages_l: [pages, page_size, 2*Hkv, Dp>=D] (already
-    containing this step's scattered K/V). Returns [N, Hq, D] in q.dtype.
+                     new_kv: Optional[tuple] = None,
+                     ctx: Optional[tuple] = None) -> jax.Array:
+    """q: [N, Hq, D]. For the dense kinds, pass ``ctx`` = this layer's
+    pre-gathered cached context (from gather_ctx_all_layers) and ``new_kv``
+    = this step's in-flight K/V; kv_pages_l may be None. The "mixed"
+    backends still take kv_pages_l [pages, ps, 2*Hkv, Dp] with the step's
+    K/V already scattered. Returns [N, Hq, D] in q.dtype.
 
     ``kind`` is a static hint from the scheduler about the step's shape:
     - "decode":  every row is one sequence, one new token (N == S_step);
@@ -432,20 +457,20 @@ def ragged_attention(q: jax.Array, kv_pages_l: jax.Array, meta: RaggedMeta,
     """
     backend = backend or default_backend()
     D = q.shape[-1]
-    Dp = kv_pages_l.shape[-1]
+    Dp = ctx[0].shape[-1] if ctx is not None else kv_pages_l.shape[-1]
     if D < Dp:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, Dp - D)))
         if new_kv is not None:
             new_kv = tuple(
                 jnp.pad(a, ((0, 0), (0, 0), (0, Dp - D))) for a in new_kv)
     if kind == "decode":
-        out = _decode_attention_dense(q, kv_pages_l, meta, sm_scale,
+        out = _decode_attention_dense(q, ctx, meta, sm_scale,
                                       sliding_window, chunk_size, new_kv)
     elif kind == "prefill":
-        out = _prefill_attention_dense(q, kv_pages_l, meta, sm_scale,
+        out = _prefill_attention_dense(q, ctx, meta, sm_scale,
                                        sliding_window, chunk_size, new_kv)
     elif kind == "spec_verify":
-        out = _spec_verify_attention_dense(q, kv_pages_l, meta, sm_scale,
+        out = _spec_verify_attention_dense(q, ctx, meta, sm_scale,
                                            sliding_window, chunk_size,
                                            new_kv)
     elif backend == "pallas":
