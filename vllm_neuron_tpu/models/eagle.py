@@ -28,9 +28,8 @@ from vllm_neuron_tpu.models.weights import (StackingLoader, iter_safetensors,
                                             transpose)
 from vllm_neuron_tpu.ops.norm import rms_norm
 from vllm_neuron_tpu.ops.ragged_attention import (RaggedMeta,
-                                                  gather_ctx_all_layers,
                                                   ragged_attention,
-                                                  write_kv_pages_all)
+                                                  write_kv_pages)
 from vllm_neuron_tpu.ops.rope import apply_rope, compute_inv_freq
 from vllm_neuron_tpu.utils import init_logger
 
@@ -141,25 +140,31 @@ class EagleDraft:
         if params.get("fc_bias") is not None:
             x = x + params["fc_bias"]
         kv_flat = kv_pages.reshape(L * pages_total, page_size, combined, Dp)
-        k_ctx_all, v_ctx_all = gather_ctx_all_layers(kv_pages,
-                                                     meta.page_indices)
+        valid = meta.slot_mapping >= 0
+        import dataclasses
 
-        def layer(x, xs):
-            lp, k_ctx, v_ctx = xs
+        def layer(carry, xs):
+            x, kv_flat = carry
+            lp, l = xs
             h = rms_norm(x, lp["attn_norm"], self.rms_eps)
             q = (h @ lp["wq"]).reshape(N, nH, D)
             k = (h @ lp["wk"]).reshape(N, nKV, D)
             v = (h @ lp["wv"]).reshape(N, nKV, D)
             q, k = apply_rope(q, k, positions, self.inv_freq)
-            attn = ragged_attention(q, None, meta, self.scale,
-                                    kind=kind, backend=attn_backend,
-                                    new_kv=(k, v), ctx=(k_ctx, v_ctx))
+            slots_l = jnp.where(
+                valid, meta.slot_mapping + l * (pages_total * page_size), -1)
+            kv_flat = write_kv_pages(kv_flat, k, v, slots_l)
+            meta_l = dataclasses.replace(
+                meta, slot_mapping=slots_l,
+                page_indices=meta.page_indices + l * pages_total)
+            attn = ragged_attention(q, kv_flat, meta_l, self.scale,
+                                    kind=kind, backend=attn_backend)
             x = x + attn.reshape(N, nH * D) @ lp["wo"]
             h = rms_norm(x, lp["mlp_norm"], self.rms_eps)
             x = x + (jax.nn.silu(h @ lp["wg"]) * (h @ lp["wu"])) @ lp["wd"]
-            return x, (k, v)
+            return (x, kv_flat), None
 
-        x, (ks, vs) = jax.lax.scan(
-            layer, x, (params["layers"], k_ctx_all, v_ctx_all))
-        kv_flat = write_kv_pages_all(kv_flat, ks, vs, meta.slot_mapping)
+        (x, kv_flat), _ = jax.lax.scan(
+            layer, (x, kv_flat),
+            (params["layers"], jnp.arange(L, dtype=jnp.int32)))
         return x, kv_flat.reshape(L, pages_total, page_size, combined, Dp)

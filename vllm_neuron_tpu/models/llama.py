@@ -36,9 +36,8 @@ from vllm_neuron_tpu.models.weights import (StackingLoader, iter_safetensors,
                                             transpose)
 from vllm_neuron_tpu.ops.quant import linear, quantize_per_channel
 from vllm_neuron_tpu.ops.ragged_attention import (RaggedMeta,
-                                                  gather_ctx_all_layers,
                                                   ragged_attention,
-                                                  write_kv_pages_all)
+                                                  write_kv_pages)
 from vllm_neuron_tpu.ops.norm import rms_norm
 from vllm_neuron_tpu.ops.rope import apply_rope, compute_inv_freq
 from vllm_neuron_tpu.utils import init_logger
@@ -194,29 +193,22 @@ class LlamaForCausalLM:
         kv_pages: [L, num_pages, page_size, 2*Hkv, D], updated in place via
         donation at the jit boundary. Returns (hidden [N, H], kv_pages).
         """
-        if kind not in ("prefill", "decode", "spec_verify"):
-            raise ValueError(
-                f"attention kind {kind!r} is not supported by the deferred-"
-                "write forward (the general ragged path needs per-layer "
-                "cache commits)")
         N = input_ids.shape[0]
         nH, nKV, D = self.num_heads, self.num_kv_heads, self.head_dim
         L, pages, page_size, combined, Dp = kv_pages.shape
         x = params["embed"][input_ids]  # [N, H]
-        # Deferred cache write: inside the scan the flat page buffer is a
-        # READ-ONLY closure input (gathered per layer at an offset); each
-        # layer's fresh K/V feed attention directly (in-flight K/V) and are
-        # stacked by the scan, then ONE scatter commits all L layers after
-        # the loop. XLA's scatter has a flat per-call cost on TPU — batching
-        # it is an ~L-fold saving over scatter-per-layer.
+        # The cache is carried through the layer scan as ONE flat page array
+        # [L*pages, ...]; each layer scatters into its own page range
+        # (offset l*pages). A scan CARRY updated only by scatter keeps the
+        # whole 10s-of-GB buffer in place across the XLA while loop — never
+        # sliced, never copied.
         kv_flat = kv_pages.reshape(L * pages, page_size, combined, Dp)
-        # ONE page gather serves every layer (dynamic-index ops have a flat
-        # per-call cost on TPU); the scan consumes per-layer slices.
-        k_ctx_all, v_ctx_all = gather_ctx_all_layers(kv_pages,
-                                                     meta.page_indices)
+        valid = meta.slot_mapping >= 0
+        layer_ids = jnp.arange(L, dtype=jnp.int32)
 
-        def layer(x, xs):
-            lp, k_ctx, v_ctx = xs
+        def layer(carry, xs):
+            x, kv_flat = carry
+            lp, l = xs
             h = rms_norm(x, lp["attn_norm"], self.rms_eps)
             q = linear(h, lp, "wq")
             k = linear(h, lp, "wk")
@@ -233,18 +225,23 @@ class LlamaForCausalLM:
                 k = rms_norm(k, lp["k_norm"], self.rms_eps)
             q, k = apply_rope(q, k, positions, self.inv_freq,
                               self.attention_scaling)
-            attn = ragged_attention(q, None, meta, self.scale,
+            slots_l = jnp.where(valid,
+                                meta.slot_mapping + l * (pages * page_size),
+                                -1)
+            kv_flat = write_kv_pages(kv_flat, k, v, slots_l)
+            meta_l = dataclasses.replace(
+                meta, slot_mapping=slots_l,
+                page_indices=meta.page_indices + l * pages)
+            attn = ragged_attention(q, kv_flat, meta_l, self.scale,
                                     self.sliding_window, kind=kind,
-                                    backend=attn_backend, new_kv=(k, v),
-                                    ctx=(k_ctx, v_ctx))
+                                    backend=attn_backend)
             x = x + linear(attn.reshape(N, nH * D), lp, "wo")
             h = rms_norm(x, lp["mlp_norm"], self.rms_eps)
             x = x + self._mlp(lp, h)
-            return x, (k, v)
+            return (x, kv_flat), None
 
-        x, (ks, vs) = jax.lax.scan(
-            layer, x, (params["layers"], k_ctx_all, v_ctx_all))
-        kv_flat = write_kv_pages_all(kv_flat, ks, vs, meta.slot_mapping)
+        (x, kv_flat), _ = jax.lax.scan(layer, (x, kv_flat),
+                                       (params["layers"], layer_ids))
         return x, kv_flat.reshape(L, pages, page_size, combined, Dp)
 
     def _mlp(self, lp: dict, h: jax.Array) -> jax.Array:

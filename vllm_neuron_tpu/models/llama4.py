@@ -35,9 +35,8 @@ from vllm_neuron_tpu.models.weights import iter_safetensors, transpose
 from vllm_neuron_tpu.ops.moe import moe_mlp_llama4
 from vllm_neuron_tpu.ops.norm import rms_norm
 from vllm_neuron_tpu.ops.ragged_attention import (RaggedMeta,
-                                                  gather_ctx_all_layers,
                                                   ragged_attention,
-                                                  write_kv_pages_all)
+                                                  write_kv_pages)
 from vllm_neuron_tpu.ops.rope import compute_inv_freq
 from vllm_neuron_tpu.utils import init_logger
 
@@ -228,9 +227,7 @@ class Llama4ForCausalLM:
             x = jnp.where(override_mask[:, None], override.astype(x.dtype),
                           x)
         kv_flat = kv_pages.reshape(L * pages, page_size, combined, Dp)
-        k_ctx_all, v_ctx_all = gather_ctx_all_layers(kv_pages,
-                                                     meta.page_indices)
-        ks, vs = [], []
+        valid = meta.slot_mapping >= 0
 
         for l, lp in enumerate(params["layers"]):
             h = rms_norm(x, lp["attn_norm"], self.rms_eps)
@@ -250,14 +247,16 @@ class Llama4ForCausalLM:
                         self.floor_scale)) * self.attn_scale + 1.0)
                 q = (q.astype(jnp.float32) *
                      attn_scales[:, None, None]).astype(q.dtype)
-            ks.append(k)
-            vs.append(v)
+            slots_l = jnp.where(
+                valid, meta.slot_mapping + l * (pages * page_size), -1)
+            kv_flat = write_kv_pages(kv_flat, k, v, slots_l)
+            meta_l = dataclasses.replace(
+                meta, slot_mapping=slots_l,
+                page_indices=meta.page_indices + l * pages)
             chunk = self.attention_chunk_size if use_rope else None
-            attn = ragged_attention(q, None, meta, self.scale,
+            attn = ragged_attention(q, kv_flat, meta_l, self.scale,
                                     self.sliding_window, kind=kind,
-                                    backend=attn_backend, chunk_size=chunk,
-                                    new_kv=(k, v),
-                                    ctx=(k_ctx_all[l], v_ctx_all[l]))
+                                    backend=attn_backend, chunk_size=chunk)
             x = x + attn.reshape(N, nH * D) @ lp["wo"]
             h = rms_norm(x, lp["mlp_norm"], self.rms_eps)
             if "router" in lp:
@@ -269,8 +268,6 @@ class Llama4ForCausalLM:
             else:
                 x = x + (jax.nn.silu(h @ lp["wg"]) *
                          (h @ lp["wu"])) @ lp["wd"]
-        kv_flat = write_kv_pages_all(kv_flat, jnp.stack(ks), jnp.stack(vs),
-                                     meta.slot_mapping)
         return x, kv_flat.reshape(L, pages, page_size, combined, Dp)
 
     def compute_logits(self, params: dict, hidden: jax.Array) -> jax.Array:

@@ -61,53 +61,8 @@ def padded_head_dim(head_dim: int) -> int:
     return 128 if head_dim < 128 else head_dim
 
 
-def _kv_scatter_pallas(flat: jax.Array, kv_new: jax.Array,
-                       slot_mapping: jax.Array) -> jax.Array:
-    """Row scatter as a Mosaic kernel: one VMEM->HBM DMA per token row,
-    writing in place through an input/output alias (no cache copy, no XLA
-    scatter lowering). flat: [num_slots, C, Dp]; kv_new: [N, C, Dp]."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    N = kv_new.shape[0]
-
-    def kernel(slots_ref, new_ref, kv_in_ref, kv_out_ref, sem):
-        def body(i, carry):
-            s = slots_ref[i]
-
-            @pl.when(s >= 0)
-            def _():
-                cp = pltpu.make_async_copy(new_ref.at[i], kv_out_ref.at[s],
-                                           sem)
-                cp.start()
-                cp.wait()
-
-            return carry
-
-        jax.lax.fori_loop(0, N, body, 0)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(1,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # kv_new
-            pl.BlockSpec(memory_space=pl.ANY),      # flat (aliased)
-        ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[pltpu.SemaphoreType.DMA],
-    )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(flat.shape, flat.dtype),
-        input_output_aliases={2: 0},  # flat -> output, in place
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(slot_mapping, kv_new, flat)
-
-
 def write_kv_pages(kv_pages_l: jax.Array, k: jax.Array, v: jax.Array,
-                   slot_mapping: jax.Array,
-                   backend: Optional[str] = None) -> jax.Array:
+                   slot_mapping: jax.Array) -> jax.Array:
     """Scatter new K/V into one layer's page cache.
 
     kv_pages_l: [num_pages, page_size, 2*Hkv, Dp]; k/v: [N, Hkv, D<=Dp];
@@ -121,42 +76,9 @@ def write_kv_pages(kv_pages_l: jax.Array, k: jax.Array, v: jax.Array,
     if D < Dp:
         kv_new = jnp.pad(kv_new, ((0, 0), (0, 0), (0, Dp - D)))
     flat = kv_pages_l.reshape(num_pages * page_size, two_hkv, Dp)
-    # XLA's row scatter measures faster than a per-row-DMA Mosaic kernel on
-    # v5e (0.75 vs 1.1 ms); the Mosaic variant (_kv_scatter_pallas) is kept
-    # for future tuning but is off by default.
-    if backend == "pallas":
-        flat = _kv_scatter_pallas(flat, kv_new, slot_mapping)
-    else:
-        flat = flat.at[slot_mapping].set(kv_new, mode="drop",
-                                         unique_indices=True)
+    flat = flat.at[slot_mapping].set(kv_new, mode="drop",
+                                     unique_indices=True)
     return flat.reshape(num_pages, page_size, two_hkv, Dp)
-
-
-def write_kv_pages_all(kv_flat: jax.Array, ks: jax.Array, vs: jax.Array,
-                       slot_mapping: jax.Array) -> jax.Array:
-    """ONE scatter for every layer's new K/V (the deferred cache write that
-    replaces L per-layer scatters inside the scan — XLA's scatter has a flat
-    per-call cost on TPU, so batching the rows is an ~L-fold saving).
-
-    kv_flat: [L*pages, page_size, 2*Hkv, Dp]; ks/vs: [L, N, Hkv, D];
-    slot_mapping: [N] with -1 drop; each layer l writes at slot +
-    l*pages_per_layer*page_size.
-    """
-    Ltot, page_size, two_hkv, Dp = kv_flat.shape
-    L, N, Hkv, D = ks.shape
-    pages_per_layer = Ltot // L
-    kv_new = jnp.stack([ks, vs], axis=3)  # [L, N, Hkv, 2, D]
-    kv_new = kv_new.reshape(L * N, two_hkv, D).astype(kv_flat.dtype)
-    if D < Dp:
-        kv_new = jnp.pad(kv_new, ((0, 0), (0, 0), (0, Dp - D)))
-    layer_off = (jnp.arange(L, dtype=jnp.int32) *
-                 (pages_per_layer * page_size))[:, None]
-    slots_all = jnp.where(slot_mapping[None, :] >= 0,
-                          slot_mapping[None, :] + layer_off, -1)
-    flat2 = kv_flat.reshape(Ltot * page_size, two_hkv, Dp)
-    flat2 = flat2.at[slots_all.reshape(-1)].set(kv_new, mode="drop",
-                                                unique_indices=True)
-    return flat2.reshape(Ltot, page_size, two_hkv, Dp)
 
 
 # ---------------------------------------------------------------------------
@@ -169,27 +91,6 @@ def write_kv_pages_all(kv_flat: jax.Array, ks: jax.Array, vs: jax.Array,
 # XLA's gather is a handful of wide DMAs, and the dense attention that
 # follows fuses into a single memory-bound loop.
 # ---------------------------------------------------------------------------
-
-
-def gather_ctx_all_layers(kv_pages: jax.Array,
-                          page_indices: jax.Array
-                          ) -> tuple[jax.Array, jax.Array]:
-    """ONE page gather covering every layer (dynamic-index ops have a flat
-    ~1 ms cost on TPU, so L per-layer gathers dominated the step; batching
-    them costs one flat overhead plus the actual HBM traffic). Safe because
-    cache writes are deferred to the end of the step — the cache is
-    read-only while layers run.
-
-    kv_pages: [L, pages, ps, 2Hkv, Dp]; page_indices: [B, PP].
-    Returns (k, v): each [L, B, PP*ps, Hkv, Dp].
-    """
-    L, pages, ps, two_hkv, Dp = kv_pages.shape
-    B, PP = page_indices.shape
-    ctx = kv_pages[:, page_indices]  # [L, B, PP, ps, 2Hkv, Dp]
-    if jnp.dtype(ctx.dtype).itemsize == 1:  # fp8 KV storage
-        ctx = ctx.astype(jnp.bfloat16)
-    ctx = ctx.reshape(L, B, PP * ps, two_hkv, Dp)
-    return ctx[:, :, :, 0::2], ctx[:, :, :, 1::2]
 
 
 def _gather_ctx(kv_pages_l: jax.Array, page_indices: jax.Array
@@ -206,18 +107,14 @@ def _gather_ctx(kv_pages_l: jax.Array, page_indices: jax.Array
 
 
 def _dense_attention(q: jax.Array, k: jax.Array, v: jax.Array,
-                     q_pos: jax.Array, ctx_lens: jax.Array, sm_scale: float,
+                     q_pos: jax.Array, kv_lens: jax.Array, sm_scale: float,
                      sliding_window: Optional[int],
-                     chunk_size: Optional[int] = None,
-                     new_kv: Optional[tuple] = None) -> jax.Array:
-    """Masked dense GQA attention with optional in-flight K/V.
+                     chunk_size: Optional[int] = None) -> jax.Array:
+    """Masked dense GQA attention.
 
-    q: [B, T, Hq, D]; k/v (cached context): [B, C, Hkv, D]; q_pos: [B, T]
-    absolute position of each query token (< 0 for pad rows); ctx_lens: [B]
-    CACHED context length (this step's own tokens are NOT in the cache yet —
-    their K/V arrive via ``new_kv`` [B, T, Hkv, D] at positions ctx_lens + j
-    with causal visibility j_pos <= q_pos). This is what lets the cache
-    write be deferred out of the layer scan.
+    q: [B, T, Hq, D]; k/v: [B, C, Hkv, D]; q_pos: [B, T] absolute position
+    of each query token (< 0 for pad rows); kv_lens: [B]. Key c is visible
+    to query (b, t) iff c <= q_pos[b, t] and c < kv_lens[b].
     """
     B, T, Hq, D = q.shape
     C, Hkv = k.shape[1], k.shape[2]
@@ -227,32 +124,13 @@ def _dense_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                         preferred_element_type=jnp.float32) * sm_scale
     kv_pos = jnp.arange(C, dtype=jnp.int32)
     mask = kv_pos[None, None, :] <= q_pos[:, :, None]  # [B, T, C]
-    mask &= kv_pos[None, None, :] < ctx_lens[:, None, None]
+    mask &= kv_pos[None, None, :] < kv_lens[:, None, None]
     if sliding_window is not None:
         mask &= kv_pos[None, None, :] > q_pos[:, :, None] - sliding_window
     if chunk_size is not None:
         # Llama-4 local layers: attention confined to position chunks.
         mask &= (kv_pos[None, None, :] // chunk_size) == \
             (q_pos[:, :, None] // chunk_size)
-
-    if new_kv is not None:
-        nk, nv = new_kv  # [B, T, Hkv, D]
-        nscores = jnp.einsum("btkgd,bjkd->bkgtj", qg, nk,
-                             preferred_element_type=jnp.float32) * sm_scale
-        j_pos = ctx_lens[:, None, None] + \
-            jnp.arange(T, dtype=jnp.int32)[None, None, :]  # [B, 1, T] abs
-        nmask = j_pos <= q_pos[:, :, None]  # causal over in-flight tokens
-        nmask &= (q_pos[:, :, None] >= 0)
-        if sliding_window is not None:
-            nmask &= j_pos > q_pos[:, :, None] - sliding_window
-        if chunk_size is not None:
-            nmask &= (j_pos // chunk_size) == (q_pos[:, :, None] //
-                                               chunk_size)
-        scores = jnp.concatenate(
-            [scores, nscores], axis=-1)  # [B, Hkv, G, T, C+T]
-        mask = jnp.concatenate([mask, nmask], axis=-1)
-        v = jnp.concatenate([v, nv.astype(v.dtype)], axis=1)
-
     has_any = jnp.any(mask, axis=-1, keepdims=True)
     scores = jnp.where(mask[:, None, None], scores, _NEG_INF)
     scores = jnp.where(has_any[:, None, None], scores, 0.0)
@@ -262,53 +140,43 @@ def _dense_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     return out.reshape(B, T, Hq, D).astype(q.dtype)
 
 
-def _decode_attention_dense(q: jax.Array, ctx: tuple,
+def _decode_attention_dense(q: jax.Array, kv_pages_l: jax.Array,
                             meta: RaggedMeta, sm_scale: float,
                             sliding_window: Optional[int],
-                            chunk_size: Optional[int] = None,
-                            new_kv: Optional[tuple] = None) -> jax.Array:
+                            chunk_size: Optional[int] = None) -> jax.Array:
     """Decode step: every row is one sequence contributing one token
     (N == S_step). kv_lens == 0 marks inactive pad rows."""
     N = q.shape[0]
-    k, v = ctx
+    k, v = _gather_ctx(kv_pages_l, meta.page_indices)
     q_pos = (meta.kv_lens - 1)[:, None]  # [N, 1]; -1 for inactive rows
-    nk, nv = new_kv
-    ctx_lens = jnp.maximum(meta.kv_lens - 1, 0)
-    out = _dense_attention(q[:, None], k, v, q_pos, ctx_lens, sm_scale,
-                           sliding_window, chunk_size,
-                           new_kv=(nk[:, None], nv[:, None]))
+    out = _dense_attention(q[:, None], k, v, q_pos, meta.kv_lens, sm_scale,
+                           sliding_window, chunk_size)
     return out[:, 0]
 
 
-def _spec_verify_attention_dense(q: jax.Array, ctx: tuple,
+def _spec_verify_attention_dense(q: jax.Array, kv_pages_l: jax.Array,
                                  meta: RaggedMeta, sm_scale: float,
                                  sliding_window: Optional[int],
-                                 chunk_size: Optional[int] = None,
-                                 new_kv: Optional[tuple] = None
+                                 chunk_size: Optional[int] = None
                                  ) -> jax.Array:
     """Speculative verification: every row is one sequence contributing
     exactly T = N_tokens / S_rows new tokens (the step token + K drafts),
     positions kv_len - T .. kv_len - 1."""
     B = meta.kv_lens.shape[0]
     T = q.shape[0] // B
-    k, v = ctx
+    k, v = _gather_ctx(kv_pages_l, meta.page_indices)
     t = jnp.arange(T, dtype=jnp.int32)
     q_pos = meta.kv_lens[:, None] - T + t[None]  # negative for pad rows
-    nk, nv = new_kv
-    ctx_lens = jnp.maximum(meta.kv_lens - T, 0)
     out = _dense_attention(q.reshape(B, T, *q.shape[1:]), k, v, q_pos,
-                           ctx_lens, sm_scale, sliding_window,
-                           chunk_size,
-                           new_kv=(nk.reshape(B, T, *nk.shape[1:]),
-                                   nv.reshape(B, T, *nv.shape[1:])))
+                           meta.kv_lens, sm_scale, sliding_window,
+                           chunk_size)
     return out.reshape(B * T, *q.shape[1:])
 
 
-def _prefill_attention_dense(q: jax.Array, ctx: tuple,
+def _prefill_attention_dense(q: jax.Array, kv_pages_l: jax.Array,
                              meta: RaggedMeta, sm_scale: float,
                              sliding_window: Optional[int],
-                             chunk_size: Optional[int] = None,
-                             new_kv: Optional[tuple] = None) -> jax.Array:
+                             chunk_size: Optional[int] = None) -> jax.Array:
     """Context-encoding step: ONE sequence (reference policy: at most one
     prompt per prefill step, vllm_neuron/core/scheduler.py:116) whose
     q_len = cu_q_lens[1] new tokens sit at the end of kv_lens[0] total
@@ -316,15 +184,12 @@ def _prefill_attention_dense(q: jax.Array, ctx: tuple,
     T = q.shape[0]
     kv_len = meta.kv_lens[0]
     q_len = meta.cu_q_lens[1]
-    k, v = ctx
+    k, v = _gather_ctx(kv_pages_l, meta.page_indices[:1])
     t = jnp.arange(T, dtype=jnp.int32)
     q_pos = (kv_len - q_len + t)[None]  # pad tokens get pos >= kv_len; their
     # rows attend to the full prefix (harmless: outputs discarded).
-    nk, nv = new_kv
-    ctx_lens = jnp.maximum(kv_len - q_len, 0)[None]  # cached prefix only
-    out = _dense_attention(q[None], k, v, q_pos, ctx_lens, sm_scale,
-                           sliding_window, chunk_size,
-                           new_kv=(nk[None], nv[None]))
+    out = _dense_attention(q[None], k, v, q_pos, meta.kv_lens[:1], sm_scale,
+                           sliding_window, chunk_size)
     return out[0]
 
 
@@ -433,19 +298,14 @@ def default_backend() -> str:
     return "pallas" if platform == "tpu" else "jnp"
 
 
-def ragged_attention(q: jax.Array, kv_pages_l, meta: RaggedMeta,
+def ragged_attention(q: jax.Array, kv_pages_l: jax.Array, meta: RaggedMeta,
                      sm_scale: float,
                      sliding_window: Optional[int] = None,
                      kind: str = "mixed",
                      backend: Optional[str] = None,
-                     chunk_size: Optional[int] = None,
-                     new_kv: Optional[tuple] = None,
-                     ctx: Optional[tuple] = None) -> jax.Array:
-    """q: [N, Hq, D]. For the dense kinds, pass ``ctx`` = this layer's
-    pre-gathered cached context (from gather_ctx_all_layers) and ``new_kv``
-    = this step's in-flight K/V; kv_pages_l may be None. The "mixed"
-    backends still take kv_pages_l [pages, ps, 2*Hkv, Dp] with the step's
-    K/V already scattered. Returns [N, Hq, D] in q.dtype.
+                     chunk_size: Optional[int] = None) -> jax.Array:
+    """q: [N, Hq, D]; kv_pages_l: [pages, page_size, 2*Hkv, Dp>=D] (already
+    containing this step's scattered K/V). Returns [N, Hq, D] in q.dtype.
 
     ``kind`` is a static hint from the scheduler about the step's shape:
     - "decode":  every row is one sequence, one new token (N == S_step);
@@ -457,22 +317,18 @@ def ragged_attention(q: jax.Array, kv_pages_l, meta: RaggedMeta,
     """
     backend = backend or default_backend()
     D = q.shape[-1]
-    Dp = ctx[0].shape[-1] if ctx is not None else kv_pages_l.shape[-1]
+    Dp = kv_pages_l.shape[-1]
     if D < Dp:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, Dp - D)))
-        if new_kv is not None:
-            new_kv = tuple(
-                jnp.pad(a, ((0, 0), (0, 0), (0, Dp - D))) for a in new_kv)
     if kind == "decode":
-        out = _decode_attention_dense(q, ctx, meta, sm_scale,
-                                      sliding_window, chunk_size, new_kv)
+        out = _decode_attention_dense(q, kv_pages_l, meta, sm_scale,
+                                      sliding_window, chunk_size)
     elif kind == "prefill":
-        out = _prefill_attention_dense(q, ctx, meta, sm_scale,
-                                       sliding_window, chunk_size, new_kv)
+        out = _prefill_attention_dense(q, kv_pages_l, meta, sm_scale,
+                                       sliding_window, chunk_size)
     elif kind == "spec_verify":
-        out = _spec_verify_attention_dense(q, ctx, meta, sm_scale,
-                                           sliding_window, chunk_size,
-                                           new_kv)
+        out = _spec_verify_attention_dense(q, kv_pages_l, meta, sm_scale,
+                                           sliding_window, chunk_size)
     elif backend == "pallas":
         out = _ragged_attention_pallas(q, kv_pages_l, meta, sm_scale,
                                        sliding_window)
