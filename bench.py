@@ -15,6 +15,7 @@ so vs_baseline compares against this repo's best previously recorded value
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -25,6 +26,11 @@ GEN_TOKENS = 128
 MAX_MODEL_LEN = 2048
 BLOCK_SIZE = 32
 PREV_BEST = None  # set after the first recorded round
+# Variant knobs (experiments): BENCH_QUANT=int8|fp8, BENCH_KV_DTYPE=fp8,
+# BENCH_DECODE_WINDOW=16.
+QUANT = os.environ.get("BENCH_QUANT") or None
+KV_DTYPE = os.environ.get("BENCH_KV_DTYPE", "auto")
+DECODE_WINDOW = int(os.environ.get("BENCH_DECODE_WINDOW", "8"))
 
 
 def build_engine():
@@ -47,15 +53,19 @@ def build_engine():
         tie_word_embeddings=False,
     )
     hf.architectures = ["LlamaForCausalLM"]
+    from vllm_neuron_tpu.config import QuantConfig
     config = EngineConfig(
         model=ModelConfig(model="__random__", tokenizer="__random__",
                           dtype="bfloat16", max_model_len=MAX_MODEL_LEN,
                           hf_config=hf, load_format="random"),
-        cache=CacheConfig(block_size=BLOCK_SIZE, enable_prefix_caching=True),
-        scheduler=SchedulerConfig(max_num_seqs=BATCH),
+        cache=CacheConfig(block_size=BLOCK_SIZE, enable_prefix_caching=True,
+                          kv_cache_dtype=KV_DTYPE),
+        scheduler=SchedulerConfig(max_num_seqs=BATCH,
+                                  decode_window=DECODE_WINDOW),
         bucketing=BucketingConfig(
             context_encoding_buckets=[512, 1024, 2048],
             token_generation_buckets=[BATCH]),
+        quant=QuantConfig(quantization=QUANT),
     )
     return EngineCore(config)
 

@@ -71,6 +71,9 @@ class InputBatch:
                                      dtype=np.int32)
         self.context_lens = np.zeros(max_num_seqs, dtype=np.int32)
         self.last_tokens = np.zeros(max_num_seqs, dtype=np.int32)
+        self.num_computed = np.zeros(max_num_seqs, dtype=np.int32)
+        self.num_blocks = np.zeros(max_num_seqs, dtype=np.int32)
+        self.needs_host = np.zeros(max_num_seqs, dtype=bool)
         # Dense sampling-param mirrors for the on-device sampler
         # (reference analogue: prepare_sampling_params [B,3] tensor,
         # model_runner.py:1106-1140).
@@ -108,6 +111,8 @@ class InputBatch:
         self.block_tables[row, :nb] = block_ids[:nb]
         self.block_tables[row, nb:] = 0
         self.context_lens[row] = num_computed_tokens
+        self.num_computed[row] = num_computed_tokens
+        self.num_blocks[row] = nb
         sp = sampling_params
         self.temperature[row] = sp.temperature
         self.top_k[row] = sp.top_k
@@ -124,6 +129,7 @@ class InputBatch:
         end = min(len(state.block_ids), self.max_blocks_per_seq)
         self.block_tables[state.row, start:end] = \
             new_block_ids[:end - start]
+        self.num_blocks[state.row] = end
 
     def remove_request(self, req_id: str) -> None:
         state = self.requests.pop(req_id, None)
@@ -135,6 +141,9 @@ class InputBatch:
         self.block_tables[row] = 0
         self.context_lens[row] = 0
         self.last_tokens[row] = 0
+        self.num_computed[row] = 0
+        self.num_blocks[row] = 0
+        self.needs_host[row] = False
         self.temperature[row] = 1.0
         self.top_k[row] = -1
         self.top_p[row] = 1.0

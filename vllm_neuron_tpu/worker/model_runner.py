@@ -126,12 +126,17 @@ class ModelRunner:
             )
             self._sampler_states[new.req_id] = RequestSamplerState(
                 new.sampling_params, new.prompt_token_ids)
+        for new in so.scheduled_new_reqs:
+            state = self.input_batch.requests[new.req_id]
+            self.input_batch.needs_host[state.row] = self._needs_host(state)
         cached = so.scheduled_cached_reqs
         for i, req_id in enumerate(cached.req_ids):
             state = self.input_batch.requests[req_id]
             self.input_batch.append_block_ids(req_id,
                                               cached.new_block_ids[i])
             state.num_computed_tokens = cached.num_computed_tokens[i]
+            self.input_batch.num_computed[state.row] = \
+                cached.num_computed_tokens[i]
 
     # ------------------------------------------------------------------
     # Execution (unified ragged step)
@@ -357,34 +362,46 @@ class ModelRunner:
         return results
 
     def _decode_arrays(self, states, K: int):
+        """Assemble one decode window's host arrays — fully vectorized over
+        the InputBatch's dense per-row mirrors (the reference's pure-Python
+        per-token input prep, model_runner.py:757-763, is the anti-pattern
+        this replaces)."""
+        ib = self.input_batch
+        bs = self.block_size
         n = len(states)
         N = self.config.bucketing.token_bucket(n)
+        rows = np.fromiter((s.row for s in states), np.int32, n)
+        nct = ib.num_computed[rows]  # [n]
+
         token_ids = np.zeros(N, np.int32)
+        token_ids[:n] = ib.last_tokens[rows]
         positions = np.zeros(N, np.int32)
-        slot_table = np.full((K, N), -1, np.int32)
+        positions[:n] = nct
         kv_lens = np.zeros(N, np.int32)
+        kv_lens[:n] = nct + 1
+
+        bt = ib.block_tables[rows]  # [n, P]
+        pos = nct[None, :] + np.arange(K, dtype=np.int32)[:, None]  # [K, n]
+        cap = (ib.num_blocks[rows] * bs)[None, :]
+        blk = np.minimum(pos // bs, self.max_blocks_per_seq - 1)
+        slots = bt[np.arange(n)[None, :], blk] * bs + pos % bs
+        slot_table = np.full((K, N), -1, np.int32)
+        # Rows clamped by block capacity get -1 (KV write skipped; sampled
+        # overshoot discarded by the scheduler).
+        slot_table[:, :n] = np.where(pos < cap, slots, -1)
+
         temperature = np.zeros(N, np.float32)
         top_k = np.full(N, -1, np.int32)
         top_p = np.ones(N, np.float32)
-        max_pages = 1
-        for i, state in enumerate(states):
-            nct = state.num_computed_tokens
-            token_ids[i] = state.token_at(nct)
-            positions[i] = nct
-            # Slots for this row's K steps; clamped rows get -1 (KV write
-            # skipped, sampled overshoot discarded by the scheduler).
-            k_req = min(K, len(state.block_ids) * self.block_size - nct)
-            slot_table[:k_req, i] = self._slot_mapping_for_range(
-                state.block_ids, nct, nct + k_req)
-            kv_lens[i] = nct + 1
-            max_pages = max(max_pages, cdiv(nct + K, self.block_size))
-            self._sampling_row(state, (temperature, top_k, top_p), i)
+        temperature[:n] = ib.temperature[rows]
+        top_k[:n] = ib.top_k[rows]
+        top_p[:n] = ib.top_p[rows]
+
+        max_pages = cdiv(int(nct.max()) + K, bs) if n else 1
         PP = self.config.bucketing.page_bucket(
             min(max_pages, self.max_blocks_per_seq))
         page_indices = np.zeros((N, PP), np.int32)
-        for i, state in enumerate(states):
-            nb = min(len(state.block_ids), PP)
-            page_indices[i, :nb] = state.block_ids[:nb]
+        page_indices[:n] = bt[:, :PP]
         return (N, token_ids, positions, slot_table, kv_lens, page_indices,
                 temperature, top_k, top_p)
 
