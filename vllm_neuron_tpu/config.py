@@ -205,6 +205,14 @@ class SchedulerConfig:
     # device; the host syncs once per window). Tokens generated past a stop
     # condition inside a window are discarded by the scheduler. 1 disables.
     decode_window: int = 8
+    # Optimistic cross-window pipelining: dispatch window w+1 (device-resident
+    # token carry, arithmetic continuation) BEFORE fetching window w, so the
+    # device never idles on the host round trip. Mispredictions (a request
+    # stopped/finished/preempted, or a prefill intervened) discard the
+    # speculative window; correctness is unaffected because its KV writes
+    # land strictly above every accepted position and are rewritten by the
+    # real window.
+    async_decode: bool = True
 
     def finalize(self, model_config: ModelConfig) -> None:
         if self.max_num_batched_tokens < model_config.max_model_len and \

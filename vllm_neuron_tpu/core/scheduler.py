@@ -211,7 +211,14 @@ class Scheduler:
                 remaining_out = ((sp.max_tokens - request.num_output_tokens)
                                  if sp.max_tokens is not None else window)
                 num_new = max(1, min(window, remaining_len, remaining_out))
-            new_block_ids = self.kv_manager.allocate_slots(request, num_new)
+            # With async decode the runner may dispatch the NEXT window
+            # before this one is fetched; reserve its KV blocks now so the
+            # speculative slot table is real.
+            lookahead = window if self.scheduler_config.async_decode else 0
+            num_alloc = max(1, min(num_new + lookahead,
+                                   self.max_model_len -
+                                   request.num_computed_tokens))
+            new_block_ids = self.kv_manager.allocate_slots(request, num_alloc)
             while new_block_ids is None:
                 if not self._try_preempt(exclude=request):
                     # Cannot free anything else: preempt this request itself.
@@ -219,7 +226,7 @@ class Scheduler:
                     skipped.append(request)
                     break
                 new_block_ids = self.kv_manager.allocate_slots(
-                    request, num_new)
+                    request, num_alloc)
             if request in skipped:
                 continue
             cached.req_ids.append(request.req_id)

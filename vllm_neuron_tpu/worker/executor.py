@@ -176,19 +176,20 @@ class ModelExecutor:
 
         return jax.jit(fn, donate_argnums=(1,))
 
-    def run_decode_window(self, first_tokens: np.ndarray,
-                          positions0: np.ndarray, slot_table: np.ndarray,
-                          kv_lens0: np.ndarray, page_indices: np.ndarray,
-                          num_seqs: int, temperature: np.ndarray,
-                          top_k: np.ndarray, top_p: np.ndarray) -> np.ndarray:
-        """K pipelined decode steps with device-resident token feedback: the
-        K dispatches enqueue back-to-back (each step's sampled tokens feed
-        the next WITHOUT visiting the host) and the host pays ONE
-        device-round-trip per window instead of per token. Reuses the
-        single-step program — no extra compilation.
+    def dispatch_decode_window(self, first_tokens, positions0: np.ndarray,
+                               slot_table: np.ndarray, kv_lens0: np.ndarray,
+                               page_indices: np.ndarray, num_seqs: int,
+                               temperature: np.ndarray, top_k: np.ndarray,
+                               top_p: np.ndarray) -> dict:
+        """Enqueue K pipelined decode steps with device-resident token
+        feedback (each step's sampled tokens feed the next WITHOUT visiting
+        the host). Returns a handle with device arrays; fetch with
+        ``fetch_decode_window``. ``first_tokens`` may be a host array or a
+        device array carried from a previous window's last step (optimistic
+        cross-window chaining).
 
-        first_tokens/positions0/kv_lens0: [N]; slot_table: [K, N] (-1 skips
-        the KV write); page_indices: [N, PP]. Returns sampled tokens [K, N].
+        positions0/kv_lens0: [N]; slot_table: [K, N] (-1 skips the KV
+        write); page_indices: [N, PP].
         """
         K, N = slot_table.shape
         key = ("step", "decode", N, page_indices.shape, False)
@@ -221,9 +222,21 @@ class ModelExecutor:
                                      positions_all[k], meta, li, temp, tk,
                                      tp, seed)
             outs.append(toks)
-        # Stack on device and fetch once — K sequential device_gets would be
-        # K round trips.
-        return np.asarray(jax.device_get(jnp.stack(outs)))
+        # Stack on device; fetching K arrays separately would be K trips.
+        return {"tokens": jnp.stack(outs), "last": toks}
+
+    def fetch_decode_window(self, handle: dict) -> np.ndarray:
+        """Block for a dispatched window; returns sampled tokens [K, N]."""
+        return np.asarray(jax.device_get(handle["tokens"]))
+
+    def run_decode_window(self, first_tokens: np.ndarray,
+                          positions0: np.ndarray, slot_table: np.ndarray,
+                          kv_lens0: np.ndarray, page_indices: np.ndarray,
+                          num_seqs: int, temperature: np.ndarray,
+                          top_k: np.ndarray, top_p: np.ndarray) -> np.ndarray:
+        return self.fetch_decode_window(self.dispatch_decode_window(
+            first_tokens, positions0, slot_table, kv_lens0, page_indices,
+            num_seqs, temperature, top_k, top_p))
 
     def _get_fn(self, key: tuple, builder: Callable) -> Callable:
         fn = self._fns.get(key)

@@ -50,6 +50,10 @@ class ModelRunner:
         self._sampler_states: dict[str, RequestSamplerState] = {}
         # Host sampling for everything (debug / oracle) when disabled.
         self.on_device_sampling = config.sampler.on_device_sampling
+        # Optimistic cross-window pipelining state: the already-dispatched
+        # next decode window, keyed by its assumptions.
+        self.async_decode = config.scheduler.async_decode
+        self._inflight: Optional[dict] = None
 
     # ------------------------------------------------------------------
 
@@ -361,17 +365,18 @@ class ModelRunner:
             results[req_id] = (toks, None)
         return results
 
-    def _decode_arrays(self, states, K: int):
+    def _decode_arrays(self, states, K: int, nct_offset: int = 0):
         """Assemble one decode window's host arrays — fully vectorized over
         the InputBatch's dense per-row mirrors (the reference's pure-Python
         per-token input prep, model_runner.py:757-763, is the anti-pattern
-        this replaces)."""
+        this replaces). ``nct_offset`` shifts the window start (optimistic
+        next-window dispatch)."""
         ib = self.input_batch
         bs = self.block_size
         n = len(states)
         N = self.config.bucketing.token_bucket(n)
         rows = np.fromiter((s.row for s in states), np.int32, n)
-        nct = ib.num_computed[rows]  # [n]
+        nct = ib.num_computed[rows] + nct_offset  # [n]
 
         token_ids = np.zeros(N, np.int32)
         token_ids[:n] = ib.last_tokens[rows]
@@ -405,14 +410,53 @@ class ModelRunner:
         return (N, token_ids, positions, slot_table, kv_lens, page_indices,
                 temperature, top_k, top_p)
 
+    def _window_key(self, items, states) -> tuple:
+        return (tuple(req_id for req_id, _ in items),
+                tuple(int(self.input_batch.num_computed[s.row])
+                      for s in states))
+
+    def _dispatch_window(self, items, states, K: int, nct_offset: int,
+                         first_tokens) -> dict:
+        """Dispatch one K-step window starting nct_offset tokens ahead of
+        the current computed counts. first_tokens: host array or device
+        carry."""
+        (N, token_ids, positions, slot_table, kv_lens, page_indices,
+         temperature, top_k, top_p) = self._decode_arrays(states, K,
+                                                          nct_offset)
+        handle = self.executor.dispatch_decode_window(
+            first_tokens if first_tokens is not None else token_ids,
+            positions, slot_table, kv_lens, page_indices,
+            num_seqs=len(states), temperature=temperature, top_k=top_k,
+            top_p=top_p)
+        handle["K"] = K
+        return handle
+
     def _run_decode_window(self, items, states, K: int
                            ) -> dict[str, tuple[list[int], object]]:
-        (N, token_ids, positions, slot_table, kv_lens, page_indices,
-         temperature, top_k, top_p) = self._decode_arrays(states, K)
-        all_tokens = self.executor.run_decode_window(
-            token_ids, positions, slot_table, kv_lens, page_indices,
-            num_seqs=len(states), temperature=temperature, top_k=top_k,
-            top_p=top_p)  # [K, N]
+        """Fetch this step's window — reusing the optimistically dispatched
+        one when its assumptions held — and (async mode) dispatch the next
+        window before fetching, so the device never idles on the host."""
+        key = (self._window_key(items, states), K)
+        inflight, self._inflight = self._inflight, None
+        if inflight is not None and inflight["key"] == key:
+            handle = inflight["handle"]
+        else:
+            # Mispredicted (or no) speculative window: its results are
+            # discarded; positions it wrote are strictly above every
+            # accepted token and get rewritten by this real window.
+            handle = self._dispatch_window(items, states, K,
+                                           nct_offset=0, first_tokens=None)
+        if self.async_decode:
+            # Optimistically dispatch the NEXT window: same rows, computed
+            # counts advanced by K, first token carried on device.
+            next_key = (tuple(req_id for req_id, _ in items),
+                        tuple(int(self.input_batch.num_computed[s.row]) + K
+                              for s in states))
+            next_handle = self._dispatch_window(
+                items, states, K, nct_offset=K,
+                first_tokens=handle["last"])
+            self._inflight = {"key": (next_key, K), "handle": next_handle}
+        all_tokens = self.executor.fetch_decode_window(handle)  # [K, N]
         results = {}
         for i, ((req_id, num_new), state) in enumerate(zip(items, states)):
             toks = [int(t) for t in all_tokens[:num_new, i]]
