@@ -121,6 +121,34 @@ def test_temperature_zero_equals_topk1(llm):
     assert g.outputs[0].token_ids == k1.outputs[0].token_ids
 
 
+def test_async_decode_pipelining_exact(tiny_llama_dir):
+    """Optimistic cross-window pipelining must be token-identical to the
+    synchronous path, including stop-condition mispredictions."""
+    sp_list = [
+        SamplingParams(temperature=0.0, max_tokens=21, ignore_eos=True),
+        SamplingParams(temperature=0.0, max_tokens=9, ignore_eos=True),
+    ]
+    prompts = [[5, 77, 301, 44], [250, 251, 252]]
+    llm_async = LLM(model=tiny_llama_dir, dtype="float32", max_model_len=128,
+                    max_num_seqs=4, block_size=16, skip_tokenizer_init=True,
+                    override_tpu_config={"async_decode": True})
+    outs = llm_async.generate([{"prompt_token_ids": p} for p in prompts],
+                              sp_list)
+    for p, out, sp in zip(prompts, outs, sp_list):
+        ref = hf_greedy(tiny_llama_dir, p, sp.max_tokens)
+        got = out.outputs[0].token_ids[:len(ref)]
+        assert got == ref, f"prompt {p}: {got} vs {ref}"
+    # A stop token mid-window forces a misprediction; output must still be
+    # exact.
+    ref = hf_greedy(tiny_llama_dir, prompts[0], 20)
+    stop_tok = ref[4]
+    out = llm_async.generate(
+        {"prompt_token_ids": prompts[0]},
+        SamplingParams(temperature=0.0, max_tokens=20,
+                       stop_token_ids=[stop_tok], ignore_eos=True))[0]
+    assert out.outputs[0].token_ids == ref[:5]
+
+
 def test_abort_midflight(llm):
     engine = llm.engine
     sp = SamplingParams(temperature=0.0, max_tokens=50, ignore_eos=True)

@@ -211,8 +211,10 @@ class SchedulerConfig:
     # stopped/finished/preempted, or a prefill intervened) discard the
     # speculative window; correctness is unaffected because its KV writes
     # land strictly above every accepted position and are rewritten by the
-    # real window.
-    async_decode: bool = True
+    # real window. Off by default: on the tunneled bench chip the extra
+    # staging traffic measured slower (1178 -> 1022 tok/s); expected to win
+    # on directly-attached hosts.
+    async_decode: bool = False
 
     def finalize(self, model_config: ModelConfig) -> None:
         if self.max_num_batched_tokens < model_config.max_model_len and \
