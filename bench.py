@@ -27,10 +27,18 @@ MAX_MODEL_LEN = 2048
 BLOCK_SIZE = 32
 PREV_BEST = None  # set after the first recorded round
 # Variant knobs (experiments): BENCH_QUANT=int8|fp8, BENCH_KV_DTYPE=fp8,
-# BENCH_DECODE_WINDOW=16.
+# BENCH_DECODE_WINDOW=16, BENCH_MODEL=tinyllama|llama8b.
 QUANT = os.environ.get("BENCH_QUANT") or None
 KV_DTYPE = os.environ.get("BENCH_KV_DTYPE", "auto")
 DECODE_WINDOW = int(os.environ.get("BENCH_DECODE_WINDOW", "8"))
+MODEL_VARIANT = os.environ.get("BENCH_MODEL", "tinyllama")
+
+# Llama-3.1-8B architecture (BASELINE north star: INT8 tokens/s/chip). Only
+# fits the 16 GB chip quantized; the variant shrinks batch/context to leave
+# room for the KV cache.
+LLAMA8B = dict(vocab_size=128256, hidden_size=4096, intermediate_size=14336,
+               num_hidden_layers=32, num_attention_heads=32,
+               num_key_value_heads=8, rope_theta=500000.0)
 
 
 def build_engine():
@@ -41,17 +49,25 @@ def build_engine():
                                         SchedulerConfig)
     from vllm_neuron_tpu.engine.core import EngineCore
 
-    hf = LlamaConfig(
-        vocab_size=32000,
-        hidden_size=2048,
-        intermediate_size=5632,
-        num_hidden_layers=22,
-        num_attention_heads=32,
-        num_key_value_heads=4,
-        max_position_embeddings=MAX_MODEL_LEN,
-        rope_theta=10000.0,
-        tie_word_embeddings=False,
-    )
+    global BATCH, MAX_MODEL_LEN, QUANT
+    if MODEL_VARIANT == "llama8b":
+        BATCH = 16
+        MAX_MODEL_LEN = 1024
+        QUANT = QUANT or "int8"
+        hf = LlamaConfig(max_position_embeddings=MAX_MODEL_LEN,
+                         tie_word_embeddings=False, **LLAMA8B)
+    else:
+        hf = LlamaConfig(
+            vocab_size=32000,
+            hidden_size=2048,
+            intermediate_size=5632,
+            num_hidden_layers=22,
+            num_attention_heads=32,
+            num_key_value_heads=4,
+            max_position_embeddings=MAX_MODEL_LEN,
+            rope_theta=10000.0,
+            tie_word_embeddings=False,
+        )
     hf.architectures = ["LlamaForCausalLM"]
     from vllm_neuron_tpu.config import QuantConfig
     config = EngineConfig(
@@ -63,7 +79,8 @@ def build_engine():
         scheduler=SchedulerConfig(max_num_seqs=BATCH,
                                   decode_window=DECODE_WINDOW),
         bucketing=BucketingConfig(
-            context_encoding_buckets=[512, 1024, 2048],
+            context_encoding_buckets=[b for b in (512, 1024, 2048)
+                                      if b <= MAX_MODEL_LEN],
             token_generation_buckets=[BATCH]),
         quant=QuantConfig(quantization=QUANT),
     )
@@ -99,9 +116,14 @@ def main():
     total, elapsed, ttft = run_workload(engine, BATCH, GEN_TOKENS, "bench")
     tokens_per_sec = total / elapsed
     vs = tokens_per_sec / PREV_BEST if PREV_BEST else 1.0
+    if MODEL_VARIANT == "llama8b":
+        name = (f"engine_decode_tokens_per_sec_per_chip_llama3.1-8b_"
+                f"{QUANT}_b{BATCH}_p{PROMPT_LEN}_g{GEN_TOKENS}")
+    else:
+        name = ("engine_decode_tokens_per_sec_per_chip_tinyllama1.1b_"
+                f"{QUANT or 'bf16'}_b{BATCH}_p{PROMPT_LEN}_g{GEN_TOKENS}")
     print(json.dumps({
-        "metric": "engine_decode_tokens_per_sec_per_chip_tinyllama1.1b_bf16"
-                  "_b32_p512_g128",
+        "metric": name,
         "value": round(tokens_per_sec, 2),
         "unit": "tokens/s",
         "vs_baseline": round(vs, 3),

@@ -140,7 +140,11 @@ class LlamaForCausalLM:
             layers[name + "_scale"] = scale
 
     def random_params(self, rng: jax.Array, scale: float = 0.02) -> dict:
-        """Random params (bench / dryrun without a checkpoint)."""
+        """Random params (bench / dryrun without a checkpoint). With
+        quantization on, each weight stack is generated AND quantized on
+        device, one at a time — a large model's full-precision weights may
+        not fit HBM all at once (the point of quantizing), and shipping
+        them through the host is slow."""
         H, D, I, V = (self.hidden_size, self.head_dim,
                       self.intermediate_size, self.vocab_size)
         L, nH, nKV = self.num_layers, self.num_heads, self.num_kv_heads
@@ -150,16 +154,18 @@ class LlamaForCausalLM:
             return (jax.random.normal(next(keys), shape, jnp.float32) *
                     scale).astype(self.dtype)
 
+        weight_shapes = {
+            "wq": (L, H, nH * D),
+            "wk": (L, H, nKV * D),
+            "wv": (L, H, nKV * D),
+            "wo": (L, nH * D, H),
+            "wg": (L, H, I),
+            "wu": (L, H, I),
+            "wd": (L, I, H),
+        }
         layers = {
             "attn_norm": jnp.ones((L, H), self.dtype),
             "mlp_norm": jnp.ones((L, H), self.dtype),
-            "wq": w((L, H, nH * D)),
-            "wk": w((L, H, nKV * D)),
-            "wv": w((L, H, nKV * D)),
-            "wo": w((L, nH * D, H)),
-            "wg": w((L, H, I)),
-            "wu": w((L, H, I)),
-            "wd": w((L, I, H)),
         }
         if self.qkv_bias:
             layers["bq"] = jnp.zeros((L, nH * D), self.dtype)
@@ -169,9 +175,42 @@ class LlamaForCausalLM:
             layers["q_norm"] = jnp.ones((L, D), self.dtype)
             layers["k_norm"] = jnp.ones((L, D), self.dtype)
         if self.quant is not None:
-            layers = {k: np.asarray(v) for k, v in layers.items()}
-            self._quantize_layer_params(layers)
-            layers = {k: jnp.asarray(v) for k, v in layers.items()}
+            qmax = 127.0 if self.quant.quantization == "int8" else 448.0
+            qdtype = (jnp.int8 if self.quant.quantization == "int8" else
+                      jnp.float8_e4m3fn)
+            skip = set(self.quant.modules_to_not_convert)
+
+            # Generate + quantize each stack ON DEVICE, one layer slice at a
+            # time (lax.map keeps the f32 transient to a single layer), so
+            # full-precision weights never exist in HBM or cross the host.
+            import functools as _ft
+
+            @_ft.partial(jax.jit, static_argnums=(1,))
+            def gen_quant(key, layer_shape):
+                def per_layer(k):
+                    wf = jax.random.normal(k, layer_shape,
+                                           jnp.float32) * scale
+                    absmax = jnp.max(jnp.abs(wf), axis=0, keepdims=True)
+                    s = jnp.maximum(absmax / qmax, 1e-12)
+                    scaled = wf / s
+                    if self.quant.quantization == "int8":
+                        q = jnp.clip(jnp.rint(scaled), -127,
+                                     127).astype(qdtype)
+                    else:
+                        q = scaled.astype(qdtype)
+                    return q, s
+                return jax.lax.map(per_layer, jax.random.split(key, L))
+
+            for name, shape in weight_shapes.items():
+                if name in skip:
+                    layers[name] = w(shape)
+                    continue
+                q, sc = gen_quant(next(keys), tuple(shape[1:]))
+                layers[name] = q
+                layers[name + "_scale"] = sc
+        else:
+            for name, shape in weight_shapes.items():
+                layers[name] = w(shape)
         return {
             "embed": w((V, H)),
             "final_norm": jnp.ones((H,), self.dtype),

@@ -77,8 +77,8 @@ def _dequant_matmul_pallas(x, wq, scale, *, out_dtype):
 
     M, K = x.shape
     N = wq.shape[1]
-    TM = _pick_tile(M, 256)
-    TN = _pick_tile(N, 512)
+    TM = _pick_tile(M, 128)
+    TN = _pick_tile(N, 256)
     grid = (M // TM, N // TN)
     return pl.pallas_call(
         _dequant_matmul_kernel,
@@ -101,6 +101,8 @@ def _dequant_matmul_pallas(x, wq, scale, *, out_dtype):
             bytes_accessed=M * K * 2 + K * N + N * 4 + M * N * 2,
             transcendentals=0,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(x, wq, scale)
 
 
