@@ -28,10 +28,12 @@ BLOCK_SIZE = 32
 PREV_BEST = None  # set after the first recorded round
 # Variant knobs (experiments): BENCH_QUANT=int8|fp8, BENCH_KV_DTYPE=fp8,
 # BENCH_DECODE_WINDOW=16, BENCH_MODEL=tinyllama|llama8b.
+# Default = the BASELINE.json north-star config: Llama-3.1-8B INT8
+# tokens/s/chip (8B does not fit a 16 GB chip unquantized at all).
 QUANT = os.environ.get("BENCH_QUANT") or None
 KV_DTYPE = os.environ.get("BENCH_KV_DTYPE", "auto")
 DECODE_WINDOW = int(os.environ.get("BENCH_DECODE_WINDOW", "8"))
-MODEL_VARIANT = os.environ.get("BENCH_MODEL", "tinyllama")
+MODEL_VARIANT = os.environ.get("BENCH_MODEL", "llama8b")
 
 # Llama-3.1-8B architecture (BASELINE north star: INT8 tokens/s/chip). Only
 # fits the 16 GB chip quantized; the variant shrinks batch/context to leave
