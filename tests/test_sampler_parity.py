@@ -1,0 +1,93 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Host-vs-on-device sampler parity (reference analogue:
+test/tiny/test_cpu_sampling.py — CPU sampling compared against hardware
+sampling across a matrix of configs with match-rate reporting) and
+min_tokens-beats-EOS (reference: test_offline_e2e.py:110-160)."""
+import numpy as np
+import pytest
+
+from tests.conftest import hf_greedy
+from vllm_neuron_tpu import LLM, SamplingParams
+
+
+CONFIGS = [
+    dict(temperature=0.0),
+    dict(temperature=0.0, top_k=5),
+    dict(top_k=1, temperature=0.8),
+    dict(temperature=0.7, top_k=20),
+    dict(temperature=1.0, top_p=0.8),
+    dict(temperature=0.9, top_k=40, top_p=0.9),
+    dict(temperature=1.5),
+    dict(temperature=0.3),
+]
+
+
+def test_host_vs_device_sampler_distribution(tiny_llama_dir):
+    """For each config, the host and on-device samplers draw from the same
+    support: sample many tokens from both for one fixed logit row and check
+    the supports coincide (exact distributions differ only by RNG)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vllm_neuron_tpu.sampling.cpu_sampler import (RequestSamplerState,
+                                                      sample_token)
+    from vllm_neuron_tpu.sampling.ondevice import sample_tokens
+
+    rng = np.random.default_rng(3)
+    logits = (rng.normal(size=256) * 3).astype(np.float32)
+
+    for cfg in CONFIGS:
+        sp = SamplingParams(max_tokens=4, **cfg)
+        dev_draws = set()
+        host_draws = set()
+        ndraws = 1 if sp.is_greedy or sp.top_k == 1 else 400
+        lj = jnp.asarray(logits)[None]
+        temp = jnp.asarray([sp.temperature], jnp.float32)
+        tk = jnp.asarray([sp.top_k], jnp.int32)
+        tp = jnp.asarray([sp.top_p], jnp.float32)
+        f = jax.jit(lambda key: sample_tokens(lj, temp, tk, tp, key))
+        for i in range(ndraws):
+            dev_draws.add(int(f(jax.random.PRNGKey(i))[0]))
+            st = RequestSamplerState(sp, [1, 2, 3])
+            host_draws.add(
+                sample_token(logits.copy(), sp, st).token_id)
+        if sp.is_greedy or sp.top_k == 1:
+            assert dev_draws == host_draws, f"greedy mismatch for {cfg}"
+        else:
+            common = dev_draws & host_draws
+            union = dev_draws | host_draws
+            if len(union) > 60:
+                # Wide distributions: 400 draws can't cover the support, so
+                # subset overlap is meaningless — check both samplers are
+                # comparably diverse instead.
+                ratio = len(dev_draws) / len(host_draws)
+                assert 0.5 < ratio < 2.0, f"diversity mismatch for {cfg}"
+            else:
+                # Narrow (top-k/top-p-filtered) support must coincide.
+                rate = len(common) / max(len(union), 1)
+                assert rate > 0.5, \
+                    f"support overlap {rate:.2f} too low for {cfg}: " \
+                    f"dev={sorted(dev_draws)[:8]} host={sorted(host_draws)[:8]}"
+
+
+def test_min_tokens_beats_eos(tiny_llama_dir):
+    """min_tokens suppresses EOS until satisfied; generation continues past
+    a would-be EOS stop (reference: min_tokens-beats-EOS e2e)."""
+    ref = hf_greedy(tiny_llama_dir, [5, 77, 301, 44], 16)
+    eos = ref[2]  # force the 3rd greedy token to act as EOS
+
+    llm = LLM(model=tiny_llama_dir, dtype="float32", max_model_len=128,
+              max_num_seqs=2, block_size=16, skip_tokenizer_init=True)
+    # Patch the engine's EOS id for this check.
+    llm.engine._eos_token_id = eos
+
+    short = llm.generate({"prompt_token_ids": [5, 77, 301, 44]},
+                         SamplingParams(temperature=0.0, max_tokens=16))[0]
+    assert short.outputs[0].token_ids == ref[:3]
+    assert short.outputs[0].finish_reason == "stop"
+
+    pushed = llm.generate({"prompt_token_ids": [5, 77, 301, 44]},
+                          SamplingParams(temperature=0.0, max_tokens=16,
+                                         min_tokens=8))[0]
+    assert len(pushed.outputs[0].token_ids) >= 8
+    assert pushed.outputs[0].token_ids[:3] == ref[:3]
