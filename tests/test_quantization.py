@@ -113,6 +113,6 @@ def test_quantized_weights_dtype(tiny_llama_dir):
                 max_num_seqs=2, block_size=16, skip_tokenizer_init=True,
                 quantization="int8")
     layers = llm_q.engine.worker.model_runner.executor.params["layers"]
-    assert layers["wq"].dtype == jnp.int8
-    assert layers["wq_scale"].dtype == jnp.float32
+    assert layers["wqkv"].dtype == jnp.int8
+    assert layers["wqkv_scale"].dtype == jnp.float32
     assert layers["attn_norm"].dtype != jnp.int8  # norms untouched

@@ -28,4 +28,4 @@ def test_quantize_save_load_roundtrip(tiny_llama_dir, tmp_path):
 
     import jax.numpy as jnp
     layers = llm_pre.engine.worker.model_runner.executor.params["layers"]
-    assert layers["wq"].dtype == jnp.int8
+    assert layers["wqkv"].dtype == jnp.int8

@@ -46,11 +46,14 @@ def test_host_vs_device_sampler_distribution(tiny_llama_dir):
         tk = jnp.asarray([sp.top_k], jnp.int32)
         tp = jnp.asarray([sp.top_p], jnp.float32)
         f = jax.jit(lambda key: sample_tokens(lj, temp, tk, tp, key))
+        import dataclasses
         for i in range(ndraws):
             dev_draws.add(int(f(jax.random.PRNGKey(i))[0]))
-            st = RequestSamplerState(sp, [1, 2, 3])
+            sp_host = dataclasses.replace(sp, seed=1000 + i)
+            sp_host.__post_init__()
+            st = RequestSamplerState(sp_host, [1, 2, 3])
             host_draws.add(
-                sample_token(logits.copy(), sp, st).token_id)
+                sample_token(logits.copy(), sp_host, st).token_id)
         if sp.is_greedy or sp.top_k == 1:
             assert dev_draws == host_draws, f"greedy mismatch for {cfg}"
         else:
@@ -65,7 +68,7 @@ def test_host_vs_device_sampler_distribution(tiny_llama_dir):
             else:
                 # Narrow (top-k/top-p-filtered) support must coincide.
                 rate = len(common) / max(len(union), 1)
-                assert rate > 0.5, \
+                assert rate >= 0.5, \
                     f"support overlap {rate:.2f} too low for {cfg}: " \
                     f"dev={sorted(dev_draws)[:8]} host={sorted(host_draws)[:8]}"
 

@@ -53,7 +53,8 @@ class LlamaForCausalLM:
     # high-precision by default, mirroring common modules_to_not_convert
     # conventions; reference checkpoint convention: test/utils/server/
     # server.py:32-67).
-    QUANTIZABLE = ("wq", "wk", "wv", "wo", "wg", "wu", "wd")
+    QUANTIZABLE = ("wqkv", "wq", "wk", "wv", "wo", "wgu", "wg", "wu",
+                   "wd")
 
     def __init__(self, model_config: ModelConfig,
                  quant_config: Optional[QuantConfig] = None):
@@ -120,10 +121,27 @@ class LlamaForCausalLM:
             logger.warning("ignored %d checkpoint tensors (e.g. %s)",
                            len(unused), unused[:4])
         params = ld.finalize()
+        self._fuse_projections(params["layers"])
         if self.tie_embeddings:
             params["lm_head"] = np.ascontiguousarray(params["embed"].T)
         self._quantize_layer_params(params["layers"])
         return jax.tree.map(jnp.asarray, params)
+
+    def _fuse_projections(self, layers: dict) -> None:
+        """Concatenate q/k/v and gate/up along the output dim: fewer, larger
+        matmuls keep the MXU busier and halve per-op overhead on the decode
+        path. The forward splits the outputs."""
+        if all(k in layers for k in ("wq", "wk", "wv")):
+            layers["wqkv"] = np.concatenate(
+                [layers.pop("wq"), layers.pop("wk"), layers.pop("wv")],
+                axis=-1)
+        if all(k in layers for k in ("bq", "bk", "bv")):
+            layers["bqkv"] = np.concatenate(
+                [layers.pop("bq"), layers.pop("bk"), layers.pop("bv")],
+                axis=-1)
+        if all(k in layers for k in ("wg", "wu")):
+            layers["wgu"] = np.concatenate(
+                [layers.pop("wg"), layers.pop("wu")], axis=-1)
 
     def _quantize_layer_params(self, layers: dict) -> None:
         """Replace eligible [L, K, N] weight stacks with int8/fp8 values +
@@ -155,12 +173,9 @@ class LlamaForCausalLM:
                     scale).astype(self.dtype)
 
         weight_shapes = {
-            "wq": (L, H, nH * D),
-            "wk": (L, H, nKV * D),
-            "wv": (L, H, nKV * D),
+            "wqkv": (L, H, (nH + 2 * nKV) * D),
             "wo": (L, nH * D, H),
-            "wg": (L, H, I),
-            "wu": (L, H, I),
+            "wgu": (L, H, 2 * I),
             "wd": (L, I, H),
         }
         layers = {
@@ -168,9 +183,7 @@ class LlamaForCausalLM:
             "mlp_norm": jnp.ones((L, H), self.dtype),
         }
         if self.qkv_bias:
-            layers["bq"] = jnp.zeros((L, nH * D), self.dtype)
-            layers["bk"] = jnp.zeros((L, nKV * D), self.dtype)
-            layers["bv"] = jnp.zeros((L, nKV * D), self.dtype)
+            layers["bqkv"] = jnp.zeros((L, (nH + 2 * nKV) * D), self.dtype)
         if self.qk_norm:
             layers["q_norm"] = jnp.ones((L, D), self.dtype)
             layers["k_norm"] = jnp.ones((L, D), self.dtype)
@@ -249,13 +262,19 @@ class LlamaForCausalLM:
             x, kv_flat = carry
             lp, l = xs
             h = rms_norm(x, lp["attn_norm"], self.rms_eps)
-            q = linear(h, lp, "wq")
-            k = linear(h, lp, "wk")
-            v = linear(h, lp, "wv")
-            if self.qkv_bias:
-                q = q + lp["bq"]
-                k = k + lp["bk"]
-                v = v + lp["bv"]
+            if "wqkv" in lp:
+                qkv = linear(h, lp, "wqkv")
+                if self.qkv_bias:
+                    qkv = qkv + lp["bqkv"]
+                q, k, v = jnp.split(qkv, [nH * D, (nH + nKV) * D], axis=-1)
+            else:  # unfused layout (MoE subclasses' loaders)
+                q = linear(h, lp, "wq")
+                k = linear(h, lp, "wk")
+                v = linear(h, lp, "wv")
+                if self.qkv_bias:
+                    q = q + lp["bq"]
+                    k = k + lp["bk"]
+                    v = v + lp["bv"]
             q = q.reshape(N, nH, D)
             k = k.reshape(N, nKV, D)
             v = v.reshape(N, nKV, D)
@@ -285,6 +304,10 @@ class LlamaForCausalLM:
 
     def _mlp(self, lp: dict, h: jax.Array) -> jax.Array:
         """SwiGLU FFN; overridden by MoE variants."""
+        if "wgu" in lp:
+            gu = linear(h, lp, "wgu")
+            gate, up = jnp.split(gu, 2, axis=-1)
+            return linear(jax.nn.silu(gate) * up, lp, "wd")
         gate = jax.nn.silu(linear(h, lp, "wg"))
         return linear(gate * linear(h, lp, "wu"), lp, "wd")
 

@@ -30,6 +30,11 @@ logger = init_logger(__name__)
 # Param-tree path suffix -> PartitionSpec (leading layer axis is axis 0 for
 # stacked layer params).
 LAYER_PARAM_SPECS = {
+    "wqkv": P(None, None, MODEL_AXIS),
+    "bqkv": P(None, MODEL_AXIS),
+    "wgu": P(None, None, MODEL_AXIS),
+    "wqkv_scale": P(None, None, MODEL_AXIS),
+    "wgu_scale": P(None, None, MODEL_AXIS),
     "wq": P(None, None, MODEL_AXIS),
     "wk": P(None, None, MODEL_AXIS),
     "wv": P(None, None, MODEL_AXIS),
