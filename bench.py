@@ -2,15 +2,17 @@
 """Headline benchmark: end-to-end engine decode throughput (tokens/sec/chip).
 
 Drives the REAL serving stack — continuous-batching scheduler, paged block-KV
-cache, fused multi-step decode dispatches, on-device sampling — on a
-TinyLlama-1.1B-architecture model (BASELINE.json config 1 class) with random
-bf16 weights: 32 concurrent requests, 512-token prompts, 128 generated tokens
-each, greedy.
+cache, pipelined multi-step decode windows, on-device sampling — on the
+BASELINE.json north-star config by default: a Llama-3.1-8B-architecture
+model with INT8 weights (8B does not fit one 16 GB chip unquantized at all),
+16 concurrent requests, 512-token prompts, 128 generated tokens each,
+greedy. BENCH_MODEL=tinyllama selects the small CPU-runnable config
+(BASELINE config 1 class).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-The reference publishes no benchmark numbers (BASELINE.json "published": {}),
-so vs_baseline compares against this repo's best previously recorded value
-(PREV_BEST); 1.0 until one exists.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} on stdout
+(logs go to stderr). The reference publishes no benchmark numbers
+(BASELINE.json "published": {}), so vs_baseline compares against this
+repo's best previously recorded value (PREV_BEST); 1.0 until one exists.
 """
 from __future__ import annotations
 
