@@ -159,3 +159,18 @@ def test_not_found(server):
         assert False
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_prompt_too_long_is_400(server):
+    import urllib.error
+    try:
+        _post(f"{server}/v1/completions", {
+            "model": "tiny-llama",
+            "prompt": list(range(3, 300)),  # > max_model_len=128
+            "max_tokens": 4,
+        })
+        assert False, "should have raised"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        err = json.loads(e.read())
+        assert "max_model_len" in err["error"]["message"]
