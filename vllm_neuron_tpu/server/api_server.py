@@ -334,10 +334,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--chat-template", default=None,
                    help="path to a jinja chat template file")
     p.add_argument("--seed", type=int, default=0)
+    # Multi-host (pod slice) bootstrap: run the same command on every host;
+    # the leader serves HTTP, followers enter the lockstep loop.
+    p.add_argument("--num-hosts", type=int, default=1)
+    p.add_argument("--host-id", type=int, default=None)
+    p.add_argument("--coordinator", default=None,
+                   help="leader address host:port for jax.distributed")
     return p
 
 
 async def run_server(args) -> None:
+    if args.num_hosts > 1:
+        from vllm_neuron_tpu.parallel.mesh import initialize_distributed
+        initialize_distributed(coordinator=args.coordinator,
+                               num_processes=args.num_hosts,
+                               process_id=args.host_id)
     config = build_engine_config(
         args.model,
         tokenizer=args.tokenizer,
