@@ -1,0 +1,70 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Model-family coverage vs HF oracles: Qwen3 dense (per-head q/k norm) and
+Mistral (sliding-window attention masking)."""
+import numpy as np
+import pytest
+
+from tests.conftest import hf_greedy
+from vllm_neuron_tpu import LLM, SamplingParams
+
+
+@pytest.fixture(scope="module")
+def tiny_qwen3_dir(tmp_path_factory):
+    import torch
+    from transformers import Qwen3Config, Qwen3ForCausalLM
+
+    torch.manual_seed(4)
+    cfg = Qwen3Config(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=256, tie_word_embeddings=False)
+    model = Qwen3ForCausalLM(cfg)
+    path = tmp_path_factory.mktemp("tiny_qwen3")
+    model.save_pretrained(path, safe_serialization=True)
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def tiny_mistral_dir(tmp_path_factory):
+    import torch
+    from transformers import MistralConfig, MistralForCausalLM
+
+    torch.manual_seed(6)
+    cfg = MistralConfig(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=256,
+        sliding_window=16,  # shorter than the prompts: exercises the mask
+        tie_word_embeddings=False)
+    model = MistralForCausalLM(cfg)
+    path = tmp_path_factory.mktemp("tiny_mistral")
+    model.save_pretrained(path, safe_serialization=True)
+    return str(path)
+
+
+def test_qwen3_greedy_matches_hf(tiny_qwen3_dir):
+    llm = LLM(model=tiny_qwen3_dir, dtype="float32", max_model_len=128,
+              max_num_seqs=2, block_size=16, skip_tokenizer_init=True)
+    prompts = [[5, 77, 301, 44, 12], [401, 3, 3, 17]]
+    sp = SamplingParams(temperature=0.0, max_tokens=10, ignore_eos=True)
+    outs = llm.generate([{"prompt_token_ids": p} for p in prompts],
+                        [sp] * 2)
+    for p, out in zip(prompts, outs):
+        ref = hf_greedy(tiny_qwen3_dir, p, 10)
+        got = out.outputs[0].token_ids[:len(ref)]
+        assert got == ref, f"prompt {p}: {got} vs {ref}"
+
+
+def test_mistral_sliding_window_matches_hf(tiny_mistral_dir):
+    """Prompt (40 tokens) exceeds the 16-token sliding window, so the
+    windowed mask actively changes attention for later positions."""
+    llm = LLM(model=tiny_mistral_dir, dtype="float32", max_model_len=128,
+              max_num_seqs=2, block_size=16, skip_tokenizer_init=True)
+    model = llm.engine.worker.model_runner.model
+    assert model.sliding_window == 16, "config did not plumb the window"
+    prompt = list(range(40, 80))
+    sp = SamplingParams(temperature=0.0, max_tokens=12, ignore_eos=True)
+    out = llm.generate({"prompt_token_ids": prompt}, sp)[0]
+    ref = hf_greedy(tiny_mistral_dir, prompt, 12)
+    got = out.outputs[0].token_ids[:len(ref)]
+    assert got == ref, f"{got} vs {ref}"

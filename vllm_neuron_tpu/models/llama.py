@@ -76,9 +76,12 @@ class LlamaForCausalLM:
         self.qkv_bias = bool(getattr(cfg, "attention_bias", False)) or \
             cfg.model_type == "qwen2"
         self.qk_norm = cfg.model_type in ("qwen3", "qwen3_moe")
-        self.sliding_window = None
-        if getattr(cfg, "use_sliding_window", False):
-            self.sliding_window = getattr(cfg, "sliding_window", None)
+        # Sliding-window attention (Mistral; Qwen2 gates it behind
+        # use_sliding_window).
+        self.sliding_window = getattr(cfg, "sliding_window", None)
+        if hasattr(cfg, "use_sliding_window") and \
+                not cfg.use_sliding_window:
+            self.sliding_window = None
         self.scale = self.head_dim**-0.5
         self.inv_freq = compute_inv_freq(self.head_dim, self.rope_theta,
                                          self.rope_scaling)
