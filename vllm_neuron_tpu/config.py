@@ -288,13 +288,19 @@ class BucketingConfig:
 
     def finalize_pages(self, max_blocks_per_seq: int) -> None:
         if self.page_buckets is None:
-            buckets = []
+            # ~1.5x-spaced buckets: the dense attention gathers a whole
+            # page bucket per row, so coarse (2x) buckets over-read up to
+            # 2x of the live context; 1.5x spacing caps the waste at ~50%
+            # for a modest extra program count.
+            buckets = set()
             b = min(4, max_blocks_per_seq)
             while b < max_blocks_per_seq:
-                buckets.append(b)
+                buckets.add(b)
+                if b * 3 // 2 < max_blocks_per_seq:
+                    buckets.add(b * 3 // 2)
                 b *= 2
-            buckets.append(max_blocks_per_seq)
-            self.page_buckets = buckets
+            buckets.add(max_blocks_per_seq)
+            self.page_buckets = sorted(buckets)
         else:
             self.page_buckets = sorted(set(self.page_buckets))
             if self.page_buckets[-1] < max_blocks_per_seq:
