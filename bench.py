@@ -55,7 +55,7 @@ def build_engine():
 
     global BATCH, MAX_MODEL_LEN, QUANT
     if MODEL_VARIANT == "llama8b":
-        BATCH = int(os.environ.get("BENCH_BATCH", "16"))
+        BATCH = int(os.environ.get("BENCH_BATCH", "32"))
         MAX_MODEL_LEN = 1024
         QUANT = QUANT or "int8"
         hf = LlamaConfig(max_position_embeddings=MAX_MODEL_LEN,
