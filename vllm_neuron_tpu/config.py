@@ -359,6 +359,34 @@ class SpeculativeConfig:
 
 
 @dataclass
+class LoRAConfig:
+    """Multi-LoRA serving. The reference exposes this surface but raises
+    NotImplementedError at runtime (neuron_worker.py:123-138 — SURVEY.md V9);
+    here it is implemented (lora_loader.py, ops/lora.py). Adapters are
+    registered at engine build time so the stacked-weight program shape is
+    static."""
+
+    # {adapter_name: PEFT checkpoint dir}.
+    adapters: dict = field(default_factory=dict)
+
+    @property
+    def enabled(self) -> bool:
+        return bool(self.adapters)
+
+    def resolve(self, lora) -> int:
+        """Adapter name (str / LoRARequest / None) -> group id. Group ids
+        are 1 + insertion order, matching lora_loader.LoRAAdapterSet."""
+        if lora is None:
+            return 0
+        name = getattr(lora, "lora_name", None) or str(lora)
+        names = list(self.adapters)
+        if name not in names:
+            raise KeyError(f"unknown LoRA adapter {name!r}; registered: "
+                           f"{names}")
+        return 1 + names.index(name)
+
+
+@dataclass
 class QuantConfig:
     """INT8/FP8 quantization (reference: model_loader.py:886-898)."""
 
@@ -399,6 +427,7 @@ class EngineConfig:
     bucketing: BucketingConfig = field(default_factory=BucketingConfig)
     speculative: SpeculativeConfig = field(default_factory=SpeculativeConfig)
     quant: QuantConfig = field(default_factory=QuantConfig)
+    lora: LoRAConfig = field(default_factory=LoRAConfig)
     sampler: SamplerConfig = field(default_factory=SamplerConfig)
     observability: ObservabilityConfig = field(
         default_factory=ObservabilityConfig)
@@ -437,6 +466,10 @@ class EngineConfig:
             raise ValueError(
                 "speculative decoding is not supported with chunked prefill "
                 "(the Eagle draft stream cannot span prefill chunks yet)")
+        if self.lora.enabled and self.speculative.enabled:
+            raise ValueError("LoRA serving is not supported together with "
+                             "speculative decoding (the fused draft/verify "
+                             "programs do not thread adapter ids)")
         if self.speculative.enabled and self.cache.enable_prefix_caching:
             # The draft needs target features for every prompt position; a
             # cache hit skips their computation.
@@ -466,6 +499,7 @@ class EngineConfig:
             },
             "spec": asdict(self.speculative),
             "quant": asdict(self.quant),
+            "lora": sorted(self.lora.adapters),
         }
         return hashlib.md5(
             json.dumps(payload, sort_keys=True).encode()).hexdigest()

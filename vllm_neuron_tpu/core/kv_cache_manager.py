@@ -42,7 +42,12 @@ class KVCacheManager:
             end = start + self.block_size
             if end > len(tokens):
                 break
-            parent = hashes[-1] if hashes else None
+            # LoRA changes the K/V projections, so cached KV is only
+            # reusable under the SAME adapter: seed the hash chain with the
+            # adapter id (0/base keeps the legacy None seed).
+            parent = hashes[-1] if hashes else (
+                ("lora", request.lora_int_id)
+                if getattr(request, "lora_int_id", 0) else None)
             hashes.append(hash_block_tokens(parent,
                                             tuple(tokens[start:end])))
         return hashes[:num_blocks]

@@ -24,6 +24,8 @@ class NewRequestData:
     sampling_params: SamplingParams
     # Multimodal inputs (Llama-4 class), populated later.
     mm_inputs: Any = None
+    # LoRA adapter group id (0 = base model).
+    lora_int_id: int = 0
 
 
 @dataclass

@@ -187,6 +187,7 @@ class Scheduler:
                     num_computed_tokens=num_cached,
                     sampling_params=request.sampling_params,
                     mm_inputs=request.mm_inputs,
+                    lora_int_id=request.lora_int_id,
                 ))
             out.num_scheduled_tokens[request.req_id] = num_new_tokens
             num_admitted += 1
@@ -318,6 +319,7 @@ class Scheduler:
                     num_computed_tokens=num_cached,
                     sampling_params=request.sampling_params,
                     mm_inputs=request.mm_inputs,
+                    lora_int_id=request.lora_int_id,
                 ))
             out.num_scheduled_tokens[request.req_id] = num_new
 

@@ -58,10 +58,11 @@ class AsyncEngine:
             with self._lock:
                 new, self._new_requests = self._new_requests, []
                 aborts, self._aborts = self._aborts, []
-            for req_id, token_ids, sp, prompt in new:
+            for req_id, token_ids, sp, prompt, lora in new:
                 try:
                     self.engine.add_request(req_id, token_ids, sp,
-                                            prompt=prompt)
+                                            prompt=prompt,
+                                            lora_request=lora)
                 except Exception as e:  # invalid request (too long, ...)
                     self._publish_error(req_id, e)
             for req_id in aborts:
@@ -97,6 +98,7 @@ class AsyncEngine:
         sampling_params: SamplingParams,
         request_id: Optional[str] = None,
         prompt: Optional[str] = None,
+        lora_request=None,
     ) -> AsyncIterator[RequestOutput]:
         """Submit a request; yields incremental RequestOutputs until
         finished. Cancelling the iterator aborts the request."""
@@ -105,7 +107,8 @@ class AsyncEngine:
         self._queues[req_id] = queue
         with self._lock:
             self._new_requests.append(
-                (req_id, prompt_token_ids, sampling_params, prompt))
+                (req_id, prompt_token_ids, sampling_params, prompt,
+                 lora_request))
         self._wakeup.set()
         try:
             while True:

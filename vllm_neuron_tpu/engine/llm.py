@@ -10,9 +10,10 @@ import itertools
 from typing import Optional, Sequence, Union
 
 from vllm_neuron_tpu.config import (BucketingConfig, CacheConfig,
-                                    EngineConfig, ModelConfig, ParallelConfig,
-                                    QuantConfig, SamplerConfig,
-                                    SchedulerConfig, SpeculativeConfig)
+                                    EngineConfig, LoRAConfig, ModelConfig,
+                                    ParallelConfig, QuantConfig,
+                                    SamplerConfig, SchedulerConfig,
+                                    SpeculativeConfig)
 from vllm_neuron_tpu.engine.core import EngineCore
 from vllm_neuron_tpu.engine.outputs import CompletionOutput, RequestOutput
 from vllm_neuron_tpu.sampling.params import SamplingParams
@@ -43,6 +44,7 @@ def build_engine_config(
     kv_cache_dtype: str = "auto",
     on_device_sampling: Optional[bool] = None,
     override_tpu_config: Optional[dict] = None,
+    lora_adapters: Optional[dict] = None,
     seed: int = 0,
 ) -> EngineConfig:
     """Flat-kwargs -> config-tree assembly (the reference spreads this across
@@ -98,6 +100,7 @@ def build_engine_config(
         bucketing=bucketing,
         speculative=spec,
         quant=quant,
+        lora=LoRAConfig(adapters=dict(lora_adapters or {})),
         sampler=sampler,
     )
 
@@ -150,6 +153,7 @@ class LLM:
         prompts: Union[PromptType, Sequence[PromptType]],
         sampling_params: Union[SamplingParams, Sequence[SamplingParams],
                                None] = None,
+        lora_request=None,
     ) -> list[RequestOutput]:
         if isinstance(prompts, (str, dict)):
             prompts = [prompts]
@@ -164,6 +168,10 @@ class LLM:
         # makes the shared prefill cheap).
         parent_of: dict[str, tuple[int, int]] = {}
         for i, (prompt, sp) in enumerate(zip(prompts, sampling_params)):
+            # Per-prompt {"lora": name} overrides the call-level adapter
+            # (lora_loader.py; reference LoRA surface: SURVEY.md V9).
+            lora = (prompt.get("lora", lora_request)
+                    if isinstance(prompt, dict) else lora_request)
             token_ids, text, mm_inputs = self._to_token_ids(prompt)
             for child in range(sp.n):
                 req_id = f"req-{next(self._req_counter)}"
@@ -174,7 +182,8 @@ class LLM:
                     child_sp = dataclasses.replace(sp, seed=sp.seed + child)
                     child_sp.__post_init__()
                 self.engine.add_request(req_id, token_ids, child_sp,
-                                        prompt=text, mm_inputs=mm_inputs)
+                                        prompt=text, mm_inputs=mm_inputs,
+                                        lora_request=lora)
 
         latest: dict[str, RequestOutput] = {}
         while self.engine.has_unfinished_requests():

@@ -42,6 +42,7 @@ class Request:
         eos_token_id: Optional[int] = None,
         arrival_time: Optional[float] = None,
         mm_inputs=None,
+        lora_int_id: int = 0,
     ):
         self.req_id = req_id
         self.prompt_token_ids = list(prompt_token_ids)
@@ -50,6 +51,8 @@ class Request:
         self.arrival_time = arrival_time or time.monotonic()
         # Multimodal inputs: {"pixel_values": np.ndarray [T, C, H, W]}.
         self.mm_inputs = mm_inputs
+        # LoRA adapter group id (0 = base model; lora_loader.py).
+        self.lora_int_id = lora_int_id
 
         self.status = RequestStatus.WAITING
         self.stop_reason: Optional[int | str] = None

@@ -261,9 +261,28 @@ class LlamaForCausalLM:
         valid = meta.slot_mapping >= 0
         layer_ids = jnp.arange(L, dtype=jnp.int32)
 
+        # Multi-LoRA: sort the token stream by adapter group ONCE; every
+        # layer/projection reuses the permutation (ops/lora.py).
+        lora = params.get("lora")
+        lora_ctx = None
+        if lora is not None and meta.adapter_ids is not None:
+            from vllm_neuron_tpu.ops.lora import lora_delta, lora_sort_ctx
+            num_groups = next(iter(
+                lora["layers"].values()))["a"].shape[1]
+            lora_ctx = lora_sort_ctx(
+                jnp.where(valid, meta.adapter_ids, 0), num_groups)
+
+        def _lora(ll, name, inp, out):
+            """out += delta from the per-token adapter, if `name` is a
+            registered LoRA target."""
+            if lora_ctx is None or ll is None or name not in ll:
+                return out
+            return out + lora_delta(inp, ll[name]["a"], ll[name]["b"],
+                                    lora_ctx)
+
         def layer(carry, xs):
             x, kv_flat = carry
-            lp, l = xs
+            lp, ll, l = xs
             h = rms_norm(x, lp["attn_norm"], self.rms_eps)
             if "wqkv" in lp:
                 qkv = linear(h, lp, "wqkv")
@@ -278,6 +297,9 @@ class LlamaForCausalLM:
                     q = q + lp["bq"]
                     k = k + lp["bk"]
                     v = v + lp["bv"]
+            q = _lora(ll, "wq", h, q)
+            k = _lora(ll, "wk", h, k)
+            v = _lora(ll, "wv", h, v)
             q = q.reshape(N, nH, D)
             k = k.reshape(N, nKV, D)
             v = v.reshape(N, nKV, D)
@@ -296,13 +318,20 @@ class LlamaForCausalLM:
             attn = ragged_attention(q, kv_flat, meta_l, self.scale,
                                     self.sliding_window, kind=kind,
                                     backend=attn_backend)
-            x = x + linear(attn.reshape(N, nH * D), lp, "wo")
+            ao = attn.reshape(N, nH * D)
+            x = x + _lora(ll, "wo", ao, linear(ao, lp, "wo"))
             h = rms_norm(x, lp["mlp_norm"], self.rms_eps)
-            x = x + self._mlp(lp, h)
+            if lora_ctx is not None and ll is not None and any(
+                    t in ll for t in ("wg", "wu", "wd")):
+                x = x + self._mlp_lora(lp, h, ll, _lora)
+            else:
+                x = x + self._mlp(lp, h)
             return (x, kv_flat), None
 
-        (x, kv_flat), _ = jax.lax.scan(layer, (x, kv_flat),
-                                       (params["layers"], layer_ids))
+        (x, kv_flat), _ = jax.lax.scan(
+            layer, (x, kv_flat),
+            (params["layers"], lora["layers"] if lora is not None else None,
+             layer_ids))
         return x, kv_flat.reshape(L, pages, page_size, combined, Dp)
 
     def _mlp(self, lp: dict, h: jax.Array) -> jax.Array:
@@ -313,6 +342,21 @@ class LlamaForCausalLM:
             return linear(jax.nn.silu(gate) * up, lp, "wd")
         gate = jax.nn.silu(linear(h, lp, "wg"))
         return linear(gate * linear(h, lp, "wu"), lp, "wd")
+
+    def _mlp_lora(self, lp: dict, h: jax.Array, ll: dict,
+                  _lora) -> jax.Array:
+        """Dense SwiGLU with LoRA deltas on gate/up/down (MoE subclasses
+        support attention-projection LoRA only)."""
+        if "wgu" in lp:
+            gu = linear(h, lp, "wgu")
+            gate, up = jnp.split(gu, 2, axis=-1)
+        else:
+            gate = linear(h, lp, "wg")
+            up = linear(h, lp, "wu")
+        gate = _lora(ll, "wg", h, gate)
+        up = _lora(ll, "wu", h, up)
+        inter = jax.nn.silu(gate) * up
+        return _lora(ll, "wd", inter, linear(inter, lp, "wd"))
 
     def compute_logits(self, params: dict, hidden: jax.Array) -> jax.Array:
         """hidden: [N, H] -> logits [N, V] float32."""

@@ -52,6 +52,10 @@ class RaggedMeta:
     cu_q_lens: jax.Array
     # Actual number of sequences this step, [1] int32.
     num_seqs: jax.Array
+    # Per-token LoRA adapter group id, [N] int32 (0 = base model); None when
+    # the engine has no adapters registered (ops/lora.py). None is an empty
+    # pytree, so LoRA-less programs are byte-identical to before.
+    adapter_ids: Optional[jax.Array] = None
 
 
 def padded_head_dim(head_dim: int) -> int:

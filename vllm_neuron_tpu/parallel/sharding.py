@@ -92,6 +92,10 @@ def param_specs(params: dict) -> dict:
                 k: LAYER_PARAM_SPECS.get(k, P())
                 for k in value
             }
+        elif name == "lora":
+            # LoRA stacks are rank-r slivers: replicate (the base matmul's
+            # activations stay sharded; XLA inserts the tiny collectives).
+            specs["lora"] = jax.tree.map(lambda _: P(), value)
         else:
             specs[name] = TOP_PARAM_SPECS.get(name, P())
     return specs

@@ -34,9 +34,14 @@ class OpenAIServer:
     def __init__(self, engine: AsyncEngine, served_model_name: str,
                  chat_template: Optional[str] = None,
                  enable_auto_tools: bool = False,
-                 tool_parser: Optional[str] = None):
+                 tool_parser: Optional[str] = None,
+                 lora_modules: Optional[dict] = None):
         self.engine = engine
         self.model_name = served_model_name
+        # Registered LoRA adapters are served as additional model names
+        # (the vLLM ``--lora-modules`` convention): requesting
+        # model=<adapter> routes through that adapter (lora_loader.py).
+        self.lora_names = list(lora_modules or {})
         self.tokenizer = engine.tokenizer
         self.chat_template = chat_template
         self.enable_auto_tools = enable_auto_tools
@@ -68,8 +73,24 @@ class OpenAIServer:
                 "object": "model",
                 "created": now(),
                 "owned_by": "vllm-neuron-tpu",
-            }],
+            }] + [{
+                "id": name,
+                "object": "model",
+                "created": now(),
+                "owned_by": "vllm-neuron-tpu",
+                "parent": self.model_name,
+            } for name in self.lora_names],
         })
+
+    def _resolve_lora(self, body: dict) -> Optional[str]:
+        """Request model name -> adapter name (None = base model)."""
+        name = body.get("model")
+        if name in self.lora_names:
+            return name
+        if name not in (None, self.model_name):
+            raise ValueError(f"unknown model {name!r}; served: "
+                             f"{[self.model_name] + self.lora_names}")
+        return None
 
     async def metrics(self, request: Request):
         if "json" in request.headers.get("accept", ""):
@@ -101,16 +122,19 @@ class OpenAIServer:
             prompts = [prompts]
         sp = sampling_from_body(body, max_tokens_default=16)
         stream = bool(body.get("stream", False))
+        lora = self._resolve_lora(body)
         completion_id = make_id("cmpl")
         if stream:
             if len(prompts) != 1 or sp.n != 1:
                 raise ValueError("streaming supports a single prompt, n=1")
             token_ids, _ = self._tokenize_prompt(prompts[0])
             return StreamingResponse(
-                self._stream_completion(completion_id, token_ids, sp))
-        return await self._full_completion(completion_id, prompts, sp, body)
+                self._stream_completion(completion_id, token_ids, sp, lora))
+        return await self._full_completion(completion_id, prompts, sp, body,
+                                           lora)
 
-    async def _full_completion(self, completion_id, prompts, sp, body):
+    async def _full_completion(self, completion_id, prompts, sp, body,
+                               lora=None):
         usage = UsageInfo()
         choices = []
         tasks = []
@@ -124,7 +148,7 @@ class OpenAIServer:
                     child_sp.__post_init__()
                 tasks.append((token_ids, child_sp))
         results = await asyncio.gather(*[
-            self._collect(token_ids, child_sp)
+            self._collect(token_ids, child_sp, lora)
             for token_ids, child_sp in tasks
         ])
         for i, out in enumerate(results):
@@ -147,16 +171,19 @@ class OpenAIServer:
             "usage": usage.to_dict(),
         })
 
-    async def _collect(self, token_ids: list[int], sp: SamplingParams):
+    async def _collect(self, token_ids: list[int], sp: SamplingParams,
+                       lora=None):
         last = None
-        async for out in self.engine.generate(token_ids, sp):
+        async for out in self.engine.generate(token_ids, sp,
+                                              lora_request=lora):
             last = out
         return last
 
-    async def _stream_completion(self, completion_id, token_ids,
-                                 sp) -> AsyncIterator[str]:
+    async def _stream_completion(self, completion_id, token_ids, sp,
+                                 lora=None) -> AsyncIterator[str]:
         sent_len = 0
-        async for out in self.engine.generate(token_ids, sp):
+        async for out in self.engine.generate(token_ids, sp,
+                                              lora_request=lora):
             comp = out.outputs[0]
             delta = comp.text[sent_len:]
             sent_len = len(comp.text)
@@ -203,11 +230,12 @@ class OpenAIServer:
         token_ids = self._apply_chat_template(
             messages, tools if use_tools else None)
         sp = sampling_from_body(body, max_tokens_default=1024)
+        lora = self._resolve_lora(body)
         chat_id = make_id("chatcmpl")
         if body.get("stream", False):
             return StreamingResponse(
-                self._stream_chat(chat_id, token_ids, sp))
-        out = await self._collect(token_ids, sp)
+                self._stream_chat(chat_id, token_ids, sp, lora))
+        out = await self._collect(token_ids, sp, lora)
         comp = out.outputs[0]
         tool_calls, content = None, comp.text
         if use_tools and self.tool_parser is not None:
@@ -237,7 +265,8 @@ class OpenAIServer:
             "usage": usage.to_dict(),
         })
 
-    async def _stream_chat(self, chat_id, token_ids, sp) -> AsyncIterator[str]:
+    async def _stream_chat(self, chat_id, token_ids, sp,
+                           lora=None) -> AsyncIterator[str]:
         def chunk(delta: dict, finish: Optional[str] = None) -> str:
             return json.dumps({
                 "id": chat_id,
@@ -253,7 +282,8 @@ class OpenAIServer:
 
         yield chunk({"role": "assistant", "content": ""})
         sent_len = 0
-        async for out in self.engine.generate(token_ids, sp):
+        async for out in self.engine.generate(token_ids, sp,
+                                              lora_request=lora):
             comp = out.outputs[0]
             delta = comp.text[sent_len:]
             sent_len = len(comp.text)
@@ -333,6 +363,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=sorted(TOOL_PARSERS))
     p.add_argument("--chat-template", default=None,
                    help="path to a jinja chat template file")
+    p.add_argument("--lora-modules", nargs="*", default=None,
+                   help="LoRA adapters to serve, as name=path pairs "
+                        "(requests select one via the `model` field)")
     p.add_argument("--seed", type=int, default=0)
     # Multi-host (pod slice) bootstrap: run the same command on every host;
     # the leader serves HTTP, followers enter the lockstep loop.
@@ -349,6 +382,13 @@ async def run_server(args) -> None:
         initialize_distributed(coordinator=args.coordinator,
                                num_processes=args.num_hosts,
                                process_id=args.host_id)
+    lora_adapters = {}
+    for spec in args.lora_modules or []:
+        name, _, path = spec.partition("=")
+        if not path:
+            raise ValueError(f"--lora-modules entries must be name=path, "
+                             f"got {spec!r}")
+        lora_adapters[name] = path
     config = build_engine_config(
         args.model,
         tokenizer=args.tokenizer,
@@ -365,6 +405,7 @@ async def run_server(args) -> None:
         kv_cache_dtype=args.kv_cache_dtype,
         speculative_config=args.speculative_config,
         override_tpu_config=args.override_tpu_config,
+        lora_adapters=lora_adapters,
         seed=args.seed,
     )
     tokenizer = None
@@ -385,6 +426,7 @@ async def run_server(args) -> None:
         chat_template=chat_template,
         enable_auto_tools=args.enable_auto_tool_choice,
         tool_parser=args.tool_call_parser,
+        lora_modules=lora_adapters,
     )
     http = await server.app.serve(args.host, args.port)
     async with http:

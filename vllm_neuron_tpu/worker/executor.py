@@ -180,7 +180,9 @@ class ModelExecutor:
                                slot_table: np.ndarray, kv_lens0: np.ndarray,
                                page_indices: np.ndarray, num_seqs: int,
                                temperature: np.ndarray, top_k: np.ndarray,
-                               top_p: np.ndarray) -> dict:
+                               top_p: np.ndarray,
+                               adapter_ids: Optional[np.ndarray] = None
+                               ) -> dict:
         """Enqueue K pipelined decode steps with device-resident token
         feedback (each step's sampled tokens feed the next WITHOUT visiting
         the host). Returns a handle with device arrays; fetch with
@@ -210,11 +212,12 @@ class ModelExecutor:
         tk = jnp.asarray(top_k)
         tp = jnp.asarray(top_p)
         toks = jnp.asarray(first_tokens)
+        ad = (jnp.asarray(adapter_ids) if adapter_ids is not None else None)
         outs = []
         for k in range(K):
             meta = RaggedMeta(slot_mapping=slot_dev[k],
                               kv_lens=kv_lens_all[k], page_indices=pi,
-                              cu_q_lens=cu, num_seqs=ns)
+                              cu_q_lens=cu, num_seqs=ns, adapter_ids=ad)
             self._step_counter += 1
             seed = np.uint32((self.config.model.seed + self._step_counter)
                              & 0xFFFFFFFF)
@@ -430,7 +433,8 @@ class ModelExecutor:
                  top_p: np.ndarray, return_logits: bool,
                  kind: str = "mixed", keep_device: bool = False,
                  embeds_override: Optional[np.ndarray] = None,
-                 override_mask: Optional[np.ndarray] = None
+                 override_mask: Optional[np.ndarray] = None,
+                 adapter_ids: Optional[np.ndarray] = None
                  ) -> tuple[np.ndarray, Optional[np.ndarray]]:
         """One unified step. token_ids/positions/slot_mapping: [N] (N = a
         token bucket); kv_lens/logits_indices/sampling params: [S_step];
@@ -449,6 +453,8 @@ class ModelExecutor:
             page_indices=jnp.asarray(page_indices),
             cu_q_lens=jnp.asarray(cu_q_lens),
             num_seqs=jnp.asarray([num_seqs], jnp.int32),
+            adapter_ids=(jnp.asarray(adapter_ids)
+                         if adapter_ids is not None else None),
         )
         self._step_counter += 1
         seed = np.uint32((self.config.model.seed + self._step_counter)
@@ -489,6 +495,9 @@ class ModelExecutor:
             top_p=np.ones(S_step, np.float32),
             return_logits=return_logits,
             kind=kind,
+            # Match the real programs' pytree structure when LoRA is on.
+            adapter_ids=(np.zeros(N, np.int32)
+                         if "lora" in self.params else None),
         )
 
     def warmup(self) -> None:

@@ -22,11 +22,11 @@ from vllm_neuron_tpu.sampling.params import SamplingParams
 class CachedRequestState:
     __slots__ = ("req_id", "row", "prompt_token_ids", "output_token_ids",
                  "sampling_params", "num_computed_tokens", "block_ids",
-                 "mm_inputs", "in_prefill")
+                 "mm_inputs", "in_prefill", "lora_int_id")
 
     def __init__(self, req_id: str, row: int, prompt_token_ids: list[int],
                  sampling_params: SamplingParams, num_computed_tokens: int,
-                 block_ids: list[int], mm_inputs=None):
+                 block_ids: list[int], mm_inputs=None, lora_int_id: int = 0):
         self.req_id = req_id
         self.row = row
         self.prompt_token_ids = prompt_token_ids
@@ -36,6 +36,7 @@ class CachedRequestState:
         self.block_ids = block_ids
         self.mm_inputs = mm_inputs
         self.in_prefill = True
+        self.lora_int_id = lora_int_id
 
     @property
     def num_prompt_tokens(self) -> int:
@@ -81,6 +82,8 @@ class InputBatch:
         self.top_k = np.full(max_num_seqs, -1, dtype=np.int32)
         self.top_p = np.ones(max_num_seqs, dtype=np.float32)
         self.seeds = np.zeros(max_num_seqs, dtype=np.uint32)
+        # LoRA adapter group id per row (0 = base; lora_loader.py).
+        self.adapter_ids = np.zeros(max_num_seqs, dtype=np.int32)
 
     @property
     def num_active(self) -> int:
@@ -96,7 +99,8 @@ class InputBatch:
     def add_request(self, req_id: str, prompt_token_ids: list[int],
                     sampling_params: SamplingParams,
                     num_computed_tokens: int, block_ids: list[int],
-                    mm_inputs=None) -> CachedRequestState:
+                    mm_inputs=None, lora_int_id: int = 0
+                    ) -> CachedRequestState:
         if req_id in self.requests:
             raise ValueError(f"duplicate request {req_id}")
         if not self._free_rows:
@@ -104,7 +108,7 @@ class InputBatch:
         row = heapq.heappop(self._free_rows)
         state = CachedRequestState(req_id, row, prompt_token_ids,
                                    sampling_params, num_computed_tokens,
-                                   block_ids, mm_inputs)
+                                   block_ids, mm_inputs, lora_int_id)
         self.requests[req_id] = state
         self.row_to_req[row] = req_id
         nb = min(len(block_ids), self.max_blocks_per_seq)
@@ -113,6 +117,7 @@ class InputBatch:
         self.context_lens[row] = num_computed_tokens
         self.num_computed[row] = num_computed_tokens
         self.num_blocks[row] = nb
+        self.adapter_ids[row] = lora_int_id
         sp = sampling_params
         self.temperature[row] = sp.temperature
         self.top_k[row] = sp.top_k
@@ -144,6 +149,7 @@ class InputBatch:
         self.num_computed[row] = 0
         self.num_blocks[row] = 0
         self.needs_host[row] = False
+        self.adapter_ids[row] = 0
         self.temperature[row] = 1.0
         self.top_k[row] = -1
         self.top_p[row] = 1.0

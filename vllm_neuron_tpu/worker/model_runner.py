@@ -47,6 +47,8 @@ class ModelRunner:
         )
         self.model = None
         self.executor: Optional[ModelExecutor] = None
+        # Multi-LoRA adapter registry (lora_loader.py); set in load_model.
+        self.lora_set = None
         self._sampler_states: dict[str, RequestSamplerState] = {}
         # Host sampling for everything (debug / oracle) when disabled.
         self.on_device_sampling = config.sampler.on_device_sampling
@@ -69,6 +71,12 @@ class ModelRunner:
                 params = load_prequantized(self.config.model.model)
                 if params is None:
                     params = self.model.load_params(self.config.model.model)
+        if self.config.lora.enabled:
+            from vllm_neuron_tpu.lora_loader import LoRAAdapterSet
+            self.lora_set = LoRAAdapterSet(self.model,
+                                           self.config.lora.adapters,
+                                           self.config.model.dtype)
+            params["lora"] = self.lora_set.params
         self.executor = ModelExecutor(self.model, self.config, params,
                                       mesh=self.mesh)
         # Vision tower for multimodal models (reference analogue: separate
@@ -127,6 +135,7 @@ class ModelRunner:
                 num_computed_tokens=new.num_computed_tokens,
                 block_ids=list(new.block_ids),
                 mm_inputs=new.mm_inputs,
+                lora_int_id=new.lora_int_id,
             )
             self._sampler_states[new.req_id] = RequestSamplerState(
                 new.sampling_params, new.prompt_token_ids)
@@ -275,6 +284,11 @@ class ModelRunner:
                 mm_kwargs = {"embeds_override": override,
                              "override_mask": mask}
 
+        adapter_ids = None
+        if self.lora_set is not None:
+            adapter_ids = np.zeros(N, np.int32)
+            adapter_ids[:num_new] = state.lora_int_id
+
         use_spec = (self.config.speculative.enabled and not host
                     and nct == 0)
         if use_spec:
@@ -294,7 +308,7 @@ class ModelRunner:
                 logits_indices=np.array([num_new - 1], np.int32),
                 temperature=temperature, top_k=top_k, top_p=top_p,
                 return_logits=host, kind="prefill", keep_device=True,
-                **mm_kwargs)
+                adapter_ids=adapter_ids, **mm_kwargs)
         return dev_tokens, logits, host
 
     def _finalize_prefill(self, req_id: str, num_new: int, handle
@@ -340,7 +354,7 @@ class ModelRunner:
         """One fused Eagle speculation round: schedule gave each request
         1 + K potential tokens; the device returns the accepted prefix."""
         (N, token_ids, positions, slot_table, kv_lens, page_indices,
-         temperature, top_k, top_p) = self._decode_arrays(states, K + 1)
+         temperature, top_k, top_p, _) = self._decode_arrays(states, K + 1)
         # Draft slots: draft position p shares target position p's slot
         # numbering; draft steps cover positions nct-1 .. nct+K-2.
         dslot_table = np.full((K, N), -1, np.int32)
@@ -407,8 +421,12 @@ class ModelRunner:
             min(max_pages, self.max_blocks_per_seq))
         page_indices = np.zeros((N, PP), np.int32)
         page_indices[:n] = bt[:, :PP]
+        adapter_ids = None
+        if self.lora_set is not None:
+            adapter_ids = np.zeros(N, np.int32)
+            adapter_ids[:n] = ib.adapter_ids[rows]
         return (N, token_ids, positions, slot_table, kv_lens, page_indices,
-                temperature, top_k, top_p)
+                temperature, top_k, top_p, adapter_ids)
 
     def _window_key(self, items, states) -> tuple:
         return (tuple(req_id for req_id, _ in items),
@@ -421,13 +439,13 @@ class ModelRunner:
         the current computed counts. first_tokens: host array or device
         carry."""
         (N, token_ids, positions, slot_table, kv_lens, page_indices,
-         temperature, top_k, top_p) = self._decode_arrays(states, K,
-                                                          nct_offset)
+         temperature, top_k, top_p, adapter_ids) = self._decode_arrays(
+             states, K, nct_offset)
         handle = self.executor.dispatch_decode_window(
             first_tokens if first_tokens is not None else token_ids,
             positions, slot_table, kv_lens, page_indices,
             num_seqs=len(states), temperature=temperature, top_k=top_k,
-            top_p=top_p)
+            top_p=top_p, adapter_ids=adapter_ids)
         handle["K"] = K
         return handle
 
@@ -469,7 +487,8 @@ class ModelRunner:
     def _run_decode_single(self, items, states
                            ) -> dict[str, tuple[list[int], object]]:
         (N, token_ids, positions, slot_table, kv_lens, page_indices,
-         temperature, top_k, top_p) = self._decode_arrays(states, 1)
+         temperature, top_k, top_p, adapter_ids) = self._decode_arrays(
+             states, 1)
         host_rows = {i for i, s in enumerate(states) if self._needs_host(s)}
         dev_tokens, logits = self.executor.run_step(
             token_ids, positions, slot_table[0], kv_lens, page_indices,
@@ -477,7 +496,8 @@ class ModelRunner:
             num_seqs=len(states),
             logits_indices=np.arange(N, dtype=np.int32),
             temperature=temperature, top_k=top_k, top_p=top_p,
-            return_logits=bool(host_rows), kind="decode")
+            return_logits=bool(host_rows), kind="decode",
+            adapter_ids=adapter_ids)
         results = {}
         for i, ((req_id, _), state) in enumerate(zip(items, states)):
             state.num_computed_tokens += 1
