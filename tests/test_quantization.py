@@ -116,3 +116,54 @@ def test_quantized_weights_dtype(tiny_llama_dir):
     assert layers["wqkv"].dtype == jnp.int8
     assert layers["wqkv_scale"].dtype == jnp.float32
     assert layers["attn_norm"].dtype != jnp.int8  # norms untouched
+
+
+def test_w8a8_matmul_numerics():
+    """Dynamic per-token activation quant + s8xs8 dot stays close to the
+    f32 reference (dequantized-weight matmul)."""
+    import jax.numpy as jnp
+
+    from vllm_neuron_tpu.ops.quant import (_w8a8_matmul,
+                                           quantize_per_channel)
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((512, 256)).astype(np.float32)
+    w = (rng.standard_normal((256, 128)) * 0.1).astype(np.float32)
+    wq, scale = quantize_per_channel(w, "int8")
+    ref = x @ (wq.astype(np.float32) * scale)
+    got = np.asarray(_w8a8_matmul(jnp.asarray(x), jnp.asarray(wq),
+                                  jnp.asarray(scale)))
+    rel = np.abs(got - ref) / (np.abs(ref).mean() + 1e-6)
+    assert rel.mean() < 0.01, rel.mean()
+    assert rel.max() < 0.12, rel.max()
+
+
+def test_w8a8_threshold_gating(monkeypatch):
+    """The W8A8 path engages only at/above the static row threshold."""
+    import jax.numpy as jnp
+
+    from vllm_neuron_tpu.ops import quant
+
+    monkeypatch.setenv("VLLM_TPU_W8A8_MIN_ROWS", "256")
+    quant._w8a8_min_rows.cache_clear()
+    try:
+        rng = np.random.default_rng(0)
+        w = (rng.standard_normal((64, 32)) * 0.1).astype(np.float32)
+        wq, scale = quant.quantize_per_channel(w, "int8")
+        x_small = jnp.asarray(rng.standard_normal((8, 64)), jnp.float32)
+        x_big = jnp.asarray(rng.standard_normal((256, 64)), jnp.float32)
+        ref_small = np.asarray(x_small) @ (wq.astype(np.float32) * scale)
+        # Below threshold: exact dequant path (f32 exact for f32 x).
+        np.testing.assert_allclose(
+            np.asarray(quant.dequant_matmul(x_small, jnp.asarray(wq),
+                                            jnp.asarray(scale))),
+            ref_small, rtol=1e-5, atol=1e-5)
+        # At threshold: quantized activations — close but not exact.
+        ref_big = np.asarray(x_big) @ (wq.astype(np.float32) * scale)
+        got_big = np.asarray(quant.dequant_matmul(x_big, jnp.asarray(wq),
+                                                  jnp.asarray(scale)))
+        assert not np.allclose(got_big, ref_big, rtol=1e-6, atol=1e-6)
+        rel = np.abs(got_big - ref_big) / (np.abs(ref_big).mean() + 1e-6)
+        assert rel.mean() < 0.02
+    finally:
+        quant._w8a8_min_rows.cache_clear()

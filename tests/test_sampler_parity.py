@@ -94,3 +94,25 @@ def test_min_tokens_beats_eos(tiny_llama_dir):
                                          min_tokens=8))[0]
     assert len(pushed.outputs[0].token_ids) >= 8
     assert pushed.outputs[0].token_ids[:3] == ref[:3]
+
+
+def test_logit_bias_forces_and_blocks_tokens(tiny_llama_dir):
+    """OpenAI logit_bias semantics on the host path: +100 forces a token,
+    -100 bans the otherwise-greedy choice (reference gets this from vLLM's
+    CPU Sampler; model_runner.py:1142-1239)."""
+    from vllm_neuron_tpu import LLM, SamplingParams
+
+    llm = LLM(model=tiny_llama_dir, dtype="float32", max_model_len=64,
+              max_num_seqs=2, block_size=16, skip_tokenizer_init=True)
+    prompt = {"prompt_token_ids": [5, 77, 301, 44, 12]}
+    base = llm.generate(prompt, SamplingParams(
+        temperature=0.0, max_tokens=4, ignore_eos=True))[0]
+    first = base.outputs[0].token_ids[0]
+    forced = llm.generate(prompt, SamplingParams(
+        temperature=0.0, max_tokens=4, ignore_eos=True,
+        logit_bias={7: 100.0}))[0]
+    assert all(t == 7 for t in forced.outputs[0].token_ids)
+    banned = llm.generate(prompt, SamplingParams(
+        temperature=0.0, max_tokens=1, ignore_eos=True,
+        logit_bias={int(first): -100.0}))[0]
+    assert banned.outputs[0].token_ids[0] != first

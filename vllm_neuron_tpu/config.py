@@ -393,6 +393,12 @@ class QuantConfig:
     quantization: Optional[str] = None  # "int8" | "fp8" | None
     quantization_type: str = "per_channel_symmetric"
     kv_cache_quant: bool = False
+    # W8A8: programs with >= this many token rows quantize activations
+    # per-token (symmetric int8) and run s8xs8 on the MXU at 2x the bf16
+    # rate — prefill matmuls 44.8 -> 27.6 ms/512 tokens on 8B (docs/
+    # PERF_NOTES.md). 0 disables (decode stays on the dequant path either
+    # way). Requires quantization="int8".
+    w8a8_min_rows: int = 0
     modules_to_not_convert: list[str] = field(default_factory=list)
 
     @property

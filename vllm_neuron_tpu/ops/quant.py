@@ -120,6 +120,30 @@ def _use_pallas() -> bool:
     return os.environ.get("VLLM_TPU_DEQUANT_BACKEND") == "pallas"
 
 
+@functools.cache
+def _w8a8_min_rows() -> int:
+    # Opt-in W8A8: dynamic per-token int8 activation quant so prefill
+    # matmuls run int8 x int8 on the MXU (2x the bf16 rate on v5e; the
+    # reference's NxDI exposes the analogous quantized-MLP kernels).
+    # Decode stays on the dequant path: it is HBM-bound, activation quant
+    # only adds work there. 0 disables.
+    import os
+    return int(os.environ.get("VLLM_TPU_W8A8_MIN_ROWS", "0"))
+
+
+def _w8a8_matmul(x2: jax.Array, wq: jax.Array, scale: jax.Array
+                 ) -> jax.Array:
+    """x2: [M, K] float; wq: [K, N] int8; scale: [1, N] f32 (per-channel
+    weight scale). Per-row symmetric activation quant, s8xs8->s32 dot."""
+    xf = x2.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)  # [M, 1]
+    xs = jnp.maximum(absmax / INT8_MAX, 1e-12)
+    xi = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(xi, wq, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    return (acc.astype(jnp.float32) * xs * scale).astype(x2.dtype)
+
+
 def dequant_matmul(x: jax.Array, wq: jax.Array, scale: jax.Array,
                    backend: Optional[str] = None) -> jax.Array:
     """x: [..., K] (bf16/f32); wq: [K, N] int8/fp8; scale: [1, N] f32.
@@ -130,14 +154,24 @@ def dequant_matmul(x: jax.Array, wq: jax.Array, scale: jax.Array,
     x2 = x.reshape(-1, K)
     use_pallas = backend == "pallas" if backend else _use_pallas()
     M = x2.shape[0]
+    min_rows = _w8a8_min_rows()
+    if (min_rows and M >= min_rows and wq.dtype == jnp.int8
+            and backend is None):
+        return _w8a8_matmul(x2, wq, scale).reshape(*lead, N)
     # The kernel wants lane/sublane-friendly shapes; tiny/ragged shapes take
     # the XLA path.
     if use_pallas and M % 8 == 0 and K % 128 == 0 and N % 128 == 0:
         out = _dequant_matmul_pallas(x2, wq, scale, out_dtype=x.dtype)
     else:
-        w = wq.astype(jnp.float32) * scale
-        out = jnp.dot(x2.astype(jnp.float32), w,
-                      preferred_element_type=jnp.float32).astype(x.dtype)
+        # Dequantize INTO THE ACTIVATION DTYPE: with bf16 activations the
+        # MXU runs single-pass bf16 matmuls (f32 dots cost 3-6 bf16 passes
+        # — measured 85ms -> ~2x faster prefill at 512 tokens on 8B INT8),
+        # while the int8->bf16 convert+scale still fuses into the dot's
+        # operand read so weight HBM traffic stays quantized. f32
+        # activations (CPU tests, debug) keep full f32 numerics.
+        w = (wq.astype(jnp.float32) * scale).astype(x.dtype)
+        out = jnp.dot(x2, w, preferred_element_type=jnp.float32
+                      ).astype(x.dtype)
     return out.reshape(*lead, N)
 
 

@@ -82,6 +82,11 @@ def sample_token(logits: np.ndarray, sp: SamplingParams,
                  state: RequestSamplerState) -> SampleResult:
     """Sample one token from a [V] float32 logits row."""
     logits = _apply_penalties(logits.astype(np.float32), sp, state)
+    if sp.logit_bias:
+        for tid, bias in sp.logit_bias.items():
+            tid = int(tid)
+            if 0 <= tid < logits.shape[0]:
+                logits[tid] += float(bias)
 
     want_logprobs = sp.logprobs is not None
     logprobs_row = _log_softmax(logits) if want_logprobs else None

@@ -39,6 +39,8 @@ class SamplingParams:
     ignore_eos: bool = False
     logprobs: Optional[int] = None
     prompt_logprobs: Optional[int] = None
+    # OpenAI-style {token_id: additive bias in [-100, 100]} (host path).
+    logit_bias: Optional[dict] = None
     detokenize: bool = True
     skip_special_tokens: bool = True
 
@@ -93,4 +95,5 @@ class SamplingParams:
                 or self.repetition_penalty != 1.0 or self.seed is not None
                 or self.logprobs is not None or self.prompt_logprobs is not None
                 or self.min_p > 0.0 or self.n > 1
+                or self.logit_bias is not None
                 or self.top_k > MAX_ON_DEVICE_TOP_K)

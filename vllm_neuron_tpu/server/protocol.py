@@ -53,6 +53,9 @@ def sampling_from_body(body: dict, max_tokens_default: int = 16
         stop_token_ids=body.get("stop_token_ids"),
         ignore_eos=bool(body.get("ignore_eos", False)),
         logprobs=logprobs,
+        logit_bias={int(k): float(v)
+                    for k, v in body["logit_bias"].items()}
+        if isinstance(body.get("logit_bias"), dict) else None,
     )
 
 

@@ -98,6 +98,13 @@ class ModelExecutor:
         # The Mosaic kernel path needs shard_map to partition over a mesh;
         # under GSPMD (mesh set) use the XLA fallback for now.
         self.attn_backend = "jnp" if mesh is not None else default_backend()
+        if config.quant.w8a8_min_rows:
+            # The ops layer reads the threshold once per process (env-
+            # transported so ops stay config-free); engine init pins it.
+            from vllm_neuron_tpu.ops import quant as _q
+            os.environ["VLLM_TPU_W8A8_MIN_ROWS"] = str(
+                config.quant.w8a8_min_rows)
+            _q._w8a8_min_rows.cache_clear()
         self._setup_compilation_cache()
         if mesh is not None:
             from vllm_neuron_tpu.parallel.sharding import (shard_kv_cache,
