@@ -72,16 +72,25 @@ def write_kv_pages(kv_pages_l: jax.Array, k: jax.Array, v: jax.Array,
     kv_pages_l: [num_pages, page_size, 2*Hkv, Dp]; k/v: [N, Hkv, D<=Dp];
     slot_mapping: [N] int32, -1 = drop. The TPU analogue of the reference's
     NKI slot-mapping DMA scatter with pad-skip (model_runner.py:805-811).
+
+    JAX scatter wraps NEGATIVE indices NumPy-style even under mode="drop"
+    (only truly out-of-bounds indices are dropped), so -1 pads must be
+    remapped to indices >= num_slots before the scatter. Each pad gets a
+    DISTINCT out-of-bounds index (num_slots + n) so unique_indices=True
+    stays honest.
     """
     num_pages, page_size, two_hkv, Dp = kv_pages_l.shape
     D = k.shape[-1]
+    N = k.shape[0]
     kv_new = jnp.stack([k, v], axis=2)  # [N, Hkv, 2, D]
-    kv_new = kv_new.reshape(k.shape[0], two_hkv, D).astype(kv_pages_l.dtype)
+    kv_new = kv_new.reshape(N, two_hkv, D).astype(kv_pages_l.dtype)
     if D < Dp:
         kv_new = jnp.pad(kv_new, ((0, 0), (0, 0), (0, Dp - D)))
-    flat = kv_pages_l.reshape(num_pages * page_size, two_hkv, Dp)
-    flat = flat.at[slot_mapping].set(kv_new, mode="drop",
-                                     unique_indices=True)
+    num_slots = num_pages * page_size
+    oob = num_slots + jnp.arange(N, dtype=jnp.int32)
+    slots = jnp.where(slot_mapping < 0, oob, slot_mapping)
+    flat = kv_pages_l.reshape(num_slots, two_hkv, Dp)
+    flat = flat.at[slots].set(kv_new, mode="drop", unique_indices=True)
     return flat.reshape(num_pages, page_size, two_hkv, Dp)
 
 

@@ -73,23 +73,33 @@ class Worker:
     def check_health(self) -> bool:
         return True
 
-    # -- LoRA (interface parity with the reference: surface present,
-    # runtime unimplemented — vllm_neuron/worker/neuron_worker.py:123-138) --
+    # -- LoRA. Adapters are registered at engine construction via
+    # config.lora (lora_loader.py) and served per-request; the reference's
+    # dynamic add/remove surface (vllm_neuron/worker/neuron_worker.py:123-138)
+    # is not supported because adapter stacks are baked into the compiled
+    # step programs. --
 
     def add_lora(self, lora_request) -> bool:
         raise NotImplementedError(
-            "LoRA is not yet supported on the TPU backend")
+            "dynamic LoRA add is not supported: adapters are registered at "
+            "engine construction (config.lora.adapters) and compiled into "
+            "the step programs")
 
     def remove_lora(self, lora_id: int) -> bool:
         raise NotImplementedError(
-            "LoRA is not yet supported on the TPU backend")
+            "dynamic LoRA remove is not supported: adapters are registered "
+            "at engine construction (config.lora.adapters)")
 
     def pin_lora(self, lora_id: int) -> bool:
         raise NotImplementedError(
-            "LoRA is not yet supported on the TPU backend")
+            "LoRA pinning is not applicable: all registered adapters stay "
+            "resident in the compiled step programs")
 
     def list_loras(self) -> set:
-        return set()
+        lora_cfg = getattr(self.config, "lora", None)
+        if lora_cfg is None or not getattr(lora_cfg, "adapters", None):
+            return set()
+        return set(lora_cfg.adapters.keys())
 
     def profile(self, is_start: bool = True) -> None:
         """Real profiling, unlike the reference's NotImplementedError
