@@ -107,22 +107,31 @@ def run_workload(engine, n_requests: int, gen_tokens: int, tag: str):
         engine.add_request(f"{tag}-{r}", prompt, sp)
     generated = 0
     t0 = time.perf_counter()
-    first_token_t = None
+    first_token = {}  # req_id -> seconds from batch submit to first token
     while engine.has_unfinished_requests():
         outs = engine.step()
+        now = time.perf_counter() - t0
         for o in outs:
+            if o.request_id not in first_token and o.outputs[0].token_ids:
+                first_token[o.request_id] = now
             generated += len(o.outputs[0].token_ids) if o.finished else 0
-        if first_token_t is None and outs:
-            first_token_t = time.perf_counter() - t0
     elapsed = time.perf_counter() - t0
-    return n_requests * gen_tokens, elapsed, first_token_t
+    ttfts = sorted(first_token.values())
+    stats = {
+        "ttft_p50_s": ttfts[len(ttfts) // 2] if ttfts else None,
+        # In this closed-batch workload prefills all run first (prefill-
+        # priority scheduler), so the decode phase starts at the last
+        # first-token time; decode tok/s is the phase-pure diagnostic.
+        "decode_phase_s": elapsed - ttfts[-1] if ttfts else None,
+    }
+    return n_requests * gen_tokens, elapsed, stats
 
 
 def main():
     engine = build_engine()
     # Warmup: compile prefill + decode-window programs on a small run.
     run_workload(engine, 2, 16, "warm")
-    total, elapsed, ttft = run_workload(engine, BATCH, GEN_TOKENS, "bench")
+    total, elapsed, stats = run_workload(engine, BATCH, GEN_TOKENS, "bench")
     tokens_per_sec = total / elapsed
     vs = tokens_per_sec / PREV_BEST if PREV_BEST else 1.0
     if MODEL_VARIANT == "llama8b":
@@ -131,12 +140,22 @@ def main():
     else:
         name = ("engine_decode_tokens_per_sec_per_chip_tinyllama1.1b_"
                 f"{QUANT or 'bf16'}_b{BATCH}_p{PROMPT_LEN}_g{GEN_TOKENS}")
-    print(json.dumps({
+    record = {
         "metric": name,
         "value": round(tokens_per_sec, 2),
         "unit": "tokens/s",
         "vs_baseline": round(vs, 3),
-    }))
+    }
+    # Second north-star metric (BASELINE.md): p50 time-to-first-token from
+    # batch submit, plus the phase-pure decode rate as a diagnostic.
+    if stats.get("ttft_p50_s") is not None:
+        record["ttft_p50_ms"] = round(stats["ttft_p50_s"] * 1e3, 1)
+    if stats.get("decode_phase_s"):
+        # First token of each request is produced by its prefill; the
+        # decode phase generates the rest.
+        record["decode_phase_tokens_per_sec"] = round(
+            (total - BATCH) / stats["decode_phase_s"], 2)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,84 @@
+# SPDX-License-Identifier: Apache-2.0
+"""A/B microbenchmark: Pallas paged decode attention vs dense page-gather.
+
+Run ALONE on the TPU (single-tenant chip — see CLAUDE.md). Methodology:
+chain ITER iterations feeding the output back into q, fetch ONE scalar at
+the end (block_until_ready alone under-reports through the axon tunnel).
+
+    python perf/attn_ab.py [dense|pallas|both] [kv_len] [B]
+"""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vllm_neuron_tpu.ops.decode_attention import (decode_paged_attention,
+                                                  visible_range)
+from vllm_neuron_tpu.ops.ragged_attention import (RaggedMeta,
+                                                  _decode_attention_dense)
+
+# Llama-3.1-8B decode shapes at the bench config.
+B = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+HQ, HKV, DP = 32, 8, 128
+PS = 32
+NUM_PAGES = 1025
+KV_LEN = int(sys.argv[2]) if len(sys.argv) > 2 else 640
+PP_BUCKET = -(-KV_LEN // PS)  # exact page need (bucket rounding separate)
+ITER = 64
+SM = 1.0 / np.sqrt(DP)
+
+
+def setup(dtype=jnp.bfloat16):
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((B, HQ, DP)), dtype)
+    kv = jnp.asarray(rng.standard_normal((NUM_PAGES, PS, 2 * HKV, DP)),
+                     dtype)
+    kv_lens = jnp.full((B,), KV_LEN, jnp.int32)
+    pages = np.zeros((B, PP_BUCKET), np.int32)
+    for b in range(B):
+        pages[b] = rng.choice(np.arange(1, NUM_PAGES), PP_BUCKET,
+                              replace=False)
+    return q, kv, kv_lens, jnp.asarray(pages)
+
+
+def run(name, fn, q, *args):
+    out = fn(q, *args)
+    out.block_until_ready()  # compile
+    t0 = time.perf_counter()
+    for _ in range(ITER):
+        q = fn(q, *args)
+    float(q[0, 0, 0])  # one scalar fetch forces the whole chain
+    dt = (time.perf_counter() - t0) / ITER * 1e3
+    print(f"{name}: {dt:.3f} ms/call  (B={B} kv_len={KV_LEN} "
+          f"PP={PP_BUCKET} iters={ITER})")
+    return dt
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    q, kv, kv_lens, pages = setup()
+
+    if which in ("dense", "both"):
+        meta = RaggedMeta(
+            slot_mapping=jnp.full((B,), -1, jnp.int32),
+            kv_lens=kv_lens, page_indices=pages,
+            cu_q_lens=jnp.arange(B + 1, dtype=jnp.int32),
+            num_seqs=jnp.asarray([B], jnp.int32))
+        dense = jax.jit(lambda q: _decode_attention_dense(
+            q, kv, meta, SM, None).astype(q.dtype))
+        run("dense ", lambda q: dense(q))
+
+    if which in ("pallas", "both"):
+        lo, hi = visible_range(kv_lens)
+        for c in (2, 4, 8):
+            if PP_BUCKET % 1 == 0:
+                pal = jax.jit(lambda q, c=c: decode_paged_attention(
+                    q, kv, lo, hi, pages, num_kv_heads=HKV, sm_scale=SM,
+                    pages_per_chunk=c).astype(q.dtype))
+                run(f"pallasC{c}", lambda q, pal=pal: pal(q))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Pallas paged decode-attention kernel vs the dense XLA oracle.
+
+Runs in Pallas interpret mode on CPU; the same kernel compiles via Mosaic on
+TPU. The oracle is the production dense page-gather path
+(ops/ragged_attention.py), itself pinned against HF in
+tests/test_model_correctness.py.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vllm_neuron_tpu.ops.decode_attention import (decode_paged_attention,
+                                                  visible_range)
+from vllm_neuron_tpu.ops.ragged_attention import (RaggedMeta,
+                                                  _decode_attention_dense)
+
+
+def _setup(B=5, Hq=8, Hkv=2, Dp=128, ps=16, PP=6, num_pages=32, seed=0,
+           kv_lens=None):
+    rng = np.random.default_rng(seed)
+    q = rng.standard_normal((B, Hq, Dp), np.float32)
+    kv_pages = rng.standard_normal((num_pages, ps, 2 * Hkv, Dp),
+                                   np.float32).astype(np.float32)
+    if kv_lens is None:
+        kv_lens = rng.integers(1, PP * ps + 1, size=B).astype(np.int32)
+    else:
+        kv_lens = np.asarray(kv_lens, np.int32)
+    # Random distinct pages per row (page 0 is the shared null page).
+    page_indices = np.zeros((B, PP), np.int32)
+    for b in range(B):
+        page_indices[b] = rng.choice(np.arange(1, num_pages), PP,
+                                     replace=False)
+    return (jnp.asarray(q), jnp.asarray(kv_pages), jnp.asarray(kv_lens),
+            jnp.asarray(page_indices))
+
+
+def _dense_oracle(q, kv_pages, kv_lens, page_indices, sm_scale,
+                  sliding_window=None, chunk_size=None):
+    B, PP = page_indices.shape
+    meta = RaggedMeta(
+        slot_mapping=jnp.full((B,), -1, jnp.int32),
+        kv_lens=kv_lens,
+        page_indices=page_indices,
+        cu_q_lens=jnp.arange(B + 1, dtype=jnp.int32),
+        num_seqs=jnp.asarray([B], jnp.int32),
+    )
+    return _decode_attention_dense(q, kv_pages, meta, sm_scale,
+                                   sliding_window, chunk_size)
+
+
+@pytest.mark.parametrize("kv_lens", [None, [1, 7, 16, 33, 96]])
+def test_matches_dense(kv_lens):
+    q, kv_pages, lens, pages = _setup(kv_lens=kv_lens)
+    sm = 0.125
+    lo, hi = visible_range(lens)
+    out = decode_paged_attention(q, kv_pages, lo, hi, pages,
+                                 num_kv_heads=2, sm_scale=sm,
+                                 pages_per_chunk=2, interpret=True)
+    ref = _dense_oracle(q, kv_pages, lens, pages, sm)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_inactive_rows_zero():
+    q, kv_pages, lens, pages = _setup(kv_lens=[10, 0, 25, 0, 1])
+    lo, hi = visible_range(lens)
+    out = np.asarray(decode_paged_attention(
+        q, kv_pages, lo, hi, pages, num_kv_heads=2, sm_scale=1.0,
+        pages_per_chunk=2, interpret=True))
+    assert np.all(out[1] == 0.0) and np.all(out[3] == 0.0)
+    ref = np.asarray(_dense_oracle(q, kv_pages, lens, pages, 1.0))
+    np.testing.assert_allclose(out[[0, 2, 4]], ref[[0, 2, 4]],
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_sliding_window():
+    q, kv_pages, lens, pages = _setup(kv_lens=[40, 96, 3, 17, 64])
+    sw = 24
+    lo, hi = visible_range(lens, sliding_window=sw)
+    out = decode_paged_attention(q, kv_pages, lo, hi, pages,
+                                 num_kv_heads=2, sm_scale=0.2,
+                                 pages_per_chunk=2, interpret=True)
+    ref = _dense_oracle(q, kv_pages, lens, pages, 0.2, sliding_window=sw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_chunked_local():
+    q, kv_pages, lens, pages = _setup(kv_lens=[40, 96, 3, 32, 64])
+    cs = 32
+    lo, hi = visible_range(lens, chunk_size=cs)
+    out = decode_paged_attention(q, kv_pages, lo, hi, pages,
+                                 num_kv_heads=2, sm_scale=0.2,
+                                 pages_per_chunk=2, interpret=True)
+    ref = _dense_oracle(q, kv_pages, lens, pages, 0.2, chunk_size=cs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_bf16_cache():
+    q, kv_pages, lens, pages = _setup()
+    q16 = q.astype(jnp.bfloat16)
+    kv16 = kv_pages.astype(jnp.bfloat16)
+    lo, hi = visible_range(lens)
+    out = decode_paged_attention(q16, kv16, lo, hi, pages,
+                                 num_kv_heads=2, sm_scale=0.125,
+                                 pages_per_chunk=2, interpret=True)
+    ref = _dense_oracle(q16, kv16, lens, pages, 0.125)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=3e-2, atol=3e-2)

@@ -1,0 +1,210 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Pallas paged decode attention — fused page gather + flash softmax.
+
+The production decode path in round 1 was a dense two-stage XLA program:
+gather every row's page bucket into a [B, PP*ps, Hkv, D] transient, then run
+masked dense attention over it. That costs 2x the live-context HBM traffic
+(materialize + re-read), and reads the full page BUCKET per row regardless of
+kv_len. This kernel is the TPU-native analogue of the reference's NKI
+token-generation (TKG) kernel (vllm_neuron/worker/neuronx_distributed_model_
+runner.py:805-811): one token per sequence, pages streamed HBM->VMEM with
+double-buffered async DMA, online-softmax accumulation, and per-row kv_len
+bounds so dead pages are never touched.
+
+KV layout (shared with ops/ragged_attention.py): pages of
+``[page_size, 2*Hkv, Dp]`` with K at even and V at odd combined-head indices
+— one page is one contiguous DMA.
+
+Visibility is expressed as a per-row [lo, hi) key range so one kernel serves
+full causal decode (lo=0, hi=kv_len), sliding-window layers
+(lo=max(0, kv_len-w)) and Llama-4 chunked local layers
+(lo=((kv_len-1)//chunk)*chunk). Rows with hi == 0 are inactive pads.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Mask adder for invisible keys: large negative, but far from -inf so
+# exp(x - m) never sees NaN (guide convention: -0.7 * float32 max).
+_MASK = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _decode_kernel(
+    # scalar prefetch
+    lo_ref, hi_ref, page_indices_ref,
+    # inputs
+    q_ref, kv_hbm_ref,
+    # outputs
+    o_ref,
+    # scratch
+    kv_buf, sem,
+    *, page_size: int, pages_per_chunk: int, num_kv_heads: int,
+    sm_scale: float,
+):
+    b = pl.program_id(0)
+    ps = page_size
+    C = pages_per_chunk
+    cs = C * ps  # keys per chunk
+    hi = hi_ref[b]
+    lo = lo_ref[b]
+
+    Hq, Dp = q_ref.shape[1], q_ref.shape[2]
+    Hkv = num_kv_heads
+    G = Hq // Hkv
+
+    # Page span [p0, p1) covering [lo, hi); chunks of C pages.
+    p0 = lo // ps
+    p1 = (hi + ps - 1) // ps
+    n_chunks = (p1 - p0 + C - 1) // C
+
+    def start_chunk_dma(ci, slot):
+        # C page DMAs started concurrently; pages are non-contiguous.
+        for j in range(C):
+            pj = p0 + ci * C + j
+
+            @pl.when(pj < p1)
+            def _():
+                page = page_indices_ref[b, pj]
+                pltpu.make_async_copy(
+                    kv_hbm_ref.at[page],
+                    kv_buf.at[slot, j],
+                    sem.at[slot, j],
+                ).start()
+
+    def wait_chunk(ci, slot):
+        for j in range(C):
+            pj = p0 + ci * C + j
+
+            @pl.when(pj < p1)
+            def _():
+                pltpu.make_async_copy(
+                    kv_hbm_ref.at[0], kv_buf.at[slot, j], sem.at[slot, j],
+                ).wait()
+
+    @pl.when(hi > 0)
+    def _active():
+        start_chunk_dma(0, 0)
+
+        q = q_ref[b].astype(jnp.float32) * sm_scale      # [Hq, Dp]
+        qg = q.reshape(Hkv, G, Dp)
+
+        def body(ci, carry):
+            m_prev, l_prev, acc = carry
+            slot = jax.lax.rem(ci, 2)
+
+            @pl.when(ci + 1 < n_chunks)
+            def _():
+                start_chunk_dma(ci + 1, 1 - slot)
+
+            wait_chunk(ci, slot)
+            # Combined-head index 2h is K_h, 2h+1 is V_h (h-major, k/v
+            # minor), so [cs, 2Hkv, Dp] reshapes to [cs, Hkv, 2, Dp].
+            kv = kv_buf[slot].astype(jnp.float32).reshape(cs, Hkv, 2, Dp)
+            k = kv[:, :, 0, :]                            # [cs, Hkv, Dp]
+            v = kv[:, :, 1, :]
+
+            # scores: batch over kv heads -> [Hkv, G, cs]
+            s = jax.lax.dot_general(
+                qg, k,
+                dimension_numbers=(((2,), (2,)), ((0,), (1,))),
+                preferred_element_type=jnp.float32)
+
+            base = (p0 + ci * C) * ps
+            kpos = base + jax.lax.broadcasted_iota(jnp.int32, (1, cs), 1)
+            vis = (kpos >= lo) & (kpos < hi)              # [1, cs]
+            # REPLACE (not add) masked scores, and zero masked V rows:
+            # pages past p1 in the final chunk are never DMA'd, so their
+            # buffer slots hold stale garbage (NaN in interpret mode) that
+            # an additive mask cannot cancel.
+            s = jnp.where(vis[None], s, _MASK)
+            v = jnp.where(vis.reshape(cs, 1, 1), v, 0.0)
+
+            m_cur = jnp.max(s, axis=-1)                   # [Hkv, G]
+            m_next = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_next)              # [Hkv, G]
+            p = jnp.exp(s - m_next[..., None])            # [Hkv, G, cs]
+            l_next = alpha * l_prev + jnp.sum(p, axis=-1)
+            # out contribution: [Hkv, G, Dp]
+            o_cur = jax.lax.dot_general(
+                p, v,
+                dimension_numbers=(((2,), (0,)), ((0,), (1,))),
+                preferred_element_type=jnp.float32)
+            acc = acc * alpha[..., None] + o_cur
+            return m_next, l_next, acc
+
+        m0 = jnp.full((Hkv, G), -jnp.inf, jnp.float32)
+        l0 = jnp.zeros((Hkv, G), jnp.float32)
+        a0 = jnp.zeros((Hkv, G, Dp), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, n_chunks, body, (m0, l0, a0))
+        l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+        o_ref[b] = (acc * l_inv[..., None]).reshape(Hq, Dp).astype(
+            o_ref.dtype)
+
+    @pl.when(hi <= 0)
+    def _inactive():
+        o_ref[b] = jnp.zeros((Hq, Dp), o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_kv_heads", "sm_scale", "pages_per_chunk",
+                     "interpret"))
+def decode_paged_attention(q: jax.Array, kv_pages_l: jax.Array,
+                           lo: jax.Array, hi: jax.Array,
+                           page_indices: jax.Array, *,
+                           num_kv_heads: int, sm_scale: float,
+                           pages_per_chunk: int = 4,
+                           interpret: bool = False) -> jax.Array:
+    """q: [B, Hq, Dp]; kv_pages_l: [num_pages, ps, 2*Hkv, Dp];
+    lo/hi: [B] int32 visible key range (hi == post-step kv_len; hi<=0 pads);
+    page_indices: [B, PP]. Returns [B, Hq, Dp] in q.dtype.
+    """
+    B, Hq, Dp = q.shape
+    _, ps, two_hkv, Dp2 = kv_pages_l.shape
+    assert Dp == Dp2 and two_hkv == 2 * num_kv_heads
+    C = pages_per_chunk
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # lo, hi, page_indices
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # q (full)
+            pl.BlockSpec(memory_space=pl.ANY),       # kv pages stay in HBM
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, C, ps, two_hkv, Dp), kv_pages_l.dtype),
+            pltpu.SemaphoreType.DMA((2, C)),
+        ],
+    )
+    kernel = functools.partial(
+        _decode_kernel, page_size=ps, pages_per_chunk=C,
+        num_kv_heads=num_kv_heads, sm_scale=sm_scale)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hq, Dp), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(lo, hi, page_indices, q, kv_pages_l)
+
+
+def visible_range(kv_lens: jax.Array, sliding_window=None, chunk_size=None
+                  ) -> tuple[jax.Array, jax.Array]:
+    """Per-row [lo, hi) visible key range for the last-token query at
+    position kv_len - 1 (matches the dense path's mask semantics:
+    ops/ragged_attention.py:_dense_attention)."""
+    hi = kv_lens
+    q_pos = kv_lens - 1
+    lo = jnp.zeros_like(kv_lens)
+    if sliding_window is not None:
+        lo = jnp.maximum(lo, q_pos - sliding_window + 1)
+    if chunk_size is not None:
+        lo = jnp.maximum(lo, (q_pos // chunk_size) * chunk_size)
+    return lo, hi

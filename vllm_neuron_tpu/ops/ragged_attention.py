@@ -303,6 +303,15 @@ def _ragged_attention_pallas(q: jax.Array, kv_pages_l: jax.Array,
 
 
 @functools.cache
+def _use_pallas_decode() -> bool:
+    # A/B knob while the in-repo Pallas decode kernel
+    # (ops/decode_attention.py) is validated against the dense XLA path on
+    # real hardware. "dense" keeps round 1's page-bucket gather.
+    import os
+    return os.environ.get("VLLM_TPU_DECODE_ATTN", "pallas") != "dense"
+
+
+@functools.cache
 def default_backend() -> str:
     try:
         platform = jax.devices()[0].platform
@@ -334,8 +343,17 @@ def ragged_attention(q: jax.Array, kv_pages_l: jax.Array, meta: RaggedMeta,
     if D < Dp:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, Dp - D)))
     if kind == "decode":
-        out = _decode_attention_dense(q, kv_pages_l, meta, sm_scale,
-                                      sliding_window, chunk_size)
+        if backend == "pallas" and _use_pallas_decode():
+            from vllm_neuron_tpu.ops.decode_attention import (
+                decode_paged_attention, visible_range)
+            lo, hi = visible_range(meta.kv_lens, sliding_window, chunk_size)
+            out = decode_paged_attention(
+                q, kv_pages_l, lo, hi, meta.page_indices,
+                num_kv_heads=kv_pages_l.shape[2] // 2,
+                sm_scale=sm_scale)
+        else:
+            out = _decode_attention_dense(q, kv_pages_l, meta, sm_scale,
+                                          sliding_window, chunk_size)
     elif kind == "prefill":
         out = _prefill_attention_dense(q, kv_pages_l, meta, sm_scale,
                                        sliding_window, chunk_size)
