@@ -408,6 +408,21 @@ async def run_server(args) -> None:
         lora_adapters=lora_adapters,
         seed=args.seed,
     )
+    if args.num_hosts > 1:
+        from vllm_neuron_tpu.parallel import multihost
+        if not multihost.is_leader():
+            # Follower hosts never serve HTTP or schedule: they build the
+            # same worker (device mesh + sharded params + executor) and
+            # replay the leader's dispatch bundles until shutdown
+            # (reference contract: non-driver workers return None,
+            # vllm_neuron/worker/neuron_worker.py:68-69).
+            from vllm_neuron_tpu.parallel.multihost import FollowerLoop
+            from vllm_neuron_tpu.worker.worker import Worker
+            worker = Worker(config)
+            worker.init_device()
+            worker.load_model()
+            FollowerLoop(worker).run_forever()
+            return
     tokenizer = None
     try:
         from transformers import AutoTokenizer
@@ -428,9 +443,14 @@ async def run_server(args) -> None:
         tool_parser=args.tool_call_parser,
         lora_modules=lora_adapters,
     )
-    http = await server.app.serve(args.host, args.port)
-    async with http:
-        await http.serve_forever()
+    try:
+        http = await server.app.serve(args.host, args.port)
+        async with http:
+            await http.serve_forever()
+    finally:
+        # Release follower hosts from the lockstep loop before exiting.
+        from vllm_neuron_tpu.parallel import multihost
+        multihost.broadcast_shutdown()
 
 
 def main():

@@ -35,6 +35,7 @@ import numpy as np
 
 from vllm_neuron_tpu.config import EngineConfig, resolve_dtype
 from vllm_neuron_tpu.ops.ragged_attention import RaggedMeta, default_backend
+from vllm_neuron_tpu.parallel import multihost
 from vllm_neuron_tpu.sampling.ondevice import sample_tokens
 from vllm_neuron_tpu.utils import cdiv, init_logger
 
@@ -80,7 +81,8 @@ class ModelExecutor:
     reference's world_size==1 driver, neuron_worker.py:106-121)."""
 
     def __init__(self, model, config: EngineConfig, params: dict,
-                 mesh: Optional[jax.sharding.Mesh] = None):
+                 mesh: Optional[jax.sharding.Mesh] = None,
+                 presharded: bool = False):
         self.model = model
         self.config = config
         self.mesh = mesh
@@ -109,7 +111,8 @@ class ModelExecutor:
         if mesh is not None:
             from vllm_neuron_tpu.parallel.sharding import (shard_kv_cache,
                                                            shard_params)
-            params = shard_params(params, mesh, model)
+            if not presharded:
+                params = shard_params(params, mesh, model)
             self.kv_pages = shard_kv_cache(
                 jax.ShapeDtypeStruct(self.kv_spec.shape, self.kv_spec.dtype),
                 mesh)
@@ -121,6 +124,12 @@ class ModelExecutor:
         self.params = params
         self._fns: dict[tuple, Callable] = {}
         self._step_counter = 0
+        # Multi-host lockstep (parallel/multihost.py): when serving spans
+        # hosts, the leader broadcasts every program dispatch so followers
+        # replay the identical SPMD call sequence. carry_last holds this
+        # host's device-resident last-window tokens for CARRY_LAST bundles.
+        self._replicate_steps = multihost.num_hosts() > 1
+        self.carry_last: Optional[jax.Array] = None
         # Eagle fused speculation state (reference analogue: the fused
         # draft+target NEFF, model_loader.py:243-303): the draft model, its
         # own paged KV cache (same page geometry/table as the target), and
@@ -200,6 +209,12 @@ class ModelExecutor:
         positions0/kv_lens0: [N]; slot_table: [K, N] (-1 skips the KV
         write); page_indices: [N, PP].
         """
+        self._replicate("dispatch_decode_window", dict(
+            first_tokens=first_tokens, positions0=positions0,
+            slot_table=slot_table, kv_lens0=kv_lens0,
+            page_indices=page_indices, num_seqs=num_seqs,
+            temperature=temperature, top_k=top_k, top_p=top_p,
+            adapter_ids=adapter_ids))
         K, N = slot_table.shape
         key = ("step", "decode", N, page_indices.shape, False)
         fn = self._get_fn(key, lambda: self._build_step("decode", False))
@@ -232,6 +247,7 @@ class ModelExecutor:
                                      positions_all[k], meta, li, temp, tk,
                                      tp, seed)
             outs.append(toks)
+        self.carry_last = toks
         # Stack on device; fetching K arrays separately would be K trips.
         return {"tokens": jnp.stack(outs), "last": toks}
 
@@ -255,6 +271,19 @@ class ModelExecutor:
             fn = builder()
             self._fns[key] = fn
         return fn
+
+    def _replicate(self, op: str, kwargs: dict) -> None:
+        """Leader-side: broadcast one dispatch bundle to follower hosts
+        (no-op on a single host / on followers). Device-array values are
+        replaced with the CARRY_LAST sentinel — each host substitutes its
+        own shard of the same logical value."""
+        if not (self._replicate_steps and multihost.is_leader()):
+            return
+        wire = {
+            k: (multihost.CARRY_LAST if isinstance(v, jax.Array) else v)
+            for k, v in kwargs.items()
+        }
+        multihost.broadcast_step({"op": op, "kwargs": wire})
 
     # ------------------------------------------------------------------
     # Eagle fused speculation programs
@@ -375,6 +404,12 @@ class ModelExecutor:
     def run_prefill_spec(self, token_ids, positions, slot_mapping, kv_len,
                          page_indices, num_new, row, temperature, top_k,
                          top_p, keep_device: bool = False) -> np.ndarray:
+        self._replicate("run_prefill_spec", dict(
+            token_ids=token_ids, positions=positions,
+            slot_mapping=slot_mapping, kv_len=kv_len,
+            page_indices=page_indices, num_new=num_new, row=row,
+            temperature=temperature, top_k=top_k, top_p=top_p,
+            keep_device=True))
         N = token_ids.shape[0]
         key = ("prefill_spec", N, page_indices.shape)
         fn = self._get_fn(key, self._build_prefill_spec)
@@ -415,6 +450,11 @@ class ModelExecutor:
         """One fused speculation round. slot_table: [K+1, N] target slots;
         dslot_table: [K, N] draft slots. Returns accepted tokens [N, K+1]
         (-1 past each row's acceptance)."""
+        self._replicate("run_spec_decode", dict(
+            row_ids=row_ids, first_tokens=first_tokens,
+            positions0=positions0, slot_table=slot_table,
+            dslot_table=dslot_table, kv_lens0=kv_lens0,
+            page_indices=page_indices, num_seqs=num_seqs))
         K = dslot_table.shape[0]
         N = first_tokens.shape[0]
         key = ("spec_decode", K, N, page_indices.shape)
@@ -449,6 +489,15 @@ class ModelExecutor:
         [S_step+1]. ``kind`` selects the attention path ("decode" /
         "prefill" / "mixed"). Returns (sampled_tokens [S_step],
         logits [S_step, V] | None)."""
+        self._replicate("run_step", dict(
+            token_ids=token_ids, positions=positions,
+            slot_mapping=slot_mapping, kv_lens=kv_lens,
+            page_indices=page_indices, cu_q_lens=cu_q_lens,
+            num_seqs=num_seqs, logits_indices=logits_indices,
+            temperature=temperature, top_k=top_k, top_p=top_p,
+            return_logits=return_logits, kind=kind, keep_device=True,
+            embeds_override=embeds_override, override_mask=override_mask,
+            adapter_ids=adapter_ids))
         N = token_ids.shape[0]
         mm = embeds_override is not None
         key = ("step", kind, N, page_indices.shape, return_logits, mm)
