@@ -101,6 +101,25 @@ def param_specs(params: dict) -> dict:
     return specs
 
 
+def _spans_hosts(mesh: Mesh) -> bool:
+    me = jax.process_index()
+    return any(d.process_index != me for d in mesh.devices.flat)
+
+
+def _place_global(p, mesh: Mesh, sharding: NamedSharding):
+    """Place a host-side array onto a (possibly multi-host) mesh. device_put
+    only reaches addressable devices; across hosts each process contributes
+    its local shards via make_array_from_callback (every host holds the
+    full host-side array here — the lazy per-shard path is
+    models/sharded_weights.py)."""
+    if not _spans_hosts(mesh):
+        return jax.device_put(p, sharding)
+    import numpy as np
+    arr = np.asarray(p)
+    return jax.make_array_from_callback(arr.shape, sharding,
+                                        lambda idx: arr[idx])
+
+
 def shard_params(params: dict, mesh: Mesh, model=None) -> dict:
     specs = param_specs(params)
     tp = mesh.shape[MODEL_AXIS]
@@ -108,10 +127,17 @@ def shard_params(params: dict, mesh: Mesh, model=None) -> dict:
     def place(p, s):
         if isinstance(p, dict):
             return {k: place(v, s[k]) for k, v in p.items()}
-        return jax.device_put(
-            p, NamedSharding(mesh, _divisible(s, p.shape, tp)))
+        return _place_global(
+            p, mesh, NamedSharding(mesh, _divisible(s, p.shape, tp)))
 
     return place(params, specs)
+
+
+def replicate_tree(tree, mesh: Mesh):
+    """Place every leaf fully replicated over the mesh (LoRA stacks, small
+    side tensors)."""
+    return jax.tree.map(
+        lambda p: _place_global(p, mesh, NamedSharding(mesh, P())), tree)
 
 
 # [L, num_pages, page_size, 2*kv_heads, head_dim]: combined KV heads sharded

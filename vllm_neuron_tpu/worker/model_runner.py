@@ -61,11 +61,19 @@ class ModelRunner:
 
     def load_model(self, params: Optional[dict] = None) -> None:
         self.model = get_model(self.config)
+        presharded = False
         if params is None:
             if self.config.model.load_format == "random":
                 import jax
                 params = self.model.random_params(
                     jax.random.PRNGKey(self.config.model.seed))
+            elif self._use_sharded_load():
+                from vllm_neuron_tpu.models.sharded_weights import (
+                    load_llama_sharded)
+                params = load_llama_sharded(self.model,
+                                            self.config.model.model,
+                                            self.mesh)
+                presharded = True
             else:
                 from vllm_neuron_tpu.tools.quantize import load_prequantized
                 params = load_prequantized(self.config.model.model)
@@ -76,9 +84,13 @@ class ModelRunner:
             self.lora_set = LoRAAdapterSet(self.model,
                                            self.config.lora.adapters,
                                            self.config.model.dtype)
-            params["lora"] = self.lora_set.params
+            lora_params = self.lora_set.params
+            if presharded:
+                from vllm_neuron_tpu.parallel.sharding import replicate_tree
+                lora_params = replicate_tree(lora_params, self.mesh)
+            params["lora"] = lora_params
         self.executor = ModelExecutor(self.model, self.config, params,
-                                      mesh=self.mesh)
+                                      mesh=self.mesh, presharded=presharded)
         # Vision tower for multimodal models (reference analogue: separate
         # vision_neuron_config graph, model_loader.py:421-440).
         self.vision = None
@@ -115,6 +127,28 @@ class ModelRunner:
             else:
                 dparams = draft.load_params(spec.model)
             self.executor.init_speculation(draft, dparams)
+
+    def _use_sharded_load(self) -> bool:
+        """Lazy per-host sharded loading (models/sharded_weights.py): on for
+        multi-host serving (full host-side tensors would not fit nor be
+        needed), opt-in via VLLM_TPU_SHARDED_LOAD=1 on one host. Covers the
+        dense Llama/Qwen stacked layout; quantize-on-load is excluded (use
+        tools/quantize.py to pre-quantize) as per-channel scales need full
+        input columns."""
+        import os
+
+        from vllm_neuron_tpu.models.llama import LlamaForCausalLM
+        from vllm_neuron_tpu.parallel import multihost
+        if self.mesh is None or type(self.model) is not LlamaForCausalLM:
+            return False
+        if self.config.quant.enabled:
+            if multihost.num_hosts() > 1:
+                raise NotImplementedError(
+                    "multi-host + quantize-on-load is unsupported: "
+                    "pre-quantize the checkpoint with tools/quantize.py")
+            return False
+        return (multihost.num_hosts() > 1
+                or os.environ.get("VLLM_TPU_SHARDED_LOAD") == "1")
 
     def warmup(self) -> None:
         self.executor.warmup()
