@@ -565,8 +565,15 @@ class ModelExecutor:
             for PP in bucketing.page_buckets:
                 self._dummy_step("decode", N, N, PP, False)
         for N in bucketing.context_encoding_buckets:
-            self._dummy_step("prefill", N, 1, bucketing.page_buckets[-1],
-                             False)
+            # _dispatch_prefill picks PP = page_bucket(cdiv(end, bs)) per
+            # prompt; warm the pair each context bucket actually reaches
+            # (a short prompt must not cold-compile at serve time). The
+            # largest page bucket is warmed too: prefix-cache hits and
+            # chunked continuations land there with end >> num_new.
+            pp_n = bucketing.page_bucket(
+                cdiv(N, self.config.cache.block_size))
+            for PP in {pp_n, bucketing.page_buckets[-1]}:
+                self._dummy_step("prefill", N, 1, PP, False)
 
     def memory_stats(self) -> dict:
         """Device memory introspection (reference analogue:
