@@ -27,7 +27,7 @@ PROMPT_LEN = 512
 GEN_TOKENS = 128
 MAX_MODEL_LEN = 2048
 BLOCK_SIZE = 32
-PREV_BEST = None  # set after the first recorded round
+PREV_BEST = 576.6  # BENCH_r01.json: 8B INT8 b32 p512 g128 tokens/s/chip
 # Variant knobs (experiments): BENCH_QUANT=int8|fp8, BENCH_KV_DTYPE=fp8,
 # BENCH_DECODE_WINDOW=16, BENCH_MODEL=tinyllama|llama8b.
 # Default = the BASELINE.json north-star config: Llama-3.1-8B INT8

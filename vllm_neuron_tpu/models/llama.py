@@ -87,6 +87,14 @@ class LlamaForCausalLM:
                                          self.rope_scaling)
         # HF "llama3" rope scaling uses attention_scaling=1.0; "linear" too.
         self.attention_scaling = 1.0
+        # Sequence parallelism (reference semantics:
+        # test/tiny/test_sequence_parallel.py:25-58): when set (a
+        # NamedSharding over the token axis, installed by ModelRunner when
+        # parallel.sequence_parallel is on), the residual stream is
+        # constrained to it between matmul segments, so GSPMD turns the
+        # Megatron all-reduces into reduce-scatter + all-gather pairs and
+        # norm/elementwise work is split over the model axis.
+        self.sp_sharding = None
 
     # ------------------------------------------------------------------
     # Parameters
@@ -251,7 +259,8 @@ class LlamaForCausalLM:
         N = input_ids.shape[0]
         nH, nKV, D = self.num_heads, self.num_kv_heads, self.head_dim
         L, pages, page_size, combined, Dp = kv_pages.shape
-        x = params["embed"][input_ids]  # [N, H]
+        _sp = self._sp_constraint(N)
+        x = _sp(params["embed"][input_ids])  # [N, H]
         # The cache is carried through the layer scan as ONE flat page array
         # [L*pages, ...]; each layer scatters into its own page range
         # (offset l*pages). A scan CARRY updated only by scatter keeps the
@@ -319,13 +328,13 @@ class LlamaForCausalLM:
                                     self.sliding_window, kind=kind,
                                     backend=attn_backend)
             ao = attn.reshape(N, nH * D)
-            x = x + _lora(ll, "wo", ao, linear(ao, lp, "wo"))
+            x = _sp(x + _lora(ll, "wo", ao, linear(ao, lp, "wo")))
             h = rms_norm(x, lp["mlp_norm"], self.rms_eps)
             if lora_ctx is not None and ll is not None and any(
                     t in ll for t in ("wg", "wu", "wd")):
-                x = x + self._mlp_lora(lp, h, ll, _lora)
+                x = _sp(x + self._mlp_lora(lp, h, ll, _lora))
             else:
-                x = x + self._mlp(lp, h)
+                x = _sp(x + self._mlp(lp, h))
             return (x, kv_flat), None
 
         (x, kv_flat), _ = jax.lax.scan(
@@ -333,6 +342,10 @@ class LlamaForCausalLM:
             (params["layers"], lora["layers"] if lora is not None else None,
              layer_ids))
         return x, kv_flat.reshape(L, pages, page_size, combined, Dp)
+
+    def _sp_constraint(self, num_tokens: int):
+        from vllm_neuron_tpu.parallel.sharding import sp_constraint
+        return sp_constraint(self.sp_sharding, num_tokens)
 
     def _mlp(self, lp: dict, h: jax.Array) -> jax.Array:
         """SwiGLU FFN; overridden by MoE variants."""

@@ -104,6 +104,8 @@ class Llama4ForCausalLM:
                                             None)
         self.tie_embeddings = getattr(cfg, "tie_word_embeddings", False)
         self.sliding_window = None
+        # Sequence parallelism (see LlamaForCausalLM.sp_sharding).
+        self.sp_sharding = None
 
     # ------------------------------------------------------------------
 
@@ -218,6 +220,8 @@ class Llama4ForCausalLM:
         N = input_ids.shape[0]
         nH, nKV, D = self.num_heads, self.num_kv_heads, self.head_dim
         L, pages, page_size, combined, Dp = kv_pages.shape
+        from vllm_neuron_tpu.parallel.sharding import sp_constraint
+        _sp = sp_constraint(self.sp_sharding, N)
         x = params["embed"][input_ids]
         if embeds_override is not None:
             # Multimodal: image-token rows carry projected vision features
@@ -228,6 +232,7 @@ class Llama4ForCausalLM:
                           x)
         kv_flat = kv_pages.reshape(L * pages, page_size, combined, Dp)
         valid = meta.slot_mapping >= 0
+        x = _sp(x)
 
         for l, lp in enumerate(params["layers"]):
             h = rms_norm(x, lp["attn_norm"], self.rms_eps)

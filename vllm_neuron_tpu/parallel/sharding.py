@@ -133,6 +133,27 @@ def shard_params(params: dict, mesh: Mesh, model=None) -> dict:
     return place(params, specs)
 
 
+def sp_constraint(sp_sharding, num_tokens: int):
+    """Residual-stream constraint for sequence parallelism (reference
+    semantics: test/tiny/test_sequence_parallel.py:25-58). Returns a
+    function applied to [N, H] activations at matmul-segment boundaries;
+    GSPMD then converts the Megatron all-reduces into reduce-scatter +
+    all-gather pairs and splits norm/elementwise work over the model axis.
+    Identity when SP is off or N doesn't divide the group (small decode
+    buckets run replicated — negligible activation volume)."""
+    if sp_sharding is None:
+        return lambda x: x
+    n_shards = sp_sharding.mesh.shape[sp_sharding.spec[0]]
+    if num_tokens % n_shards != 0:
+        return lambda x: x
+    return lambda x: jax.lax.with_sharding_constraint(x, sp_sharding)
+
+
+def sp_sharding_for(mesh: Mesh) -> NamedSharding:
+    """The [N, H] token-axis sharding SP constrains the residual stream to."""
+    return NamedSharding(mesh, P(MODEL_AXIS, None))
+
+
 def replicate_tree(tree, mesh: Mesh):
     """Place every leaf fully replicated over the mesh (LoRA stacks, small
     side tensors)."""

@@ -61,6 +61,10 @@ class ModelRunner:
 
     def load_model(self, params: Optional[dict] = None) -> None:
         self.model = get_model(self.config)
+        if (self.config.parallel.sequence_parallel
+                and self.mesh is not None):
+            from vllm_neuron_tpu.parallel.sharding import sp_sharding_for
+            self.model.sp_sharding = sp_sharding_for(self.mesh)
         presharded = False
         if params is None:
             if self.config.model.load_format == "random":
