@@ -35,7 +35,7 @@ def _avg_nll(llm, token_stream: list[int]) -> float:
                       page_indices=pi,
                       cu_q_lens=jnp.asarray([0, T], jnp.int32),
                       num_seqs=jnp.asarray([1], jnp.int32))
-    kv = jnp.zeros(spec.shape, spec.dtype)
+    kv = spec.allocate()  # FP8 specs get the scaled container
     ids = jnp.asarray(token_stream, jnp.int32)
     pos = jnp.arange(T, dtype=jnp.int32)
     hidden, _ = model.forward(executor.params, ids, pos, kv, meta,
@@ -79,15 +79,53 @@ def test_quantized_generate(tiny_llama_dir, quant):
 
 
 def test_fp8_kv_cache(tiny_llama_dir, nll_f32):
+    """FP8 KV with per-slot/per-head scales (ops/ragged_attention.
+    FP8KVCache): the delta bound is TIGHTER than the old scale-less cast's
+    0.08 because the scales recover the per-head magnitude spread."""
     llm = LLM(model=tiny_llama_dir, dtype="float32", max_model_len=128,
               max_num_seqs=2, block_size=16, skip_tokenizer_init=True,
               kv_cache_dtype="fp8")
+    from vllm_neuron_tpu.ops.ragged_attention import FP8KVCache
+    assert isinstance(llm.engine.worker.model_runner.executor.kv_pages,
+                      FP8KVCache)
     delta = abs(_avg_nll(llm, STREAM) - nll_f32)
-    assert delta <= 0.08, f"fp8 KV NLL delta {delta:.4f} too large"
+    assert delta <= 0.03, f"fp8 KV NLL delta {delta:.4f} too large"
     out = llm.generate({"prompt_token_ids": [5, 77, 301, 44]},
                        SamplingParams(temperature=0.0, max_tokens=8,
                                       ignore_eos=True))[0]
     assert len(out.outputs[0].token_ids) == 8
+
+
+def test_fp8_kv_scales_roundtrip():
+    """write_kv_pages + gather on the scaled FP8 cache reconstructs K/V to
+    e4m3 relative precision even when head magnitudes differ by 100x
+    (where a raw cast saturates or flushes to zero)."""
+    import jax.numpy as jnp
+
+    from vllm_neuron_tpu.ops.ragged_attention import (FP8KVCache,
+                                                      write_kv_pages)
+
+    rng = np.random.default_rng(0)
+    Hkv, D, ps = 2, 128, 8
+    kv = FP8KVCache(jnp.zeros((4, ps, 2 * Hkv, D), jnp.float8_e4m3fn),
+                    jnp.zeros((4, ps, 2 * Hkv), jnp.bfloat16))
+    # Head 0 tiny, head 1 huge: raw e4m3 would flush/saturate one of them.
+    k = np.stack([rng.normal(size=(6, D)) * 1e-3,
+                  rng.normal(size=(6, D)) * 1e3], axis=1)
+    v = np.stack([rng.normal(size=(6, D)) * 1e3,
+                  rng.normal(size=(6, D)) * 1e-3], axis=1)
+    slots = jnp.asarray([8, 9, 10, 11, 12, 13], jnp.int32)  # page 1
+    out = write_kv_pages(kv, jnp.asarray(k, jnp.float32),
+                         jnp.asarray(v, jnp.float32), slots)
+    flat_p = np.asarray(out.pages.reshape(4 * ps, 2 * Hkv, D),
+                        np.float32)
+    flat_s = np.asarray(out.scales.reshape(4 * ps, 2 * Hkv), np.float32)
+    got_k = flat_p[8:14, 0::2] * flat_s[8:14, 0::2, None]
+    got_v = flat_p[8:14, 1::2] * flat_s[8:14, 1::2, None]
+    np.testing.assert_allclose(got_k, k, rtol=0.1, atol=0)
+    np.testing.assert_allclose(got_v, v, rtol=0.1, atol=0)
+    # Relative error must be e4m3-mantissa-scale, not cast-garbage.
+    assert np.abs(got_k - k).max() / np.abs(k).max() < 0.05
 
 
 def test_dequant_matmul_numerics():

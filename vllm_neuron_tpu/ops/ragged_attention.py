@@ -65,6 +65,51 @@ def padded_head_dim(head_dim: int) -> int:
     return 128 if head_dim < 128 else head_dim
 
 
+_FP8_MAX = 448.0  # e4m3fn finite max
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class FP8KVCache:
+    """FP8 paged KV storage WITH per-slot/per-head scales.
+
+    A raw e4m3 cast loses the magnitude spread across heads and tokens
+    (round 1 measured a throughput+accuracy regression); the reference's
+    FP8 checkpoint convention also carries scales
+    (test/utils/server/server.py:32-67). Here scales are DYNAMIC: each
+    written token's K and V get a per-head scale absmax/448 stored beside
+    the page (scales add 1/head_dim of the pages' bytes). Quantize fuses
+    into the KV scatter, dequantize into the page gather.
+
+    Mirrors enough of the jax.Array surface (shape/dtype/reshape) that
+    model forwards treat it exactly like the plain page array; the scales
+    tensor always has shape == pages.shape[:-1].
+    """
+    pages: jax.Array    # [..., 2*Hkv, Dp] float8_e4m3fn
+    scales: jax.Array   # [..., 2*Hkv]     bfloat16
+
+    @property
+    def shape(self) -> tuple:
+        return self.pages.shape
+
+    @property
+    def dtype(self):
+        return self.pages.dtype
+
+    def reshape(self, *shape) -> "FP8KVCache":
+        if len(shape) == 1 and isinstance(shape[0], (tuple, list)):
+            shape = tuple(shape[0])
+        return FP8KVCache(self.pages.reshape(*shape),
+                          self.scales.reshape(*shape[:-1]))
+
+    def tree_flatten(self):
+        return (self.pages, self.scales), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
 def write_kv_pages(kv_pages_l: jax.Array, k: jax.Array, v: jax.Array,
                    slot_mapping: jax.Array) -> jax.Array:
     """Scatter new K/V into one layer's page cache.
@@ -83,12 +128,28 @@ def write_kv_pages(kv_pages_l: jax.Array, k: jax.Array, v: jax.Array,
     D = k.shape[-1]
     N = k.shape[0]
     kv_new = jnp.stack([k, v], axis=2)  # [N, Hkv, 2, D]
-    kv_new = kv_new.reshape(N, two_hkv, D).astype(kv_pages_l.dtype)
-    if D < Dp:
-        kv_new = jnp.pad(kv_new, ((0, 0), (0, 0), (0, Dp - D)))
+    kv_new = kv_new.reshape(N, two_hkv, D)
     num_slots = num_pages * page_size
     oob = num_slots + jnp.arange(N, dtype=jnp.int32)
     slots = jnp.where(slot_mapping < 0, oob, slot_mapping)
+    if isinstance(kv_pages_l, FP8KVCache):
+        # Quantize fused into the scatter: per-token, per-head scale.
+        absmax = jnp.max(jnp.abs(kv_new.astype(jnp.float32)), axis=-1)
+        scale = jnp.maximum(absmax / _FP8_MAX, 1e-8)     # [N, 2Hkv]
+        q8 = (kv_new / scale[..., None]).astype(kv_pages_l.pages.dtype)
+        if D < Dp:
+            q8 = jnp.pad(q8, ((0, 0), (0, 0), (0, Dp - D)))
+        pflat = kv_pages_l.pages.reshape(num_slots, two_hkv, Dp)
+        sflat = kv_pages_l.scales.reshape(num_slots, two_hkv)
+        pflat = pflat.at[slots].set(q8, mode="drop", unique_indices=True)
+        sflat = sflat.at[slots].set(
+            scale.astype(sflat.dtype), mode="drop", unique_indices=True)
+        return FP8KVCache(
+            pflat.reshape(num_pages, page_size, two_hkv, Dp),
+            sflat.reshape(num_pages, page_size, two_hkv))
+    kv_new = kv_new.astype(kv_pages_l.dtype)
+    if D < Dp:
+        kv_new = jnp.pad(kv_new, ((0, 0), (0, 0), (0, Dp - D)))
     flat = kv_pages_l.reshape(num_slots, two_hkv, Dp)
     flat = flat.at[slots].set(kv_new, mode="drop", unique_indices=True)
     return flat.reshape(num_pages, page_size, two_hkv, Dp)
@@ -112,9 +173,14 @@ def _gather_ctx(kv_pages_l: jax.Array, page_indices: jax.Array
     k, v: [B, PP*ps, Hkv, D] (f32-upcast deferred to the einsum)."""
     B, PP = page_indices.shape
     _, ps, two_hkv, D = kv_pages_l.shape
-    ctx = kv_pages_l[page_indices]  # [B, PP, ps, 2Hkv, D]
-    if jnp.dtype(ctx.dtype).itemsize == 1:  # fp8 KV storage
-        ctx = ctx.astype(jnp.bfloat16)
+    if isinstance(kv_pages_l, FP8KVCache):
+        ctx = kv_pages_l.pages[page_indices].astype(jnp.bfloat16)
+        sc = kv_pages_l.scales[page_indices].astype(jnp.bfloat16)
+        ctx = ctx * sc[..., None]  # dequant fused into the gather
+    else:
+        ctx = kv_pages_l[page_indices]  # [B, PP, ps, 2Hkv, D]
+        if jnp.dtype(ctx.dtype).itemsize == 1:  # scale-less fp8 (legacy)
+            ctx = ctx.astype(jnp.bfloat16)
     ctx = ctx.reshape(B, PP * ps, two_hkv, D)
     return ctx[:, :, 0::2], ctx[:, :, 1::2]
 
@@ -234,7 +300,12 @@ def _ragged_attention_jnp(q: jax.Array, kv_pages_l: jax.Array,
 
     def body(i, out):
         pages = meta.page_indices[i]  # [P]
-        kv_seq = kv_pages_l[pages]  # [P, ps, 2Hkv, D]
+        if isinstance(kv_pages_l, FP8KVCache):
+            kv_seq = (kv_pages_l.pages[pages].astype(jnp.float32) *
+                      kv_pages_l.scales[pages][..., None].astype(
+                          jnp.float32))
+        else:
+            kv_seq = kv_pages_l[pages]  # [P, ps, 2Hkv, D]
         kv_seq = kv_seq.reshape(ctx, 2 * Hkv, D)
         k_ctx = kv_seq[:, 0::2].astype(jnp.float32)  # [ctx, Hkv, D]
         v_ctx = kv_seq[:, 1::2].astype(jnp.float32)
@@ -343,7 +414,11 @@ def ragged_attention(q: jax.Array, kv_pages_l: jax.Array, meta: RaggedMeta,
     if D < Dp:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, Dp - D)))
     if kind == "decode":
-        if backend == "pallas" and _use_pallas_decode():
+        # The in-repo Pallas decode kernel streams raw pages; FP8-with-
+        # scales decode takes the dense path (dequant fuses into its
+        # gather) until the kernel learns to DMA the scales alongside.
+        if (backend == "pallas" and _use_pallas_decode()
+                and not isinstance(kv_pages_l, FP8KVCache)):
             from vllm_neuron_tpu.ops.decode_attention import (
                 decode_paged_attention, visible_range)
             lo, hi = visible_range(meta.kv_lens, sliding_window, chunk_size)
@@ -360,10 +435,12 @@ def ragged_attention(q: jax.Array, kv_pages_l: jax.Array, meta: RaggedMeta,
     elif kind == "spec_verify":
         out = _spec_verify_attention_dense(q, kv_pages_l, meta, sm_scale,
                                            sliding_window, chunk_size)
-    elif backend == "pallas":
+    elif backend == "pallas" and not isinstance(kv_pages_l, FP8KVCache):
         out = _ragged_attention_pallas(q, kv_pages_l, meta, sm_scale,
                                        sliding_window)
-    elif backend == "jnp":
+    elif backend in ("jnp", "pallas"):
+        # "pallas" lands here only for FP8-with-scales mixed steps: the
+        # stock Mosaic kernel cannot read the scales tensor.
         out = _ragged_attention_jnp(q, kv_pages_l, meta, sm_scale,
                                     sliding_window)
     else:

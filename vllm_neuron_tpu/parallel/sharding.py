@@ -167,8 +167,21 @@ def replicate_tree(tree, mesh: Mesh):
 KV_SPEC = P(None, None, None, MODEL_AXIS, None)
 
 
-def shard_kv_cache(sds: jax.ShapeDtypeStruct, mesh: Mesh) -> jax.Array:
+def shard_kv_cache(kv_spec, mesh: Mesh):
+    """Allocate the paged KV cache sharded over the mesh. kv_spec is the
+    executor's KVCacheSpec; FP8 caches get their scales tensor sharded
+    identically (minus the head_dim axis)."""
     tp = mesh.shape[MODEL_AXIS]
-    sharding = NamedSharding(mesh, _divisible(KV_SPEC, sds.shape, tp))
-    return jax.jit(lambda: jnp.zeros(sds.shape, sds.dtype),
+    shape = kv_spec.shape
+    sharding = NamedSharding(mesh, _divisible(KV_SPEC, shape, tp))
+    if getattr(kv_spec, "is_fp8", False):
+        from vllm_neuron_tpu.ops.ragged_attention import FP8KVCache
+        scale_spec = P(*KV_SPEC[:-1])
+        scale_sharding = NamedSharding(
+            mesh, _divisible(scale_spec, shape[:-1], tp))
+        return jax.jit(
+            lambda: FP8KVCache(jnp.zeros(shape, kv_spec.dtype),
+                               jnp.zeros(shape[:-1], jnp.bfloat16)),
+            out_shardings=FP8KVCache(sharding, scale_sharding))()
+    return jax.jit(lambda: jnp.zeros(shape, kv_spec.dtype),
                    out_shardings=sharding)()

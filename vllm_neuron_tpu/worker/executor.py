@@ -70,8 +70,24 @@ class KVCacheSpec:
         return (self.num_layers, self.num_pages, self.block_size,
                 2 * self.num_kv_heads, padded_head_dim(self.head_dim))
 
+    @property
+    def is_fp8(self) -> bool:
+        return jnp.dtype(self.dtype).itemsize == 1
+
     def bytes_total(self) -> int:
-        return int(np.prod(self.shape)) * jnp.dtype(self.dtype).itemsize
+        n = int(np.prod(self.shape)) * jnp.dtype(self.dtype).itemsize
+        if self.is_fp8:  # per-slot/per-head bf16 scales beside the pages
+            n += int(np.prod(self.shape[:-1])) * 2
+        return n
+
+    def allocate(self):
+        """Zero-filled cache in this spec's layout (FP8 gets the scaled
+        container; see ops/ragged_attention.FP8KVCache)."""
+        if self.is_fp8:
+            from vllm_neuron_tpu.ops.ragged_attention import FP8KVCache
+            return FP8KVCache(jnp.zeros(self.shape, self.dtype),
+                              jnp.zeros(self.shape[:-1], jnp.bfloat16))
+        return jnp.zeros(self.shape, self.dtype)
 
 
 class ModelExecutor:
@@ -113,14 +129,12 @@ class ModelExecutor:
                                                            shard_params)
             if not presharded:
                 params = shard_params(params, mesh, model)
-            self.kv_pages = shard_kv_cache(
-                jax.ShapeDtypeStruct(self.kv_spec.shape, self.kv_spec.dtype),
-                mesh)
+            self.kv_pages = shard_kv_cache(self.kv_spec, mesh)
         else:
             logger.info("allocating paged KV cache: %s, %.2f GiB",
                         self.kv_spec.shape,
                         self.kv_spec.bytes_total() / 2**30)
-            self.kv_pages = jnp.zeros(self.kv_spec.shape, self.kv_spec.dtype)
+            self.kv_pages = self.kv_spec.allocate()
         self.params = params
         self._fns: dict[tuple, Callable] = {}
         self._step_counter = 0
@@ -146,7 +160,13 @@ class ModelExecutor:
         shape = (draft_model.num_layers, self.kv_spec.num_pages,
                  self.kv_spec.block_size, 2 * draft_model.num_kv_heads,
                  padded_head_dim(draft_model.head_dim))
-        self.kv_draft = jnp.zeros(shape, self.kv_spec.dtype)
+        if self.kv_spec.is_fp8:
+            from vllm_neuron_tpu.ops.ragged_attention import FP8KVCache
+            self.kv_draft = FP8KVCache(
+                jnp.zeros(shape, self.kv_spec.dtype),
+                jnp.zeros(shape[:-1], jnp.bfloat16))
+        else:
+            self.kv_draft = jnp.zeros(shape, self.kv_spec.dtype)
         self.spec_hidden = jnp.zeros(
             (self.config.scheduler.max_num_seqs,
              self.model.hidden_size), self.config.model.dtype)
