@@ -87,6 +87,30 @@ def test_seeded_sampling_reproducible(llm):
     assert a.outputs[0].token_ids == b.outputs[0].token_ids
 
 
+def test_mixed_host_device_batch_split(tiny_llama_dir):
+    """One host-sampling request (seeded) must NOT collapse the device
+    rows' decode window (the split path, model_runner._run_decode): greedy
+    rows stay exact vs HF, and the seeded row matches a host-only run."""
+    llm = LLM(model=tiny_llama_dir, dtype="float32", max_model_len=128,
+              max_num_seqs=4, block_size=16, skip_tokenizer_init=True)
+    greedy_prompts = [[5, 77, 301, 44, 12], [401, 3, 3, 17]]
+    seeded_prompt = [250, 251, 252, 253]
+    sp_g = SamplingParams(temperature=0.0, max_tokens=12, ignore_eos=True)
+    sp_s = SamplingParams(temperature=0.8, seed=42, max_tokens=12,
+                          ignore_eos=True)
+    outs = llm.generate(
+        [{"prompt_token_ids": p} for p in greedy_prompts] +
+        [{"prompt_token_ids": seeded_prompt}],
+        [sp_g, sp_g, sp_s])
+    for p, out in zip(greedy_prompts, outs[:2]):
+        ref = hf_greedy(tiny_llama_dir, p, 12)
+        assert out.outputs[0].token_ids[:len(ref)] == ref
+    # The seeded row must match a solo (host-sampled, unsplit) run.
+    solo = llm.generate({"prompt_token_ids": seeded_prompt}, sp_s)[0]
+    assert outs[2].outputs[0].token_ids == solo.outputs[0].token_ids
+    assert len(outs[2].outputs[0].token_ids) == 12
+
+
 def test_logprobs_host_path(llm):
     prompt = [7, 8, 9, 10]
     sp = SamplingParams(temperature=0.0, max_tokens=5, logprobs=3,

@@ -372,20 +372,39 @@ class ModelRunner:
                     ) -> dict[str, tuple[list[int], object]]:
         """Decode for all running sequences. When every request samples on
         device, the scheduler's decode window (K tokens per request) runs as
-        ONE fused multi-step dispatch; host-sampling requests force
-        single-step execution (token feedback must visit the host)."""
+        ONE fused multi-step dispatch. Host-sampling requests (penalties /
+        seeds / logprobs) do NOT collapse the batch (the round-1 behavior,
+        flagged against reference model_runner.py:1053-1104): the batch
+        splits — device rows keep their K-step window, host rows run one
+        single-step program per engine step, overlapped with the in-flight
+        window (the scheduler's uniform-advance rule reconciles the
+        different advance rates)."""
         ib = self.input_batch
         states = [ib.requests[req_id] for req_id, _ in items]
-        any_host = any(self._needs_host(s) for s in states)
-        if (self.config.speculative.enabled and not any_host
-                and all(s.sampling_params.is_greedy for s in states)):
-            K = max(n for _, n in items) - 1
-            if K >= 1:
-                return self._run_spec(items, states, K)
-        K = 1 if any_host else max(n for _, n in items)
-        if K > 1:
-            return self._run_decode_window(items, states, K)
-        return self._run_decode_single(items, states)
+        host_flags = [self._needs_host(s) for s in states]
+        if not any(host_flags):
+            if (self.config.speculative.enabled
+                    and all(s.sampling_params.is_greedy for s in states)):
+                K = max(n for _, n in items) - 1
+                if K >= 1:
+                    return self._run_spec(items, states, K)
+            K = max(n for _, n in items)
+            if K > 1:
+                return self._run_decode_window(items, states, K)
+            return self._run_decode_single(items, states)
+        dev = [i for i, h in enumerate(host_flags) if not h]
+        K_dev = max((items[i][1] for i in dev), default=1)
+        if not dev or K_dev == 1:
+            # All-host (or windowless) batches: one mixed single step.
+            return self._run_decode_single(items, states)
+        host = [i for i, h in enumerate(host_flags) if h]
+        host_items = [items[i] for i in host]
+        host_states = [states[i] for i in host]
+        results = self._run_decode_window(
+            [items[i] for i in dev], [states[i] for i in dev], K_dev,
+            overlap=lambda: self._run_decode_single(host_items,
+                                                    host_states))
+        return results
 
     def _run_spec(self, items, states, K: int
                   ) -> dict[str, tuple[list[int], object]]:
@@ -487,11 +506,13 @@ class ModelRunner:
         handle["K"] = K
         return handle
 
-    def _run_decode_window(self, items, states, K: int
+    def _run_decode_window(self, items, states, K: int, overlap=None
                            ) -> dict[str, tuple[list[int], object]]:
         """Fetch this step's window — reusing the optimistically dispatched
         one when its assumptions held — and (async mode) dispatch the next
-        window before fetching, so the device never idles on the host."""
+        window before fetching, so the device never idles on the host.
+        ``overlap`` (host-sampling split, _run_decode) runs between dispatch
+        and fetch — its host syncs ride the window's device time."""
         key = (self._window_key(items, states), K)
         inflight, self._inflight = self._inflight, None
         if inflight is not None and inflight["key"] == key:
@@ -512,8 +533,9 @@ class ModelRunner:
                 items, states, K, nct_offset=K,
                 first_tokens=handle["last"])
             self._inflight = {"key": (next_key, K), "handle": next_handle}
+        extra = overlap() if overlap is not None else None
         all_tokens = self.executor.fetch_decode_window(handle)  # [K, N]
-        results = {}
+        results = {} if extra is None else extra
         for i, ((req_id, num_new), state) in enumerate(zip(items, states)):
             toks = [int(t) for t in all_tokens[:num_new, i]]
             state.num_computed_tokens += num_new
