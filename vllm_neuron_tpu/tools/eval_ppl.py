@@ -77,7 +77,7 @@ def evaluate_ppl(model_dir: str, token_ids: np.ndarray, window: int = 1024,
         ids[:n] = chunk[:-1]
         targets[:n] = chunk[1:]
         valid[:n] = 1.0
-        kv = jnp.zeros(spec.shape, spec.dtype)
+        kv = spec.allocate()  # FP8 specs get the scaled container
         nll, cnt = window_nll(kv, jnp.asarray(ids), jnp.asarray(targets),
                               jnp.asarray(valid))
         total_nll += float(nll)
