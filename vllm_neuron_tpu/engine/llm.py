@@ -132,13 +132,17 @@ class LLM:
             if mm:
                 import numpy as np
                 if "pixel_values" in mm:
-                    mm_inputs = {"pixel_values":
-                                 np.asarray(mm["pixel_values"])}
+                    mm_inputs = {k: np.asarray(v) for k, v in mm.items()}
+                elif "image" in mm:
+                    # Raw image(s): run the checkpoint's HF image processor
+                    # (reference analogue: AutoProcessor preprocessing,
+                    # test/e2e multimodal flows).
+                    mm_inputs = self._process_images(mm["image"])
                 else:
                     raise ValueError(
                         "multi_modal_data must carry 'pixel_values' "
-                        "(preprocessed [tiles, C, H, W]); raw-image "
-                        "processing requires an AutoProcessor checkpoint")
+                        "(preprocessed) or 'image' (raw; requires an "
+                        "image-processor config in the checkpoint dir)")
             if "prompt_token_ids" in prompt:
                 return (list(prompt["prompt_token_ids"]),
                         prompt.get("prompt"), mm_inputs)
@@ -147,6 +151,20 @@ class LLM:
             raise ValueError("text prompts require a tokenizer; pass "
                              "{'prompt_token_ids': [...]} instead")
         return self.tokenizer.encode(prompt), prompt, mm_inputs
+
+    def _process_images(self, images) -> dict:
+        """Preprocess raw image(s) with the checkpoint's HF image processor
+        (lazily loaded; preprocessor_config.json must ship with the model).
+        Returns the processor's arrays (pixel_values [+ aspect_ratio_* for
+        tiled families like Mllama])."""
+        import numpy as np
+        if getattr(self, "_image_processor", None) is None:
+            from transformers import AutoImageProcessor
+            self._image_processor = AutoImageProcessor.from_pretrained(
+                self.config.model.model)
+        out = self._image_processor(images=images, return_tensors="np")
+        return {k: np.asarray(v) for k, v in out.items()
+                if isinstance(v, (list, np.ndarray)) or hasattr(v, "shape")}
 
     def generate(
         self,

@@ -60,7 +60,9 @@ class LlamaForCausalLM:
                  quant_config: Optional[QuantConfig] = None):
         self.quant = quant_config if (quant_config is not None
                                       and quant_config.enabled) else None
-        cfg = model_config.hf_config
+        # Composite checkpoints (Llava class) nest the decoder config under
+        # text_config; text_config == hf_config for plain decoders.
+        cfg = model_config.text_config
         self.dtype = model_config.dtype
         self.num_layers = model_config.num_layers
         self.hidden_size = model_config.hidden_size
@@ -101,9 +103,15 @@ class LlamaForCausalLM:
     # ------------------------------------------------------------------
 
     def load_params(self, model_dir: str) -> dict:
-        """Load an HF-format safetensors checkpoint into the stacked layout."""
+        """Load an HF-format safetensors checkpoint into the stacked layout.
+
+        Composite (multimodal) checkpoints prefix the decoder's tensors
+        ("language_model." in Llava-class models, reference family list:
+        vllm_neuron/worker/constants.py:4-7); the prefix is auto-detected
+        from the tensor names."""
+        stem, head = self._detect_prefix(model_dir)
         ld = StackingLoader(self.num_layers, self.dtype)
-        L = "model.layers.{i}."
+        L = stem + "layers.{i}."
         ld.register_layer(L + "input_layernorm.weight", "attn_norm")
         ld.register_layer(L + "post_attention_layernorm.weight", "mlp_norm")
         ld.register_layer(L + "self_attn.q_proj.weight", "wq", transpose)
@@ -120,10 +128,10 @@ class LlamaForCausalLM:
         if self.qk_norm:
             ld.register_layer(L + "self_attn.q_norm.weight", "q_norm")
             ld.register_layer(L + "self_attn.k_norm.weight", "k_norm")
-        ld.register("model.embed_tokens.weight", "embed")
-        ld.register("model.norm.weight", "final_norm")
+        ld.register(stem + "embed_tokens.weight", "embed")
+        ld.register(stem + "norm.weight", "final_norm")
         if not self.tie_embeddings:
-            ld.register("lm_head.weight", "lm_head", transpose)
+            ld.register(head + "lm_head.weight", "lm_head", transpose)
         unused = []
         for name, tensor in iter_safetensors(model_dir):
             if not ld.consume(name, tensor):
@@ -137,6 +145,24 @@ class LlamaForCausalLM:
             params["lm_head"] = np.ascontiguousarray(params["embed"].T)
         self._quantize_layer_params(params["layers"])
         return jax.tree.map(jnp.asarray, params)
+
+    @staticmethod
+    def _detect_prefix(model_dir: str) -> tuple[str, str]:
+        """Find the decoder-tensor naming in a (possibly composite)
+        checkpoint. Returns (stem, head_prefix): layer tensors live at
+        ``stem + "layers.{i}."`` and lm_head at ``head_prefix +
+        "lm_head.weight"``. Covers plain decoders ("model."), old-style
+        composites ("language_model.model.") and the post-4.52 flavor
+        ("model.language_model.")."""
+        from vllm_neuron_tpu.models.weights import safetensors_names
+        names = safetensors_names(model_dir)
+        for stem, head in (("language_model.model.", "language_model."),
+                           ("model.language_model.", ""),
+                           ("model.", "")):
+            if any(n.startswith(stem + "layers.0.")
+                   or n.startswith(stem + "embed_tokens.") for n in names):
+                return stem, head
+        return "model.", ""
 
     def _fuse_projections(self, layers: dict) -> None:
         """Concatenate q/k/v and gate/up along the output dim: fewer, larger
@@ -248,7 +274,8 @@ class LlamaForCausalLM:
 
     def forward(self, params: dict, input_ids: jax.Array,
                 positions: jax.Array, kv_pages: jax.Array, meta: RaggedMeta,
-                *, kind: str = "mixed", attn_backend: Optional[str] = None
+                *, kind: str = "mixed", attn_backend: Optional[str] = None,
+                embeds_override: Optional[tuple] = None
                 ) -> tuple[jax.Array, jax.Array]:
         """Run the decoder over a ragged token stream.
 
@@ -260,7 +287,15 @@ class LlamaForCausalLM:
         nH, nKV, D = self.num_heads, self.num_kv_heads, self.head_dim
         L, pages, page_size, combined, Dp = kv_pages.shape
         _sp = self._sp_constraint(N)
-        x = _sp(params["embed"][input_ids])  # [N, H]
+        x = params["embed"][input_ids]  # [N, H]
+        if embeds_override is not None:
+            # Multimodal (Llava-class): image-token rows carry projected
+            # vision features (reference analogue: vision-mask embedding
+            # merge, neuronx_distributed_model_loader.py:596-601).
+            override, override_mask = embeds_override
+            x = jnp.where(override_mask[:, None], override.astype(x.dtype),
+                          x)
+        x = _sp(x)
         # The cache is carried through the layer scan as ONE flat page array
         # [L*pages, ...]; each layer scatters into its own page range
         # (offset l*pages). A scan CARRY updated only by scatter keeps the

@@ -32,6 +32,42 @@ MODEL_REGISTRY = {
     "Qwen3MoeForCausalLM": _qwen3_moe,
     "Llama4ForCausalLM": _llama4,
     "Llama4ForConditionalGeneration": _llama4,
+    # Llava: CLIP tower (models/llava_vision.py) + plain Llama decoder (the
+    # composite-checkpoint prefix is auto-detected by the loader).
+    "LlavaForConditionalGeneration": _llama,
+}
+
+
+def _mllama(config):
+    from vllm_neuron_tpu.models.mllama import MllamaForCausalLM
+    return MllamaForCausalLM(config.model, config.quant)
+
+
+MODEL_REGISTRY["MllamaForConditionalGeneration"] = _mllama
+MODEL_REGISTRY["MllamaForCausalLM"] = _mllama  # text-only checkpoints
+
+
+def _llava_vision(hf_config, dtype):
+    from vllm_neuron_tpu.models.llava_vision import LlavaVisionEncoder
+    return LlavaVisionEncoder(hf_config, dtype)
+
+
+def _llama4_vision(hf_config, dtype):
+    from vllm_neuron_tpu.models.llama4_vision import Llama4VisionEncoder
+    return Llama4VisionEncoder(hf_config, dtype)
+
+
+def _mllama_vision(hf_config, dtype):
+    from vllm_neuron_tpu.models.mllama import MllamaVisionEncoder
+    return MllamaVisionEncoder(hf_config, dtype)
+
+
+# Architecture -> separate vision-tower graph (reference analogue: the
+# vision_neuron_config split, neuronx_distributed_model_loader.py:421-440).
+VISION_REGISTRY = {
+    "Llama4ForConditionalGeneration": _llama4_vision,
+    "LlavaForConditionalGeneration": _llava_vision,
+    "MllamaForConditionalGeneration": _mllama_vision,
 }
 
 

@@ -42,6 +42,21 @@ def iter_safetensors(model_dir: str):
                 yield name, f.get_tensor(name)
 
 
+def safetensors_names(model_dir: str) -> list[str]:
+    """All tensor names in the checkpoint dir WITHOUT reading any data."""
+    from safetensors import safe_open
+
+    index_path = os.path.join(model_dir, "model.safetensors.index.json")
+    if os.path.exists(index_path):
+        with open(index_path) as f:
+            return list(json.load(f)["weight_map"].keys())
+    names: list[str] = []
+    for path in sorted(glob(os.path.join(model_dir, "*.safetensors"))):
+        with safe_open(path, framework="numpy") as f:
+            names.extend(f.keys())
+    return names
+
+
 def _to_np_dtype(dtype) -> np.dtype:
     import jax.numpy as jnp
     return np.dtype(jnp.dtype(dtype))

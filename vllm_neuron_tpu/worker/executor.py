@@ -103,7 +103,10 @@ class ModelExecutor:
         self.config = config
         self.mesh = mesh
         self.kv_spec = KVCacheSpec(
-            num_layers=config.model.num_layers,
+            # Models may compact paged KV to a subset of layers (Mllama's
+            # cross-attention layers hold no paged K/V).
+            num_layers=getattr(model, "num_kv_layers",
+                               config.model.num_layers),
             num_blocks=config.cache.num_blocks,
             block_size=config.cache.block_size,
             num_kv_heads=config.model.num_kv_heads,

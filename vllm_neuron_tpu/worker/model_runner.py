@@ -101,14 +101,14 @@ class ModelRunner:
         self.vision_params = None
         self.image_token_index = getattr(self.config.model.hf_config,
                                          "image_token_index", None)
-        if (hasattr(self.config.model.hf_config, "vision_config")
+        from vllm_neuron_tpu.models.registry import VISION_REGISTRY
+        vision_builder = VISION_REGISTRY.get(self.config.model.architecture)
+        if (vision_builder is not None
                 and self.config.model.load_format != "random"):
             import jax
 
-            from vllm_neuron_tpu.models.llama4_vision import (
-                Llama4VisionEncoder)
-            self.vision = Llama4VisionEncoder(self.config.model.hf_config,
-                                              self.config.model.dtype)
+            self.vision = vision_builder(self.config.model.hf_config,
+                                         self.config.model.dtype)
             self.vision_params = self.vision.load_params(
                 self.config.model.model)
             self._vision_fwd = jax.jit(self.vision.forward)
@@ -298,6 +298,11 @@ class ModelRunner:
         host = self._needs_host(state)
 
         mm_kwargs = {}
+        if self.vision is not None and state.mm_inputs and \
+                getattr(self.vision, "merge", "embeds") == "cross":
+            raise NotImplementedError(
+                "cross-attention multimodal serving (Mllama) is not wired "
+                "into the engine yet; text-only requests are supported")
         if self.vision is not None and state.mm_inputs and \
                 self.image_token_index is not None:
             chunk_tokens = np.asarray(token_ids[:num_new])
