@@ -7,12 +7,23 @@ the end (block_until_ready alone under-reports through the axon tunnel).
 
     python perf/attn_ab.py [dense|pallas|both] [kv_len] [B]
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Persistent compile cache (the executor sets this up for serving; perf
+# scripts must opt in themselves or every run re-compiles through the slow
+# remote compile service).
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/vllm_neuron_tpu/perf"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from vllm_neuron_tpu.ops.decode_attention import (decode_paged_attention,
                                                   visible_range)
@@ -43,16 +54,22 @@ def setup(dtype=jnp.bfloat16):
     return q, kv, kv_lens, jnp.asarray(pages)
 
 
-def run(name, fn, q, *args):
-    out = fn(q, *args)
-    out.block_until_ready()  # compile
+def run(name, fn, q0):
+    q = fn(q0)
+    q.block_until_ready()  # compile
+    # Throwaway timed burst: the FIRST timed loop in a process reads
+    # 10-100x high through the axon tunnel (observed 170 ms for a 1 ms
+    # kernel); a short discarded burst absorbs whatever warms up.
+    for _ in range(8):
+        q = fn(q)
+    float(q[0, 0, 0])
     t0 = time.perf_counter()
     for _ in range(ITER):
-        q = fn(q, *args)
+        q = fn(q)
     float(q[0, 0, 0])  # one scalar fetch forces the whole chain
     dt = (time.perf_counter() - t0) / ITER * 1e3
     print(f"{name}: {dt:.3f} ms/call  (B={B} kv_len={KV_LEN} "
-          f"PP={PP_BUCKET} iters={ITER})")
+          f"PP={PP_BUCKET} iters={ITER})", flush=True)
     return dt
 
 
@@ -68,16 +85,15 @@ def main():
             num_seqs=jnp.asarray([B], jnp.int32))
         dense = jax.jit(lambda q: _decode_attention_dense(
             q, kv, meta, SM, None).astype(q.dtype))
-        run("dense ", lambda q: dense(q))
+        run("dense ", dense, q)
 
     if which in ("pallas", "both"):
         lo, hi = visible_range(kv_lens)
         for c in (2, 4, 8):
-            if PP_BUCKET % 1 == 0:
-                pal = jax.jit(lambda q, c=c: decode_paged_attention(
-                    q, kv, lo, hi, pages, num_kv_heads=HKV, sm_scale=SM,
-                    pages_per_chunk=c).astype(q.dtype))
-                run(f"pallasC{c}", lambda q, pal=pal: pal(q))
+            pal = jax.jit(lambda q, c=c: decode_paged_attention(
+                q, kv, lo, hi, pages, num_kv_heads=HKV, sm_scale=SM,
+                pages_per_chunk=c).astype(q.dtype))
+            run(f"pallasC{c}", pal, q)
 
 
 if __name__ == "__main__":

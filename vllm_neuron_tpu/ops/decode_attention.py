@@ -103,37 +103,56 @@ def _decode_kernel(
 
             wait_chunk(ci, slot)
             # Combined-head index 2h is K_h, 2h+1 is V_h (h-major, k/v
-            # minor), so [cs, 2Hkv, Dp] reshapes to [cs, Hkv, 2, Dp].
-            kv = kv_buf[slot].astype(jnp.float32).reshape(cs, Hkv, 2, Dp)
-            k = kv[:, :, 0, :]                            # [cs, Hkv, Dp]
-            v = kv[:, :, 1, :]
-
-            # scores: batch over kv heads -> [Hkv, G, cs]
-            s = jax.lax.dot_general(
-                qg, k,
-                dimension_numbers=(((2,), (2,)), ((0,), (1,))),
-                preferred_element_type=jnp.float32)
+            # minor). Mosaic's matmul wants plain 2D dots (batched
+            # dot_general with mixed batch positions fails to lower), so
+            # the GQA heads run as an unrolled loop of [G, Dp] x [cs, Dp]^T
+            # matmuls — decode attention is DMA-bound, the tiny matmuls
+            # ride along.
+            kv = kv_buf[slot].reshape(cs, 2 * Hkv, Dp)
 
             base = (p0 + ci * C) * ps
             kpos = base + jax.lax.broadcasted_iota(jnp.int32, (1, cs), 1)
             vis = (kpos >= lo) & (kpos < hi)              # [1, cs]
+            # Column-oriented copy of the mask: Mosaic cannot transpose/
+            # reshape an i1 vector ([1,cs]->[cs,1] fails to lower), so
+            # build it from a column iota instead.
+            kpos_col = base + jax.lax.broadcasted_iota(
+                jnp.int32, (cs, 1), 0)
+            vis_col = (kpos_col >= lo) & (kpos_col < hi)  # [cs, 1]
+
+            s_heads = []
+            for h in range(Hkv):
+                k_h = kv[:, 2 * h, :].astype(jnp.float32)    # [cs, Dp]
+                s_h = jax.lax.dot_general(
+                    qg[h], k_h,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)      # [G, cs]
+                s_heads.append(s_h)
+            s = jnp.stack(s_heads)                           # [Hkv, G, cs]
             # REPLACE (not add) masked scores, and zero masked V rows:
             # pages past p1 in the final chunk are never DMA'd, so their
             # buffer slots hold stale garbage (NaN in interpret mode) that
             # an additive mask cannot cancel.
             s = jnp.where(vis[None], s, _MASK)
-            v = jnp.where(vis.reshape(cs, 1, 1), v, 0.0)
 
             m_cur = jnp.max(s, axis=-1)                   # [Hkv, G]
             m_next = jnp.maximum(m_prev, m_cur)
             alpha = jnp.exp(m_prev - m_next)              # [Hkv, G]
             p = jnp.exp(s - m_next[..., None])            # [Hkv, G, cs]
             l_next = alpha * l_prev + jnp.sum(p, axis=-1)
-            # out contribution: [Hkv, G, Dp]
-            o_cur = jax.lax.dot_general(
-                p, v,
-                dimension_numbers=(((2,), (0,)), ((0,), (1,))),
-                preferred_element_type=jnp.float32)
+            o_heads = []
+            for h in range(Hkv):
+                # Zero stale-V rows (never-DMA'd buffer slots): their p is
+                # exactly 0 via _MASK, but 0 * NaN would still poison the
+                # matmul in interpret mode.
+                v_h = jnp.where(vis_col,
+                                kv[:, 2 * h + 1, :], 0).astype(jnp.float32)
+                o_h = jax.lax.dot_general(
+                    p[h], v_h,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)        # [G, Dp]
+                o_heads.append(o_h)
+            o_cur = jnp.stack(o_heads)                    # [Hkv, G, Dp]
             acc = acc * alpha[..., None] + o_cur
             return m_next, l_next, acc
 
