@@ -76,8 +76,9 @@ def test_spec_greedy_identical_to_baseline(tiny_llama_dir, tiny_eagle_dir):
     assert any(k[0] == "prefill_spec" for k in fns)
 
 
-def test_spec_non_greedy_falls_back(tiny_llama_dir, tiny_eagle_dir):
-    """Sampled requests bypass greedy speculation but still work."""
+def test_spec_non_greedy_keeps_speculating(tiny_llama_dir, tiny_eagle_dir):
+    """Sampled requests run through the fused spec path too (rejection
+    acceptance; tests/test_spec_sampling.py covers the distribution)."""
     spec = LLM(model=tiny_llama_dir, dtype="float32", max_model_len=128,
                max_num_seqs=2, block_size=16, skip_tokenizer_init=True,
                speculative_config={"model": tiny_eagle_dir,
@@ -86,3 +87,5 @@ def test_spec_non_greedy_falls_back(tiny_llama_dir, tiny_eagle_dir):
                         SamplingParams(temperature=0.9, max_tokens=8,
                                        ignore_eos=True))[0]
     assert len(out.outputs[0].token_ids) == 8
+    fns = spec.engine.worker.model_runner.executor._fns
+    assert any(k[0] == "spec_decode" for k in fns)

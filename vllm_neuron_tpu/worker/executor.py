@@ -345,24 +345,30 @@ class ModelExecutor:
 
     def _build_spec_decode(self, K: int):
         """One fused speculation round: draft K tokens autoregressively,
-        verify all K+1 positions with one target pass, accept the matched
-        prefix, refresh the per-row feature — all on device. Greedy
-        acceptance (reference: Eagle-V1 fused spec, README.md:93)."""
+        verify all K+1 positions with one target pass, accept via
+        rejection sampling (greedy rows degenerate to exact prefix match),
+        refresh the per-row feature — all on device (reference: Eagle fused
+        spec + dynamic sampling simultaneously, README.md:93)."""
         model = self.model
         draft = self.draft_model
         attn_backend = self.attn_backend
+        from vllm_neuron_tpu.sampling.spec import (filtered_probs,
+                                                   sample_from_probs,
+                                                   spec_acceptance)
 
         def fn(params, dparams, kv, kv_d, spec_hidden, row_ids, first_tokens,
                positions0, slot_table, dslot_table, kv_lens0, page_indices,
-               num_seqs):
+               num_seqs, temperature, top_k, top_p, step_seed):
             N = first_tokens.shape[0]
             embed_fn = lambda t: params["embed"][t]  # noqa: E731
             active = kv_lens0 > 0
+            key = jax.random.PRNGKey(step_seed)
 
             # --- draft K tokens (N parallel rows, K sequential steps) ---
             feats = spec_hidden[row_ids].astype(model.dtype)  # [N, H]
             tok = first_tokens
             drafted = []
+            q_list = []
             cu1 = jnp.arange(N + 1, dtype=jnp.int32)
             for j in range(K):
                 # Draft position at step j is (target position - 1) + j; its
@@ -380,9 +386,16 @@ class ModelExecutor:
                 dlogits = jnp.dot(feats.astype(model.dtype),
                                   params["lm_head"],
                                   preferred_element_type=jnp.float32)
-                tok = jnp.argmax(dlogits, axis=-1).astype(jnp.int32)
+                q = filtered_probs(dlogits, temperature, top_k, top_p)
+                tok = sample_from_probs(q, jax.random.fold_in(key, j))
+                # Greedy rows: exact argmax (q is its one-hot).
+                tok = jnp.where(temperature <= 0,
+                                jnp.argmax(dlogits, axis=-1).astype(
+                                    jnp.int32), tok)
                 drafted.append(tok)
+                q_list.append(q)
             drafted = jnp.stack(drafted, axis=1)  # [N, K]
+            q_probs = jnp.stack(q_list, axis=1)   # [N, K, V]
 
             # --- target verify: q_len = K+1 per row ------------------------
             T = K + 1
@@ -402,15 +415,15 @@ class ModelExecutor:
                                        kind="spec_verify",
                                        attn_backend=attn_backend)
             logits = model.compute_logits(params, hidden)  # [N*T, V]
-            greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            greedy = greedy.reshape(N, T)  # g_0..g_K
 
-            # --- acceptance: leading-match prefix --------------------------
-            match = drafted == greedy[:, :K]  # d_j vs g_{j-1}
-            acc = jnp.cumprod(match.astype(jnp.int32), axis=1)  # [N, K]
-            m = 1 + jnp.sum(acc, axis=1)  # accepted count, 1..K+1
-            j_idx = jnp.arange(T, dtype=jnp.int32)[None]
-            tokens_out = jnp.where(j_idx < m[:, None], greedy, -1)  # [N,K+1]
+            # --- acceptance: rejection sampling over the verified grid ----
+            p_probs = filtered_probs(
+                logits,
+                jnp.repeat(temperature, T), jnp.repeat(top_k, T),
+                jnp.repeat(top_p, T)).reshape(N, T, -1)
+            tokens_out = spec_acceptance(drafted, q_probs, p_probs,
+                                         jax.random.fold_in(key, K))
+            m = jnp.sum((tokens_out >= 0).astype(jnp.int32), axis=1)
 
             # --- feature refresh: hidden at last accepted position ---------
             hidden = hidden.reshape(N, T, -1)
@@ -468,27 +481,40 @@ class ModelExecutor:
         return np.asarray(jax.device_get(tokens))
 
     def run_spec_decode(self, row_ids, first_tokens, positions0, slot_table,
-                        dslot_table, kv_lens0, page_indices,
-                        num_seqs: int) -> np.ndarray:
+                        dslot_table, kv_lens0, page_indices, num_seqs: int,
+                        temperature=None, top_k=None, top_p=None
+                        ) -> np.ndarray:
         """One fused speculation round. slot_table: [K+1, N] target slots;
-        dslot_table: [K, N] draft slots. Returns accepted tokens [N, K+1]
-        (-1 past each row's acceptance)."""
+        dslot_table: [K, N] draft slots; temperature/top_k/top_p: [N]
+        per-row sampling params (None => greedy). Returns accepted tokens
+        [N, K+1] (-1 past each row's acceptance)."""
+        N = first_tokens.shape[0]
+        if temperature is None:
+            temperature = np.zeros(N, np.float32)
+        if top_k is None:
+            top_k = np.full(N, -1, np.int32)
+        if top_p is None:
+            top_p = np.ones(N, np.float32)
         self._replicate("run_spec_decode", dict(
             row_ids=row_ids, first_tokens=first_tokens,
             positions0=positions0, slot_table=slot_table,
             dslot_table=dslot_table, kv_lens0=kv_lens0,
-            page_indices=page_indices, num_seqs=num_seqs))
+            page_indices=page_indices, num_seqs=num_seqs,
+            temperature=temperature, top_k=top_k, top_p=top_p))
         K = dslot_table.shape[0]
-        N = first_tokens.shape[0]
         key = ("spec_decode", K, N, page_indices.shape)
         fn = self._get_fn(key, lambda: self._build_spec_decode(K))
+        self._step_counter += 1
+        seed = np.uint32((self.config.model.seed + self._step_counter)
+                         & 0xFFFFFFFF)
         tokens, self.spec_hidden, self.kv_pages, self.kv_draft = fn(
             self.params, self.draft_params, self.kv_pages, self.kv_draft,
             self.spec_hidden, jnp.asarray(row_ids),
             jnp.asarray(first_tokens), jnp.asarray(positions0),
             jnp.asarray(slot_table.T), jnp.asarray(dslot_table),
             jnp.asarray(kv_lens0), jnp.asarray(page_indices),
-            jnp.asarray([num_seqs], jnp.int32))
+            jnp.asarray([num_seqs], jnp.int32), jnp.asarray(temperature),
+            jnp.asarray(top_k), jnp.asarray(top_p), seed)
         return np.asarray(jax.device_get(tokens))
 
     # ------------------------------------------------------------------

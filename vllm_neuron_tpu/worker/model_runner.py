@@ -388,8 +388,11 @@ class ModelRunner:
         states = [ib.requests[req_id] for req_id, _ in items]
         host_flags = [self._needs_host(s) for s in states]
         if not any(host_flags):
-            if (self.config.speculative.enabled
-                    and all(s.sampling_params.is_greedy for s in states)):
+            # On-device sampling rows (any temperature/top-k/top-p) keep
+            # speculating: acceptance is rejection sampling, which both
+            # preserves the target distribution and degenerates to exact
+            # prefix-match for greedy rows (sampling/spec.py).
+            if self.config.speculative.enabled:
                 K = max(n for _, n in items) - 1
                 if K >= 1:
                     return self._run_spec(items, states, K)
@@ -431,7 +434,8 @@ class ModelRunner:
             row_ids[i] = state.row
         accepted = self.executor.run_spec_decode(
             row_ids, token_ids, positions, slot_table, dslot_table,
-            kv_lens, page_indices, num_seqs=len(states))  # [N, K+1]
+            kv_lens, page_indices, num_seqs=len(states),
+            temperature=temperature, top_k=top_k, top_p=top_p)  # [N, K+1]
         results = {}
         for i, ((req_id, num_new), state) in enumerate(zip(items, states)):
             toks = [int(t) for t in accepted[i] if t >= 0][:num_new]
