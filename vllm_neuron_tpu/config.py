@@ -239,7 +239,8 @@ class ParallelConfig:
 
     @property
     def world_size(self) -> int:
-        return (self.tensor_parallel_size * self.data_parallel_size)
+        return (self.tensor_parallel_size * self.data_parallel_size *
+                self.expert_parallel_size)
 
 
 @dataclass
@@ -468,6 +469,18 @@ class EngineConfig:
                     raise ValueError(
                         f"sequence parallelism requires every context bucket "
                         f"({b}) to be divisible by the TP group size ({tp})")
+        ep = self.parallel.expert_parallel_size
+        if ep > 1:
+            n_exp = (getattr(self.model.hf_config, "num_experts", None) or
+                     getattr(self.model.hf_config, "num_local_experts", None))
+            if not n_exp:
+                raise ValueError(
+                    "expert_parallel_size > 1 requires an MoE model (the "
+                    "hf config declares no experts)")
+            if n_exp % ep != 0:
+                raise ValueError(
+                    f"num_experts ({n_exp}) must be divisible by "
+                    f"expert_parallel_size ({ep})")
         if self.speculative.enabled and self.scheduler.enable_chunked_prefill:
             raise ValueError(
                 "speculative decoding is not supported with chunked prefill "
@@ -498,6 +511,7 @@ class EngineConfig:
                 "tp": self.parallel.tensor_parallel_size,
                 "dp": self.parallel.data_parallel_size,
                 "sp": self.parallel.sequence_parallel,
+                "ep": self.parallel.expert_parallel_size,
             },
             "buckets": {
                 "ce": self.bucketing.context_encoding_buckets,

@@ -39,6 +39,7 @@ def build_engine_config(
     tensor_parallel_size: int = 1,
     data_parallel_size: int = 1,
     sequence_parallel: bool = False,
+    expert_parallel_size: int = 1,
     speculative_config: Optional[dict] = None,
     quantization: Optional[str] = None,
     kv_cache_dtype: str = "auto",
@@ -96,6 +97,7 @@ def build_engine_config(
             tensor_parallel_size=tensor_parallel_size,
             data_parallel_size=data_parallel_size,
             sequence_parallel=sequence_parallel,
+            expert_parallel_size=expert_parallel_size,
         ),
         bucketing=bucketing,
         speculative=spec,

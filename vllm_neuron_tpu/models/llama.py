@@ -97,6 +97,10 @@ class LlamaForCausalLM:
         # Megatron all-reduces into reduce-scatter + all-gather pairs and
         # norm/elementwise work is split over the model axis.
         self.sp_sharding = None
+        # Expert parallelism: the mesh (with an "expert" axis of size > 1),
+        # set by the runner for MoE subclasses; ops/moe.py shard_maps the
+        # expert FFN over it.
+        self.ep_mesh = None
 
     # ------------------------------------------------------------------
     # Parameters

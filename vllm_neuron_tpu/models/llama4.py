@@ -106,6 +106,8 @@ class Llama4ForCausalLM:
         self.sliding_window = None
         # Sequence parallelism (see LlamaForCausalLM.sp_sharding).
         self.sp_sharding = None
+        # Expert parallelism (see LlamaForCausalLM.ep_mesh).
+        self.ep_mesh = None
 
     # ------------------------------------------------------------------
 
@@ -266,7 +268,8 @@ class Llama4ForCausalLM:
             h = rms_norm(x, lp["mlp_norm"], self.rms_eps)
             if "router" in lp:
                 routed = moe_mlp_llama4(h, lp["router"], lp["gate_up"],
-                                        lp["down"], self.top_k)
+                                        lp["down"], self.top_k,
+                                        ep_mesh=self.ep_mesh)
                 shared = (jax.nn.silu(h @ lp["shared_wg"]) *
                           (h @ lp["shared_wu"])) @ lp["shared_wd"]
                 x = x + shared + routed

@@ -113,4 +113,5 @@ class Qwen3MoeForCausalLM(LlamaForCausalLM):
     def _mlp(self, lp: dict, h: jax.Array) -> jax.Array:
         return moe_mlp(h, lp["router"], lp["we_gate"], lp["we_up"],
                        lp["we_down"], top_k=self.top_k,
-                       norm_topk_prob=self.norm_topk_prob)
+                       norm_topk_prob=self.norm_topk_prob,
+                       ep_mesh=self.ep_mesh)

@@ -19,6 +19,9 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from vllm_neuron_tpu.parallel.mesh import EXPERT_AXIS, MODEL_AXIS
 
 
 def route(x: jax.Array, router_w: jax.Array, top_k: int,
@@ -75,7 +78,8 @@ def _moe_ragged(x, weights, ids, we_gate, we_up, we_down):
 
 def moe_mlp_llama4(x: jax.Array, router_w: jax.Array, gate_up: jax.Array,
                    down: jax.Array, top_k: int,
-                   backend: Optional[str] = None) -> jax.Array:
+                   backend: Optional[str] = None,
+                   ep_mesh: Optional[Mesh] = None) -> jax.Array:
     """Llama-4 MoE: router scores are sigmoid(top-k logits) applied to the
     EXPERT INPUT (x * score), outputs summed over the selected experts
     (shared expert handled by the caller). gate_up: [E, H, 2I] fused;
@@ -87,6 +91,9 @@ def moe_mlp_llama4(x: jax.Array, router_w: jax.Array, gate_up: jax.Array,
                      preferred_element_type=jnp.float32)  # [N, E]
     top_vals, ids = jax.lax.top_k(logits, top_k)
     scores = jax.nn.sigmoid(top_vals)  # [N, k]
+    if ep_mesh is not None and ep_mesh.shape.get(EXPERT_AXIS, 1) > 1:
+        return _moe_ep_llama4(x, scores, ids.astype(jnp.int32), gate_up,
+                              down, ep_mesh, backend).astype(x.dtype)
     if backend is None:
         backend = "ragged" if jax.devices()[0].platform == "tpu" else "dense"
     xf = x.astype(gate_up.dtype)
@@ -119,10 +126,16 @@ def moe_mlp_llama4(x: jax.Array, router_w: jax.Array, gate_up: jax.Array,
 def moe_mlp(x: jax.Array, router_w: jax.Array, we_gate: jax.Array,
             we_up: jax.Array, we_down: jax.Array, top_k: int,
             norm_topk_prob: bool = True,
-            backend: Optional[str] = None) -> jax.Array:
+            backend: Optional[str] = None,
+            ep_mesh: Optional[Mesh] = None) -> jax.Array:
     """x: [N, H]; router_w: [H, E]; we_gate/we_up: [E, H, I];
-    we_down: [E, I, H]. Returns [N, H] in x.dtype."""
+    we_down: [E, I, H]. Returns [N, H] in x.dtype. With ``ep_mesh`` set
+    (expert-axis size > 1) the expert compute runs under shard_map with
+    experts partitioned over the "expert" mesh axis."""
     weights, ids = route(x, router_w, top_k, norm_topk_prob)
+    if ep_mesh is not None and ep_mesh.shape.get(EXPERT_AXIS, 1) > 1:
+        return _moe_ep(x, weights, ids, we_gate, we_up, we_down,
+                       ep_mesh, backend).astype(x.dtype)
     if backend is None:
         backend = "ragged" if jax.devices()[0].platform == "tpu" else "dense"
     if backend == "ragged":
@@ -130,3 +143,161 @@ def moe_mlp(x: jax.Array, router_w: jax.Array, we_gate: jax.Array,
     else:
         out = _moe_dense(x, weights, ids, we_gate, we_up, we_down)
     return out.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Expert parallelism (dedicated "expert" mesh axis; parallel/mesh.py).
+#
+# Design: the router runs replicated (tiny), then the expert FFN runs under
+# shard_map manual over ("expert", "model"): each shard holds a contiguous
+# slab of E/ep experts (x 1/tp of the FFN dim) and computes the contribution
+# of ITS experts for every (token, expert) pair, masking pairs routed
+# elsewhere; one psum over (expert[, model]) combines. This is the exact,
+# dropless formulation — no capacity factor, no token dropping (the
+# reference's blockwise MoE makes the same trade: block_parallel over the
+# group, test/e2e/offline/test_offline_e2e.py:58-69). Weights memory scales
+# 1/ep; the grouped matmul skips non-local pairs via zero-size ragged
+# groups on the megablox path.
+# ---------------------------------------------------------------------------
+
+
+def _local_pairs(ids: jax.Array, weights: jax.Array, e_local: int):
+    """Mask/remap global expert ids to this shard's slab [lo, lo+e_local).
+    Returns (local_ids clamped to [0, e_local), pair weights zeroed for
+    non-local pairs, selection mask)."""
+    lo = jax.lax.axis_index(EXPERT_AXIS) * e_local
+    lids = ids - lo
+    sel = (lids >= 0) & (lids < e_local)
+    return jnp.clip(lids, 0, e_local - 1), jnp.where(sel, weights, 0.0), sel
+
+
+def _ep_ffn(xs: jax.Array, group_sizes: jax.Array, wg_l, wu_l, wd_l):
+    """Grouped FFN over a local expert slab: xs [M, H] sorted by local
+    expert, group_sizes [E_local] (+ padding rows folded into the last
+    group so every row has a defined group)."""
+    M = xs.shape[0]
+    leftover = M - jnp.sum(group_sizes)
+    group_sizes = group_sizes.at[-1].add(leftover)
+    gate = jax.lax.ragged_dot(xs, wg_l, group_sizes,
+                              preferred_element_type=jnp.float32)
+    up = jax.lax.ragged_dot(xs, wu_l, group_sizes,
+                            preferred_element_type=jnp.float32)
+    act = (jax.nn.silu(gate) * up).astype(xs.dtype)
+    return jax.lax.ragged_dot(act, wd_l, group_sizes,
+                              preferred_element_type=jnp.float32)  # [M, H]
+
+
+def _moe_ep(x, weights, ids, we_gate, we_up, we_down, mesh: Mesh,
+            backend: Optional[str]):
+    E, _, I = we_gate.shape
+    ep = mesh.shape[EXPERT_AXIS]
+    tp = mesh.shape[MODEL_AXIS]
+    e_local = E // ep
+    i_shard = MODEL_AXIS if I % tp == 0 else None
+    psum_axes = (EXPERT_AXIS,) + ((MODEL_AXIS,) if i_shard else ())
+    if backend is None:
+        backend = "ragged" if jax.devices()[0].platform == "tpu" else "dense"
+
+    def body(xl, w, ids, wg_l, wu_l, wd_l):
+        lids, wl, sel = _local_pairs(ids, w, e_local)
+        if backend == "dense":
+            onehot = jax.nn.one_hot(lids, e_local, dtype=jnp.float32)
+            combine = jnp.einsum("nke,nk->ne", onehot,
+                                 wl.astype(jnp.float32))
+            xf = xl.astype(wg_l.dtype)
+            gate = jnp.einsum("nh,ehi->nei", xf, wg_l)
+            up = jnp.einsum("nh,ehi->nei", xf, wu_l)
+            act = jax.nn.silu(gate) * up
+            out = jnp.einsum("nei,eih->neh", act, wd_l)
+            out = jnp.einsum("neh,ne->nh", out.astype(jnp.float32), combine)
+        else:
+            N, k = ids.shape
+            flat_l = lids.reshape(-1)
+            # Sort local pairs by expert; foreign pairs sink to the end
+            # (key e_local) and land in the padded last group with weight 0.
+            key = jnp.where(sel.reshape(-1), flat_l, e_local)
+            order = jnp.argsort(key)
+            inv_order = jnp.argsort(order)
+            token_idx = jnp.arange(N * k, dtype=jnp.int32) // k
+            xs = xl[token_idx[order]]
+            group_sizes = jnp.bincount(
+                jnp.where(sel.reshape(-1), flat_l, e_local),
+                length=e_local).astype(jnp.int32)
+            out = _ep_ffn(xs, group_sizes, wg_l, wu_l, wd_l)
+            out = out[inv_order].reshape(N, k, -1)
+            out = jnp.einsum("nkh,nk->nh", out, wl.astype(jnp.float32))
+        return jax.lax.psum(out, psum_axes)
+
+    f = jax.shard_map(
+        body, mesh=mesh, axis_names={EXPERT_AXIS, MODEL_AXIS},
+        in_specs=(P(), P(), P(),
+                  P(EXPERT_AXIS, None, i_shard),
+                  P(EXPERT_AXIS, None, i_shard),
+                  P(EXPERT_AXIS, i_shard, None)),
+        out_specs=P(), check_vma=False)
+    return f(x, weights, ids, we_gate, we_up, we_down)
+
+
+def _moe_ep_llama4(x, scores, ids, gate_up, down, mesh: Mesh,
+                   backend: Optional[str]):
+    """Llama-4 routed experts under EP: sigmoid score scales the expert
+    INPUT; outputs sum over selected experts (weight 1 at combine)."""
+    E, _, I2 = gate_up.shape
+    I = I2 // 2
+    ep = mesh.shape[EXPERT_AXIS]
+    tp = mesh.shape[MODEL_AXIS]
+    e_local = E // ep
+    # gate_up is [E, H, 2I] fused: a model-axis shard must slice gate and
+    # up halves together, which P on the last dim cannot express — keep the
+    # FFN dim unsharded inside the body unless we split; psum over expert
+    # only, model replicated.
+    i_shard = None
+    psum_axes = (EXPERT_AXIS,)
+    if backend is None:
+        backend = "ragged" if jax.devices()[0].platform == "tpu" else "dense"
+
+    def body(xl, sc, ids, gu_l, dn_l):
+        ones = jnp.ones_like(sc)
+        lids, wl, sel = _local_pairs(ids, ones, e_local)
+        xin = xl[:, None, :] * sc[:, :, None].astype(xl.dtype)  # [N, k, H]
+        xin = jnp.where(sel[:, :, None], xin, 0).astype(gu_l.dtype)
+        if backend == "dense":
+            # xin is already zeroed for non-local pairs; the one-hot picks
+            # each pair's expert slot (combine weight is 1 for Llama-4).
+            onehot = jax.nn.one_hot(lids, e_local, dtype=jnp.float32)
+            gu = jnp.einsum("nkh,ehi->nkei", xin, gu_l)
+            gate, up = jnp.split(gu, 2, axis=-1)
+            act = jax.nn.silu(gate) * up
+            out = jnp.einsum("nkei,eih->nkeh", act, dn_l)
+            out = jnp.einsum("nkeh,nke->nh", out.astype(jnp.float32),
+                             onehot)
+        else:
+            N, k = ids.shape
+            flat_l = lids.reshape(-1)
+            key = jnp.where(sel.reshape(-1), flat_l, e_local)
+            order = jnp.argsort(key)
+            inv_order = jnp.argsort(order)
+            xs = xin.reshape(N * k, -1)[order]
+            group_sizes = jnp.bincount(
+                jnp.where(sel.reshape(-1), flat_l, e_local),
+                length=e_local).astype(jnp.int32)
+            M = xs.shape[0]
+            leftover = M - jnp.sum(group_sizes)
+            group_sizes = group_sizes.at[-1].add(leftover)
+            gu = jax.lax.ragged_dot(xs, gu_l, group_sizes,
+                                    preferred_element_type=jnp.float32)
+            gate, up = jnp.split(gu, 2, axis=-1)
+            act = (jax.nn.silu(gate) * up).astype(xs.dtype)
+            out = jax.lax.ragged_dot(act, dn_l, group_sizes,
+                                     preferred_element_type=jnp.float32)
+            out = out[inv_order].reshape(N, k, -1)
+            out = jnp.einsum("nkh,nk->nh", out, wl.astype(jnp.float32))
+        return jax.lax.psum(out, psum_axes)
+
+    f = jax.shard_map(
+        body, mesh=mesh, axis_names={EXPERT_AXIS, MODEL_AXIS},
+        in_specs=(P(), P(), P(),
+                  P(EXPERT_AXIS, None, i_shard),
+                  P(EXPERT_AXIS, i_shard, None)),
+        out_specs=P(), check_vma=False)
+    return f(x, scores, ids, gate_up, down)

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from vllm_neuron_tpu.parallel.mesh import MODEL_AXIS
+from vllm_neuron_tpu.parallel.mesh import EXPERT_AXIS, MODEL_AXIS
 from vllm_neuron_tpu.utils import init_logger
 
 logger = init_logger(__name__)
@@ -57,11 +57,20 @@ LAYER_PARAM_SPECS = {
     "wg_scale": P(None, None, MODEL_AXIS),
     "wu_scale": P(None, None, MODEL_AXIS),
     "wd_scale": P(),
-    # MoE (Llama-4 / Qwen3-MoE): experts sharded over model axis too.
+    # MoE (Llama-4 / Qwen3-MoE): expert dim over the dedicated "expert"
+    # axis (weights memory scales 1/ep), FFN dim over "model". With ep > 1
+    # the MoE block runs under shard_map (ops/moe.py) which dictates local
+    # layouts itself; these are the at-rest shardings.
     "router": P(),
-    "we_gate": P(None, None, None, MODEL_AXIS),
-    "we_up": P(None, None, None, MODEL_AXIS),
-    "we_down": P(None, None, MODEL_AXIS, None),
+    "we_gate": P(None, EXPERT_AXIS, None, MODEL_AXIS),
+    "we_up": P(None, EXPERT_AXIS, None, MODEL_AXIS),
+    "we_down": P(None, EXPERT_AXIS, MODEL_AXIS, None),
+    # Llama-4 fused experts + always-on shared expert.
+    "gate_up": P(None, EXPERT_AXIS, None, MODEL_AXIS),
+    "down": P(None, EXPERT_AXIS, MODEL_AXIS, None),
+    "shared_wg": P(None, None, MODEL_AXIS),
+    "shared_wu": P(None, None, MODEL_AXIS),
+    "shared_wd": P(None, MODEL_AXIS, None),
 }
 
 TOP_PARAM_SPECS = {
@@ -71,13 +80,14 @@ TOP_PARAM_SPECS = {
 }
 
 
-def _divisible(spec: P, shape: tuple, tp: int) -> P:
-    """Drop the model-axis annotation on dims the TP degree doesn't divide
+def _divisible(spec: P, shape: tuple, tp: int, ep: int = 1) -> P:
+    """Drop a mesh-axis annotation on dims its group size doesn't divide
     (e.g. KV heads when num_kv_heads < tp: replicate instead — the standard
-    GQA head-replication fallback)."""
+    GQA head-replication fallback; likewise experts vs the expert axis)."""
+    group = {MODEL_AXIS: tp, EXPERT_AXIS: ep}
     parts = []
     for i, axis in enumerate(spec):
-        if axis == MODEL_AXIS and shape[i] % tp != 0:
+        if axis in group and shape[i] % group[axis] != 0:
             parts.append(None)
         else:
             parts.append(axis)
@@ -123,12 +133,13 @@ def _place_global(p, mesh: Mesh, sharding: NamedSharding):
 def shard_params(params: dict, mesh: Mesh, model=None) -> dict:
     specs = param_specs(params)
     tp = mesh.shape[MODEL_AXIS]
+    ep = mesh.shape.get(EXPERT_AXIS, 1)
 
     def place(p, s):
         if isinstance(p, dict):
             return {k: place(v, s[k]) for k, v in p.items()}
         return _place_global(
-            p, mesh, NamedSharding(mesh, _divisible(s, p.shape, tp)))
+            p, mesh, NamedSharding(mesh, _divisible(s, p.shape, tp, ep)))
 
     return place(params, specs)
 

@@ -65,6 +65,10 @@ class ModelRunner:
                 and self.mesh is not None):
             from vllm_neuron_tpu.parallel.sharding import sp_sharding_for
             self.model.sp_sharding = sp_sharding_for(self.mesh)
+        if self.mesh is not None:
+            from vllm_neuron_tpu.parallel.mesh import EXPERT_AXIS
+            if self.mesh.shape.get(EXPERT_AXIS, 1) > 1:
+                self.model.ep_mesh = self.mesh
         presharded = False
         if params is None:
             if self.config.model.load_format == "random":
