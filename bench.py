@@ -80,8 +80,10 @@ def build_engine():
                           hf_config=hf, load_format="random"),
         cache=CacheConfig(block_size=BLOCK_SIZE, enable_prefix_caching=True,
                           kv_cache_dtype=KV_DTYPE),
-        scheduler=SchedulerConfig(max_num_seqs=BATCH,
-                                  decode_window=DECODE_WINDOW),
+        scheduler=SchedulerConfig(
+            max_num_seqs=BATCH, decode_window=DECODE_WINDOW,
+            async_decode=bool(int(os.environ.get("BENCH_ASYNC_DECODE",
+                                                 "0")))),
         bucketing=BucketingConfig(
             context_encoding_buckets=[b for b in (512, 1024, 2048)
                                       if b <= MAX_MODEL_LEN],

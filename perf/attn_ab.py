@@ -25,8 +25,8 @@ jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/vllm_neuron_tpu/perf"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from vllm_neuron_tpu.ops.decode_attention import (decode_paged_attention,
-                                                  visible_range)
+from vllm_neuron_tpu.ops.decode_attention import (
+    decode_paged_attention, decode_paged_attention_flat, visible_range)
 from vllm_neuron_tpu.ops.ragged_attention import (RaggedMeta,
                                                   _decode_attention_dense)
 
@@ -94,6 +94,15 @@ def main():
                 q, kv, lo, hi, pages, num_kv_heads=HKV, sm_scale=SM,
                 pages_per_chunk=c).astype(q.dtype))
             run(f"pallasC{c}", pal, q)
+
+    if which in ("flat", "both"):
+        lo, hi = visible_range(kv_lens)
+        for c in (2, 4, 6):  # C>=16: 2*C*ps*2Hkv*Dp*2B double-buffer
+            # alone hits the 16MB scoped-VMEM limit
+            fl = jax.jit(lambda q, c=c: decode_paged_attention_flat(
+                q, kv, lo, hi, pages, num_kv_heads=HKV, sm_scale=SM,
+                pages_per_chunk=c).astype(q.dtype))
+            run(f"flatC{c}", fl, q)
 
 
 if __name__ == "__main__":

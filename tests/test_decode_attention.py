@@ -11,8 +11,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from vllm_neuron_tpu.ops.decode_attention import (decode_paged_attention,
-                                                  visible_range)
+from vllm_neuron_tpu.ops.decode_attention import (
+    decode_paged_attention, decode_paged_attention_flat, visible_range)
 from vllm_neuron_tpu.ops.ragged_attention import (RaggedMeta,
                                                   _decode_attention_dense)
 
@@ -95,6 +95,80 @@ def test_chunked_local():
                                  num_kv_heads=2, sm_scale=0.2,
                                  pages_per_chunk=2, interpret=True)
     ref = _dense_oracle(q, kv_pages, lens, pages, 0.2, chunk_size=cs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("kv_lens", [None, [1, 7, 16, 33, 96],
+                                     [10, 0, 25, 0, 1]])
+@pytest.mark.parametrize("C", [1, 2, 3])
+def test_flat_matches_dense(kv_lens, C):
+    q, kv_pages, lens, pages = _setup(kv_lens=kv_lens)
+    sm = 0.125
+    lo, hi = visible_range(lens)
+    out = np.asarray(decode_paged_attention_flat(
+        q, kv_pages, lo, hi, pages, num_kv_heads=2, sm_scale=sm,
+        pages_per_chunk=C, interpret=True))
+    ref = np.asarray(_dense_oracle(q, kv_pages, lens, pages, sm))
+    active = np.asarray(lens) > 0
+    np.testing.assert_allclose(out[active], ref[active],
+                               rtol=2e-5, atol=2e-5)
+    assert np.all(out[~active] == 0.0)
+
+
+def test_flat_sliding_window():
+    q, kv_pages, lens, pages = _setup(kv_lens=[40, 96, 3, 17, 64])
+    sw = 24
+    lo, hi = visible_range(lens, sliding_window=sw)
+    out = decode_paged_attention_flat(q, kv_pages, lo, hi, pages,
+                                      num_kv_heads=2, sm_scale=0.2,
+                                      pages_per_chunk=2, interpret=True)
+    ref = _dense_oracle(q, kv_pages, lens, pages, 0.2, sliding_window=sw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flat_bf16_cache():
+    q, kv_pages, lens, pages = _setup()
+    q16 = q.astype(jnp.bfloat16)
+    kv16 = kv_pages.astype(jnp.bfloat16)
+    lo, hi = visible_range(lens)
+    out = decode_paged_attention_flat(q16, kv16, lo, hi, pages,
+                                      num_kv_heads=2, sm_scale=0.125,
+                                      pages_per_chunk=2, interpret=True)
+    ref = _dense_oracle(q16, kv16, lens, pages, 0.125)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=3e-2, atol=3e-2)
+
+
+def test_sharded_decode_matches_unsharded():
+    """The shard_map head-parallel wrapper (ragged_attention.py) must be
+    bit-identical to the single-device kernel: heads are independent, so
+    splitting them over the model axis changes nothing numerically."""
+    from vllm_neuron_tpu.ops import ragged_attention as ra
+    from vllm_neuron_tpu.parallel.mesh import (DATA_AXIS, EXPERT_AXIS,
+                                               MODEL_AXIS)
+    from jax.sharding import Mesh
+
+    q, kv_pages, lens, pages = _setup(B=4, Hq=8, Hkv=2, PP=4)
+    sm = 0.125
+    lo, hi = visible_range(lens)
+    ref = decode_paged_attention_flat(q, kv_pages, lo, hi, pages,
+                                      num_kv_heads=2, sm_scale=sm,
+                                      pages_per_chunk=2, interpret=True)
+    devs = np.asarray(jax.devices("cpu")[:2]).reshape(1, 1, 2)
+    mesh = Mesh(devs, (DATA_AXIS, EXPERT_AXIS, MODEL_AXIS))
+    old = ra._ATTENTION_MESH
+    ra.set_attention_mesh(mesh)
+    try:
+        # Partial-manual shard_map (auto data/expert axes) requires a jit
+        # context — exactly how the executor always runs it.
+        out = jax.jit(lambda *a: ra._pallas_decode_sharded(
+            *a, num_kv_heads=2, sm_scale=sm, interpret=True))(
+                q, kv_pages, lo, hi, pages)
+    finally:
+        ra.set_attention_mesh(old)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
 

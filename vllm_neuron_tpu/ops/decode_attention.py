@@ -90,7 +90,10 @@ def _decode_kernel(
     def _active():
         start_chunk_dma(0, 0)
 
-        q = q_ref[b].astype(jnp.float32) * sm_scale      # [Hq, Dp]
+        # MXU consumes the cache dtype directly (f32 accumulation via
+        # preferred_element_type); upcasting K/V to f32 first costs VPU
+        # conversion passes plus f32 VMEM buffers and bought nothing.
+        q = (q_ref[b].astype(jnp.float32) * sm_scale).astype(q_ref.dtype)
         qg = q.reshape(Hkv, G, Dp)
 
         def body(ci, carry):
@@ -122,9 +125,8 @@ def _decode_kernel(
 
             s_heads = []
             for h in range(Hkv):
-                k_h = kv[:, 2 * h, :].astype(jnp.float32)    # [cs, Dp]
                 s_h = jax.lax.dot_general(
-                    qg[h], k_h,
+                    qg[h], kv[:, 2 * h, :],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)      # [G, cs]
                 s_heads.append(s_h)
@@ -140,15 +142,16 @@ def _decode_kernel(
             alpha = jnp.exp(m_prev - m_next)              # [Hkv, G]
             p = jnp.exp(s - m_next[..., None])            # [Hkv, G, cs]
             l_next = alpha * l_prev + jnp.sum(p, axis=-1)
+            p_lo = p.astype(kv_buf.dtype)
             o_heads = []
             for h in range(Hkv):
                 # Zero stale-V rows (never-DMA'd buffer slots): their p is
                 # exactly 0 via _MASK, but 0 * NaN would still poison the
                 # matmul in interpret mode.
-                v_h = jnp.where(vis_col,
-                                kv[:, 2 * h + 1, :], 0).astype(jnp.float32)
+                v_h = jnp.where(vis_col, kv[:, 2 * h + 1, :],
+                                jnp.zeros((), kv_buf.dtype))
                 o_h = jax.lax.dot_general(
-                    p[h], v_h,
+                    p_lo[h], v_h,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)        # [G, Dp]
                 o_heads.append(o_h)
@@ -212,6 +215,200 @@ def decode_paged_attention(q: jax.Array, kv_pages_l: jax.Array,
         ),
         interpret=interpret,
     )(lo, hi, page_indices, q, kv_pages_l)
+
+
+def _flat_kernel(
+    # scalar prefetch
+    p0_ref, p1_ref, lo_ref, hi_ref, crow_ref, clocal_ref, total_ref,
+    page_indices_ref,
+    # inputs
+    q_ref, kv_hbm_ref,
+    # outputs
+    o_ref,
+    # scratch
+    kv_buf, sem,
+    *, page_size: int, pages_per_chunk: int, num_kv_heads: int,
+    sm_scale: float,
+):
+    """Flat-stream variant: ONE grid instance walks the concatenated
+    (row, chunk) stream of every sequence with a single globally
+    double-buffered DMA pipeline — no per-row grid overhead, no DMA bubble
+    at row boundaries (the next row's first chunk prefetches while the
+    previous row finishes computing)."""
+    ps = page_size
+    C = pages_per_chunk
+    cs = C * ps
+    Hq, Dp = q_ref.shape[1], q_ref.shape[2]
+    Hkv = num_kv_heads
+    G = Hq // Hkv
+    T = total_ref[0]
+    MAXC = crow_ref.shape[0]
+
+    o_ref[:] = jnp.zeros_like(o_ref)  # inactive rows stay zero
+
+    def start_chunk_dma(t, slot):
+        r = crow_ref[t]
+        pstart = p0_ref[r] + clocal_ref[t] * C
+        for j in range(C):
+            @pl.when(pstart + j < p1_ref[r])
+            def _():
+                page = page_indices_ref[r, pstart + j]
+                pltpu.make_async_copy(
+                    kv_hbm_ref.at[page],
+                    kv_buf.at[slot, j],
+                    sem.at[slot, j],
+                ).start()
+
+    def wait_chunk(t, slot):
+        r = crow_ref[t]
+        pstart = p0_ref[r] + clocal_ref[t] * C
+        for j in range(C):
+            @pl.when(pstart + j < p1_ref[r])
+            def _():
+                pltpu.make_async_copy(
+                    kv_hbm_ref.at[0], kv_buf.at[slot, j], sem.at[slot, j],
+                ).wait()
+
+    @pl.when(T > 0)
+    def _():
+        start_chunk_dma(0, 0)
+
+    def body(t, carry):
+        m_prev, l_prev, acc = carry
+        slot = jax.lax.rem(t, 2)
+
+        @pl.when(t + 1 < T)
+        def _():
+            start_chunk_dma(t + 1, 1 - slot)
+
+        wait_chunk(t, slot)
+        r = crow_ref[t]
+        cl = clocal_ref[t]
+        lo = lo_ref[r]
+        hi = hi_ref[r]
+        first = cl == 0
+        m_prev = jnp.where(first, jnp.full_like(m_prev, -jnp.inf), m_prev)
+        l_prev = jnp.where(first, jnp.zeros_like(l_prev), l_prev)
+        acc = jnp.where(first, jnp.zeros_like(acc), acc)
+
+        # MXU consumes the cache dtype directly (f32 accumulation via
+        # preferred_element_type); upcasting K/V to f32 first costs VPU
+        # conversion passes plus f32 VMEM buffers and bought nothing.
+        q = (q_ref[r].astype(jnp.float32) * sm_scale).astype(q_ref.dtype)
+        qg = q.reshape(Hkv, G, Dp)
+        kv = kv_buf[slot].reshape(cs, 2 * Hkv, Dp)
+
+        base = (p0_ref[r] + cl * C) * ps
+        kpos = base + jax.lax.broadcasted_iota(jnp.int32, (1, cs), 1)
+        vis = (kpos >= lo) & (kpos < hi)                  # [1, cs]
+        kpos_col = base + jax.lax.broadcasted_iota(jnp.int32, (cs, 1), 0)
+        vis_col = (kpos_col >= lo) & (kpos_col < hi)      # [cs, 1]
+
+        s_heads = []
+        for h in range(Hkv):
+            s_h = jax.lax.dot_general(
+                qg[h], kv[:, 2 * h, :],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)       # [G, cs]
+            s_heads.append(s_h)
+        s = jnp.stack(s_heads)                            # [Hkv, G, cs]
+        s = jnp.where(vis[None], s, _MASK)
+
+        m_cur = jnp.max(s, axis=-1)
+        m_next = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[..., None])
+        l_next = alpha * l_prev + jnp.sum(p, axis=-1)
+        p_lo = p.astype(kv_buf.dtype)
+        o_heads = []
+        for h in range(Hkv):
+            v_h = jnp.where(vis_col, kv[:, 2 * h + 1, :],
+                            jnp.zeros((), kv_buf.dtype))
+            o_h = jax.lax.dot_general(
+                p_lo[h], v_h,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)       # [G, Dp]
+            o_heads.append(o_h)
+        acc = acc * alpha[..., None] + jnp.stack(o_heads)
+
+        # Flush at the last chunk of this row.
+        t_nxt = jnp.minimum(t + 1, MAXC - 1)
+        is_last = jnp.logical_or(t + 1 >= T, crow_ref[t_nxt] != r)
+
+        @pl.when(is_last)
+        def _():
+            l_inv = jnp.where(l_next == 0.0, 0.0, 1.0 / l_next)
+            o_ref[r] = (acc * l_inv[..., None]).reshape(Hq, Dp).astype(
+                o_ref.dtype)
+
+        return m_next, l_next, acc
+
+    m0 = jnp.full((Hkv, G), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((Hkv, G), jnp.float32)
+    a0 = jnp.zeros((Hkv, G, Dp), jnp.float32)
+    jax.lax.fori_loop(0, T, body, (m0, l0, a0))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_kv_heads", "sm_scale", "pages_per_chunk",
+                     "interpret"))
+def decode_paged_attention_flat(q: jax.Array, kv_pages_l: jax.Array,
+                                lo: jax.Array, hi: jax.Array,
+                                page_indices: jax.Array, *,
+                                num_kv_heads: int, sm_scale: float,
+                                pages_per_chunk: int = 4,
+                                interpret: bool = False) -> jax.Array:
+    """Flat-stream decode attention (see _flat_kernel). Same contract as
+    decode_paged_attention."""
+    B, Hq, Dp = q.shape
+    _, ps, two_hkv, Dp2 = kv_pages_l.shape
+    assert Dp == Dp2 and two_hkv == 2 * num_kv_heads
+    PP = page_indices.shape[1]
+    C = min(pages_per_chunk, PP)
+    max_cpr = (PP + C - 1) // C
+    MAXC = B * max_cpr
+
+    # Chunk tables, computed in-graph (tiny XLA ops on [B]-sized arrays).
+    active = hi > 0
+    p0 = jnp.where(active, lo // ps, 0).astype(jnp.int32)
+    p1 = jnp.where(active, (hi + ps - 1) // ps, 0).astype(jnp.int32)
+    nc = (p1 - p0 + C - 1) // C                               # [B]
+    cu = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                          jnp.cumsum(nc, dtype=jnp.int32)])   # [B+1]
+    total = cu[-1:]
+    t = jnp.arange(MAXC, dtype=jnp.int32)
+    crow = jnp.sum((t[:, None] >= cu[None, 1:]).astype(jnp.int32),
+                   axis=1)
+    crow = jnp.minimum(crow, B - 1).astype(jnp.int32)
+    clocal = (t - cu[crow]).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=8,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # q (full)
+            pl.BlockSpec(memory_space=pl.ANY),       # kv pages stay in HBM
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, C, ps, two_hkv, Dp), kv_pages_l.dtype),
+            pltpu.SemaphoreType.DMA((2, C)),
+        ],
+    )
+    kernel = functools.partial(
+        _flat_kernel, page_size=ps, pages_per_chunk=C,
+        num_kv_heads=num_kv_heads, sm_scale=sm_scale)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hq, Dp), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(p0, p1, lo.astype(jnp.int32), hi.astype(jnp.int32), crow, clocal,
+      total, page_indices, q, kv_pages_l)
 
 
 def visible_range(kv_lens: jax.Array, sliding_window=None, chunk_size=None

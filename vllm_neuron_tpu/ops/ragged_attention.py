@@ -383,6 +383,71 @@ def _use_pallas_decode() -> bool:
 
 
 @functools.cache
+def _decode_kernel_fn():
+    """Which in-repo Pallas decode kernel serves production. "flat" (the
+    single-grid streamed variant) measured fastest at every kv_len on v5e
+    (perf/attn_ab.py: 0.94/1.95 ms vs per-row 0.97/2.0+ at B=32
+    kv=640/1984); the per-row kernel stays as the A/B alternative."""
+    import os
+
+    from vllm_neuron_tpu.ops import decode_attention as da
+    variant = os.environ.get("VLLM_TPU_DECODE_KERNEL", "flat")
+    return (da.decode_paged_attention_flat if variant == "flat"
+            else da.decode_paged_attention)
+
+
+# Mesh for partitioning the in-repo Pallas kernels (GSPMD cannot partition a
+# custom call; the executor registers its mesh at trace time and the decode
+# kernel runs under shard_map, heads split over the model axis).
+_ATTENTION_MESH = None
+
+
+def set_attention_mesh(mesh) -> None:
+    global _ATTENTION_MESH
+    _ATTENTION_MESH = mesh
+
+
+def _pallas_decode_sharded(q, kv_pages_l, lo, hi, page_indices, *,
+                           num_kv_heads: int, sm_scale: float,
+                           interpret: bool = False):
+    """Head-parallel decode kernel over the mesh: attention is embarrassingly
+    parallel across KV-head groups, so each model-axis shard runs the kernel
+    on its local heads — zero collectives. Requires the GQA group structure
+    to split cleanly; the caller falls back to dense otherwise."""
+    from jax.sharding import PartitionSpec as P
+
+    from vllm_neuron_tpu.parallel.mesh import MODEL_AXIS
+
+    mesh = _ATTENTION_MESH
+    tp = mesh.shape[MODEL_AXIS]
+    f = jax.shard_map(
+        functools.partial(_decode_kernel_fn(),
+                          num_kv_heads=num_kv_heads // tp,
+                          sm_scale=sm_scale, interpret=interpret),
+        mesh=mesh, axis_names={MODEL_AXIS},
+        in_specs=(P(None, MODEL_AXIS, None),        # q [B, Hq, D]
+                  P(None, None, MODEL_AXIS, None),  # kv [pages, ps, 2Hkv, D]
+                  P(), P(), P()),                   # lo, hi, page_indices
+        out_specs=P(None, MODEL_AXIS, None),
+        check_vma=False)
+    return f(q, kv_pages_l, lo, hi, page_indices)
+
+
+def _can_shard_decode(q, kv_pages_l) -> bool:
+    from vllm_neuron_tpu.parallel.mesh import MODEL_AXIS
+
+    mesh = _ATTENTION_MESH
+    if mesh is None:
+        return True  # single device: plain kernel call
+    tp = mesh.shape[MODEL_AXIS]
+    if tp == 1:
+        return True
+    Hq = q.shape[1]
+    Hkv = kv_pages_l.shape[2] // 2
+    return Hq % tp == 0 and Hkv % tp == 0
+
+
+@functools.cache
 def default_backend() -> str:
     try:
         platform = jax.devices()[0].platform
@@ -418,14 +483,19 @@ def ragged_attention(q: jax.Array, kv_pages_l: jax.Array, meta: RaggedMeta,
         # scales decode takes the dense path (dequant fuses into its
         # gather) until the kernel learns to DMA the scales alongside.
         if (backend == "pallas" and _use_pallas_decode()
-                and not isinstance(kv_pages_l, FP8KVCache)):
-            from vllm_neuron_tpu.ops.decode_attention import (
-                decode_paged_attention, visible_range)
+                and not isinstance(kv_pages_l, FP8KVCache)
+                and _can_shard_decode(q, kv_pages_l)):
+            from vllm_neuron_tpu.ops.decode_attention import visible_range
             lo, hi = visible_range(meta.kv_lens, sliding_window, chunk_size)
-            out = decode_paged_attention(
-                q, kv_pages_l, lo, hi, meta.page_indices,
-                num_kv_heads=kv_pages_l.shape[2] // 2,
-                sm_scale=sm_scale)
+            num_kv_heads = kv_pages_l.shape[2] // 2
+            if _ATTENTION_MESH is not None:
+                out = _pallas_decode_sharded(
+                    q, kv_pages_l, lo, hi, meta.page_indices,
+                    num_kv_heads=num_kv_heads, sm_scale=sm_scale)
+            else:
+                out = _decode_kernel_fn()(
+                    q, kv_pages_l, lo, hi, meta.page_indices,
+                    num_kv_heads=num_kv_heads, sm_scale=sm_scale)
         else:
             out = _decode_attention_dense(q, kv_pages_l, meta, sm_scale,
                                           sliding_window, chunk_size)
@@ -435,12 +505,15 @@ def ragged_attention(q: jax.Array, kv_pages_l: jax.Array, meta: RaggedMeta,
     elif kind == "spec_verify":
         out = _spec_verify_attention_dense(q, kv_pages_l, meta, sm_scale,
                                            sliding_window, chunk_size)
-    elif backend == "pallas" and not isinstance(kv_pages_l, FP8KVCache):
+    elif (backend == "pallas" and not isinstance(kv_pages_l, FP8KVCache)
+          and _ATTENTION_MESH is None):
         out = _ragged_attention_pallas(q, kv_pages_l, meta, sm_scale,
                                        sliding_window)
     elif backend in ("jnp", "pallas"):
-        # "pallas" lands here only for FP8-with-scales mixed steps: the
-        # stock Mosaic kernel cannot read the scales tensor.
+        # "pallas" lands here for FP8-with-scales mixed steps (the stock
+        # Mosaic kernel cannot read the scales tensor) and for mixed steps
+        # under a mesh (the stock kernel is not shard_map-wrapped; runtime
+        # kinds are all dense/in-repo paths, so this is cold).
         out = _ragged_attention_jnp(q, kv_pages_l, meta, sm_scale,
                                     sliding_window)
     else:

@@ -116,9 +116,13 @@ class ModelExecutor:
                    resolve_dtype(config.cache.kv_cache_dtype)),
             max_model_len=config.model.max_model_len,
         )
-        # The Mosaic kernel path needs shard_map to partition over a mesh;
-        # under GSPMD (mesh set) use the XLA fallback for now.
-        self.attn_backend = "jnp" if mesh is not None else default_backend()
+        # Pallas custom calls cannot be auto-partitioned by GSPMD; the ops
+        # layer shard_maps the in-repo decode kernel over the registered
+        # mesh (heads split over "model"), and falls back to the dense XLA
+        # paths where the head layout doesn't split.
+        from vllm_neuron_tpu.ops.ragged_attention import set_attention_mesh
+        set_attention_mesh(mesh)
+        self.attn_backend = default_backend()
         if config.quant.w8a8_min_rows:
             # The ops layer reads the threshold once per process (env-
             # transported so ops stay config-free); engine init pins it.
@@ -291,6 +295,12 @@ class ModelExecutor:
         fn = self._fns.get(key)
         if fn is None:
             logger.info("compiling program %s", key)
+            # Re-register this executor's mesh: the ops layer reads it at
+            # trace time and another engine in the same process may have
+            # registered its own since our __init__.
+            from vllm_neuron_tpu.ops.ragged_attention import (
+                set_attention_mesh)
+            set_attention_mesh(self.mesh)
             fn = builder()
             self._fns[key] = fn
         return fn
