@@ -72,6 +72,26 @@ class KVCacheManager:
             blocks.append(block)
         return blocks, len(blocks) * self.block_size
 
+    def get_sibling_blocks(self, request: Request,
+                           parent: Request) -> tuple[list[KVBlock], int]:
+        """Shareable full prompt blocks from an n>1 sibling parent. Siblings
+        carry the identical prompt, so the parent's full prompt blocks hold
+        byte-identical KV — reuse them directly (ref-counted), no hash chain
+        needed, prefix caching on or off. Same >=1-token-computed cap as
+        get_computed_blocks."""
+        if request.num_prompt_tokens < 2:
+            return [], 0
+        pblocks = self.req_blocks.get(parent.req_id)
+        if not pblocks:
+            return [], 0
+        max_reusable = (request.num_prompt_tokens - 1) // self.block_size
+        avail = min(max_reusable,
+                    parent.num_computed_tokens // self.block_size,
+                    len(pblocks))
+        if avail <= 0:
+            return [], 0
+        return pblocks[:avail], avail * self.block_size
+
     def allocate_slots(
         self,
         request: Request,

@@ -114,6 +114,9 @@ class Scheduler:
     def _finish(self, request: Request) -> None:
         self.kv_manager.free(request)
         self._finished_to_report.add(request.req_id)
+        # Drop the engine-lifetime reference (a long-running server would
+        # otherwise retain every Request object ever served).
+        self.requests.pop(request.req_id, None)
 
     def has_unfinished_requests(self) -> bool:
         return bool(self.waiting or self.running)
@@ -162,6 +165,24 @@ class Scheduler:
             computed_blocks, num_cached = \
                 self.kv_manager.get_computed_blocks(request) \
                 if request.num_computed_tokens == 0 else ([], 0)
+            # n>1 sibling sharing: adopt the parent's full prompt blocks
+            # (byte-identical KV, same prompt) when that beats the prefix
+            # cache; if the parent hasn't prefilled yet, defer the child a
+            # step rather than re-prefill the whole prompt (reference gap:
+            # vLLM fans n out as independent requests too — this exceeds it).
+            parent = (self.requests.get(request.parent_req_id)
+                      if request.parent_req_id else None)
+            if parent is not None and request.num_computed_tokens == 0:
+                sib_blocks, sib_tokens = \
+                    self.kv_manager.get_sibling_blocks(request, parent)
+                if sib_tokens > num_cached:
+                    computed_blocks, num_cached = sib_blocks, sib_tokens
+                elif (num_cached == 0 and not parent.is_finished
+                      and parent.num_computed_tokens
+                      < parent.num_prompt_tokens
+                      and request.num_prompt_tokens - 1
+                      >= self.kv_manager.block_size):
+                    break
             # num_tokens (not num_prompt_tokens): a resumed preempted request
             # re-encodes its generated tokens too.
             num_new_tokens = request.num_tokens - num_cached
@@ -201,7 +222,12 @@ class Scheduler:
         if self.config.speculative.enabled:
             # One fused speculation round consumes up to 1 + K positions.
             window = 1 + self.config.speculative.num_speculative_tokens
+        scheduled_ids: set[str] = set()
         for request in list(self.running):
+            if request.status != RequestStatus.RUNNING:
+                # Preempted by an earlier iteration of this pass (its blocks
+                # are already freed); it sits in waiting for re-admission.
+                continue
             if request.spec_token_ids:
                 num_new = 1 + len(request.spec_token_ids)
             else:
@@ -221,7 +247,11 @@ class Scheduler:
                                    request.num_computed_tokens))
             new_block_ids = self.kv_manager.allocate_slots(request, num_alloc)
             while new_block_ids is None:
-                if not self._try_preempt(exclude=request):
+                # Never preempt a request already scheduled into THIS step:
+                # its rows would write KV into blocks the pool may hand to a
+                # later row of the same program (cross-request corruption).
+                if not self._try_preempt(exclude=request,
+                                         skip=scheduled_ids):
                     # Cannot free anything else: preempt this request itself.
                     self._preempt(request)
                     skipped.append(request)
@@ -230,6 +260,7 @@ class Scheduler:
                     request, num_alloc)
             if request in skipped:
                 continue
+            scheduled_ids.add(request.req_id)
             cached.req_ids.append(request.req_id)
             cached.new_block_ids.append(new_block_ids)
             cached.num_computed_tokens.append(request.num_computed_tokens)
@@ -238,11 +269,14 @@ class Scheduler:
                 out.scheduled_spec_decode_tokens[request.req_id] = \
                     list(request.spec_token_ids)
 
-    def _try_preempt(self, exclude: Request) -> bool:
+    def _try_preempt(self, exclude: Request,
+                     skip: frozenset | set = frozenset()) -> bool:
         """Preempt the lowest-priority (most recently admitted) running
-        request to reclaim blocks."""
+        request to reclaim blocks. ``skip`` holds req_ids already scheduled
+        into the step being built — their block tables are committed to the
+        dispatch and must stay live."""
         for request in reversed(self.running):
-            if request is exclude:
+            if request is exclude or request.req_id in skip:
                 continue
             self._preempt(request)
             return True
@@ -336,6 +370,10 @@ class Scheduler:
             request = self.requests.get(req_id)
             if request is None or request.is_finished:
                 continue  # aborted mid-step
+            if request.status == RequestStatus.PREEMPTED:
+                # Preempted after this step was scheduled: its bookkeeping
+                # was reset for re-admission; discard the step's results.
+                continue
             idx = runner_output.req_id_to_index.get(req_id)
             new_token_ids = (runner_output.sampled_token_ids[idx]
                              if idx is not None else [])

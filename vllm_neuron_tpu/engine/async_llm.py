@@ -58,11 +58,12 @@ class AsyncEngine:
             with self._lock:
                 new, self._new_requests = self._new_requests, []
                 aborts, self._aborts = self._aborts, []
-            for req_id, token_ids, sp, prompt, lora in new:
+            for req_id, token_ids, sp, prompt, lora, parent in new:
                 try:
                     self.engine.add_request(req_id, token_ids, sp,
                                             prompt=prompt,
-                                            lora_request=lora)
+                                            lora_request=lora,
+                                            parent_req_id=parent)
                 except Exception as e:  # invalid request (too long, ...)
                     self._publish_error(req_id, e)
             for req_id in aborts:
@@ -99,16 +100,19 @@ class AsyncEngine:
         request_id: Optional[str] = None,
         prompt: Optional[str] = None,
         lora_request=None,
+        parent_req_id: Optional[str] = None,
     ) -> AsyncIterator[RequestOutput]:
         """Submit a request; yields incremental RequestOutputs until
-        finished. Cancelling the iterator aborts the request."""
+        finished. Cancelling the iterator aborts the request.
+        ``parent_req_id`` marks an n>1 sibling whose prompt blocks the
+        scheduler shares instead of re-prefilling."""
         req_id = request_id or self.next_request_id()
         queue: asyncio.Queue = asyncio.Queue()
         self._queues[req_id] = queue
         with self._lock:
             self._new_requests.append(
                 (req_id, prompt_token_ids, sampling_params, prompt,
-                 lora_request))
+                 lora_request, parent_req_id))
         self._wakeup.set()
         try:
             while True:

@@ -161,11 +161,13 @@ class EngineCore:
     def add_request(self, req_id: str, prompt_token_ids: list[int],
                     sampling_params: SamplingParams,
                     prompt: Optional[str] = None, mm_inputs=None,
-                    lora_request=None) -> None:
+                    lora_request=None,
+                    parent_req_id: Optional[str] = None) -> None:
         request = Request(req_id, prompt_token_ids, sampling_params,
                           eos_token_id=self._eos_token_id,
                           mm_inputs=mm_inputs,
-                          lora_int_id=self.config.lora.resolve(lora_request))
+                          lora_int_id=self.config.lora.resolve(lora_request),
+                          parent_req_id=parent_req_id)
         self.metrics.requests_started += 1
         detok = None
         if self.tokenizer is not None and sampling_params.detokenize:

@@ -193,6 +193,7 @@ class LLM:
             lora = (prompt.get("lora", lora_request)
                     if isinstance(prompt, dict) else lora_request)
             token_ids, text, mm_inputs = self._to_token_ids(prompt)
+            group_parent = None
             for child in range(sp.n):
                 req_id = f"req-{next(self._req_counter)}"
                 parent_of[req_id] = (i, child)
@@ -203,7 +204,10 @@ class LLM:
                     child_sp.__post_init__()
                 self.engine.add_request(req_id, token_ids, child_sp,
                                         prompt=text, mm_inputs=mm_inputs,
-                                        lora_request=lora)
+                                        lora_request=lora,
+                                        parent_req_id=group_parent)
+                if group_parent is None:
+                    group_parent = req_id
 
         latest: dict[str, RequestOutput] = {}
         while self.engine.has_unfinished_requests():

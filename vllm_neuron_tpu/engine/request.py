@@ -43,8 +43,13 @@ class Request:
         arrival_time: Optional[float] = None,
         mm_inputs=None,
         lora_int_id: int = 0,
+        parent_req_id: Optional[str] = None,
     ):
         self.req_id = req_id
+        # n>1 sibling group: children carry the first sibling's id and the
+        # scheduler shares the parent's full prompt blocks instead of
+        # re-prefilling (core/kv_cache_manager.get_sibling_blocks).
+        self.parent_req_id = parent_req_id
         self.prompt_token_ids = list(prompt_token_ids)
         self.sampling_params = sampling_params
         self.eos_token_id = eos_token_id

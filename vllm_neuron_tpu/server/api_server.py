@@ -140,16 +140,23 @@ class OpenAIServer:
         tasks = []
         for prompt in prompts:
             token_ids, text = self._tokenize_prompt(prompt)
+            # n>1 siblings share the first sibling's prompt blocks in the
+            # scheduler (no re-prefill); pre-assign ids to link them.
+            group_parent = None
             for child in range(sp.n):
                 child_sp = sp
                 if sp.n > 1 and sp.seed is not None:
                     import dataclasses
                     child_sp = dataclasses.replace(sp, seed=sp.seed + child)
                     child_sp.__post_init__()
-                tasks.append((token_ids, child_sp))
+                req_id = self.engine.next_request_id()
+                tasks.append((req_id, token_ids, child_sp, group_parent))
+                if group_parent is None:
+                    group_parent = req_id
         results = await asyncio.gather(*[
-            self._collect(token_ids, child_sp, lora)
-            for token_ids, child_sp in tasks
+            self._collect(token_ids, child_sp, lora, request_id=req_id,
+                          parent_req_id=parent)
+            for req_id, token_ids, child_sp, parent in tasks
         ])
         for i, out in enumerate(results):
             comp = out.outputs[0]
@@ -172,10 +179,12 @@ class OpenAIServer:
         })
 
     async def _collect(self, token_ids: list[int], sp: SamplingParams,
-                       lora=None):
+                       lora=None, request_id=None, parent_req_id=None):
         last = None
         async for out in self.engine.generate(token_ids, sp,
-                                              lora_request=lora):
+                                              lora_request=lora,
+                                              request_id=request_id,
+                                              parent_req_id=parent_req_id):
             last = out
         return last
 
@@ -367,6 +376,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="LoRA adapters to serve, as name=path pairs "
                         "(requests select one via the `model` field)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--device", default="auto", choices=["auto", "cpu"],
+                   help="'cpu' pins jax to the host backend (tests/CI; "
+                   "the JAX_PLATFORMS env var is unreliable when a TPU "
+                   "plugin pins the platform at import)")
     # Multi-host (pod slice) bootstrap: run the same command on every host;
     # the leader serves HTTP, followers enter the lockstep loop.
     p.add_argument("--num-hosts", type=int, default=1)
@@ -377,6 +390,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 async def run_server(args) -> None:
+    if getattr(args, "device", "auto") == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     if args.num_hosts > 1:
         from vllm_neuron_tpu.parallel.mesh import initialize_distributed
         initialize_distributed(coordinator=args.coordinator,
