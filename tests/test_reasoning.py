@@ -1,0 +1,67 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Reasoning-parser unit tests (--reasoning-parser capability; SURVEY.md
+§2.2 V2 — the reference inherits this from vLLM's OpenAI frontend)."""
+import pytest
+
+from vllm_neuron_tpu.server.reasoning import (REASONING_PARSERS,
+                                              ThinkTagParser)
+
+P = ThinkTagParser("think")
+
+
+def test_registry():
+    assert "deepseek_r1" in REASONING_PARSERS
+    assert "qwen3" in REASONING_PARSERS
+
+
+@pytest.mark.parametrize("text,reasoning,content", [
+    ("<think>step 1</think>answer", "step 1", "answer"),
+    ("<think>a\nb</think>\nanswer", "a\nb", "answer"),
+    # R1 templates open the block in the prompt: no open tag in output.
+    ("thoughts</think>final", "thoughts", "final"),
+    ("plain answer", None, "plain answer"),
+    # Unclosed block (max_tokens cut): all reasoning.
+    ("<think>never stops", "never stops", ""),
+])
+def test_parse(text, reasoning, content):
+    r, c = P.parse(text)
+    assert r == reasoning
+    assert c == content
+
+
+def _drive(deltas):
+    s = P.stream()
+    r_all, c_all = "", ""
+    for d in deltas:
+        r, c = s.feed(d)
+        r_all += r
+        c_all += c
+    r_all += s.flush()
+    return r_all, c_all
+
+
+def test_stream_basic():
+    assert _drive(["<think>ab", "c</think>xy", "z"]) == ("abc", "xyz")
+
+
+def test_stream_close_tag_split_across_deltas():
+    # "</think>" arrives one char at a time — holdback must not leak it.
+    deltas = ["<think>r"] + list("</think>") + ["ans"]
+    assert _drive(deltas) == ("r", "ans")
+
+
+def test_stream_angle_bracket_in_reasoning():
+    # A "<" in reasoning that never becomes the close tag must be emitted.
+    assert _drive(["<think>a<b", "c</think>ok"]) == ("a<bc", "ok")
+
+
+def test_stream_no_open_tag():
+    assert _drive(["alpha", "</think>", "beta"]) == ("alpha", "beta")
+
+
+def test_stream_unclosed_flush():
+    assert _drive(["<think>forever", " more"]) == ("forever more", "")
+
+
+def test_stream_everything_in_one_delta():
+    assert _drive(["<think>r</think>c"]) == ("r", "c")

@@ -35,7 +35,8 @@ class OpenAIServer:
                  chat_template: Optional[str] = None,
                  enable_auto_tools: bool = False,
                  tool_parser: Optional[str] = None,
-                 lora_modules: Optional[dict] = None):
+                 lora_modules: Optional[dict] = None,
+                 reasoning_parser: Optional[str] = None):
         self.engine = engine
         self.model_name = served_model_name
         # Registered LoRA adapters are served as additional model names
@@ -47,6 +48,13 @@ class OpenAIServer:
         self.enable_auto_tools = enable_auto_tools
         self.tool_parser = TOOL_PARSERS.get(tool_parser) if tool_parser \
             else None
+        from vllm_neuron_tpu.server.reasoning import REASONING_PARSERS
+        self.reasoning_parser = (REASONING_PARSERS.get(reasoning_parser)
+                                 if reasoning_parser else None)
+        if reasoning_parser and self.reasoning_parser is None:
+            raise ValueError(
+                f"unknown reasoning parser {reasoning_parser!r}; "
+                f"available: {sorted(REASONING_PARSERS)}")
         self.app = HTTPServer()
         self._register()
 
@@ -246,10 +254,16 @@ class OpenAIServer:
                 self._stream_chat(chat_id, token_ids, sp, lora))
         out = await self._collect(token_ids, sp, lora)
         comp = out.outputs[0]
-        tool_calls, content = None, comp.text
+        reasoning = None
+        raw = comp.text
+        if self.reasoning_parser is not None:
+            reasoning, raw = self.reasoning_parser.parse(raw)
+        tool_calls, content = None, raw
         if use_tools and self.tool_parser is not None:
-            tool_calls, content = self.tool_parser(comp.text)
+            tool_calls, content = self.tool_parser(raw)
         message: dict = {"role": "assistant", "content": content or None}
+        if reasoning:
+            message["reasoning_content"] = reasoning
         finish_reason = comp.finish_reason
         if tool_calls:
             message["tool_calls"] = [{
@@ -291,14 +305,26 @@ class OpenAIServer:
 
         yield chunk({"role": "assistant", "content": ""})
         sent_len = 0
+        splitter = (self.reasoning_parser.stream()
+                    if self.reasoning_parser is not None else None)
         async for out in self.engine.generate(token_ids, sp,
                                               lora_request=lora):
             comp = out.outputs[0]
             delta = comp.text[sent_len:]
             sent_len = len(comp.text)
-            if delta:
+            if delta and splitter is not None:
+                r_delta, c_delta = splitter.feed(delta)
+                if r_delta:
+                    yield chunk({"reasoning_content": r_delta})
+                if c_delta:
+                    yield chunk({"content": c_delta})
+            elif delta:
                 yield chunk({"content": delta})
             if out.finished:
+                if splitter is not None:
+                    tail = splitter.flush()
+                    if tail:
+                        yield chunk({"reasoning_content": tail})
                 yield chunk({}, finish=comp.finish_reason)
 
 
@@ -368,6 +394,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--speculative-config", type=json.loads, default=None)
     p.add_argument("--override-tpu-config", type=json.loads, default=None)
     p.add_argument("--enable-auto-tool-choice", action="store_true")
+    p.add_argument("--reasoning-parser", default=None,
+                   help="split <think> blocks into reasoning_content "
+                   "(deepseek_r1, qwen3)")
     p.add_argument("--tool-call-parser", default=None,
                    choices=sorted(TOOL_PARSERS))
     p.add_argument("--chat-template", default=None,
@@ -458,6 +487,7 @@ async def run_server(args) -> None:
         enable_auto_tools=args.enable_auto_tool_choice,
         tool_parser=args.tool_call_parser,
         lora_modules=lora_adapters,
+        reasoning_parser=args.reasoning_parser,
     )
     try:
         http = await server.app.serve(args.host, args.port)
