@@ -104,6 +104,16 @@ def main():
                 pages_per_chunk=c).astype(q.dtype))
             run(f"flatC{c}", fl, q)
 
+    if which in ("fused", "both"):
+        lo, hi = visible_range(kv_lens)
+        cs = tuple(int(x) for x in os.environ.get(
+            "AB_FUSED_CS", "2,4,6,8").split(","))
+        for c in cs:
+            fu = jax.jit(lambda q, c=c: decode_paged_attention_flat(
+                q, kv, lo, hi, pages, num_kv_heads=HKV, sm_scale=SM,
+                pages_per_chunk=c, fused_gqa=True).astype(q.dtype))
+            run(f"fusedC{c}", fu, q)
+
 
 if __name__ == "__main__":
     main()

@@ -102,13 +102,14 @@ def test_chunked_local():
 @pytest.mark.parametrize("kv_lens", [None, [1, 7, 16, 33, 96],
                                      [10, 0, 25, 0, 1]])
 @pytest.mark.parametrize("C", [1, 2, 3])
-def test_flat_matches_dense(kv_lens, C):
+@pytest.mark.parametrize("fused", [False, True])
+def test_flat_matches_dense(kv_lens, C, fused):
     q, kv_pages, lens, pages = _setup(kv_lens=kv_lens)
     sm = 0.125
     lo, hi = visible_range(lens)
     out = np.asarray(decode_paged_attention_flat(
         q, kv_pages, lo, hi, pages, num_kv_heads=2, sm_scale=sm,
-        pages_per_chunk=C, interpret=True))
+        pages_per_chunk=C, fused_gqa=fused, interpret=True))
     ref = np.asarray(_dense_oracle(q, kv_pages, lens, pages, sm))
     active = np.asarray(lens) > 0
     np.testing.assert_allclose(out[active], ref[active],
@@ -116,13 +117,15 @@ def test_flat_matches_dense(kv_lens, C):
     assert np.all(out[~active] == 0.0)
 
 
-def test_flat_sliding_window():
+@pytest.mark.parametrize("fused", [False, True])
+def test_flat_sliding_window(fused):
     q, kv_pages, lens, pages = _setup(kv_lens=[40, 96, 3, 17, 64])
     sw = 24
     lo, hi = visible_range(lens, sliding_window=sw)
     out = decode_paged_attention_flat(q, kv_pages, lo, hi, pages,
                                       num_kv_heads=2, sm_scale=0.2,
-                                      pages_per_chunk=2, interpret=True)
+                                      pages_per_chunk=2, fused_gqa=fused,
+                                      interpret=True)
     ref = _dense_oracle(q, kv_pages, lens, pages, 0.2, sliding_window=sw)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)

@@ -115,6 +115,33 @@ def test_completion_roundtrip(server):
     assert out["choices"][0]["finish_reason"] == "length"
 
 
+def test_greedy_matches_hf_over_http(server, tiny_llama_dir):
+    """HF-golden check over the real HTTP boundary (reference:
+    online_server_runner.py:95-146 _run_hf_fulltext_prefix_check)."""
+    from tests.conftest import hf_greedy
+
+    prompt = [5, 77, 301, 44, 12]
+    ref = hf_greedy(tiny_llama_dir, prompt, 8)
+    # Token-level check: ask for token ids via logprobs-free completion and
+    # compare through a second HF-side decode-free path — the server keeps
+    # token ids out of the completions schema, so use echo-free usage +
+    # determinism across two calls plus the in-process oracle run below.
+    out1 = server.post("/v1/completions", {
+        "model": "m", "prompt": prompt, "max_tokens": 8,
+        "temperature": 0.0, "ignore_eos": True, "logprobs": 1,
+    })
+    out2 = server.post("/v1/completions", {
+        "model": "m", "prompt": prompt, "max_tokens": 8,
+        "temperature": 0.0, "ignore_eos": True, "logprobs": 1,
+    })
+    toks1 = out1["choices"][0]["logprobs"]["tokens"]
+    toks2 = out2["choices"][0]["logprobs"]["tokens"]
+    assert toks1 == toks2, "greedy is not deterministic over HTTP"
+    # Without a tokenizer the server reports raw token ids as strings.
+    got = [int(t) for t in toks1]
+    assert got[:len(ref)] == ref, (got, ref)
+
+
 def test_concurrent_load(server):
     """More in-flight requests than max_num_seqs: queueing + continuous
     batching across the HTTP boundary."""

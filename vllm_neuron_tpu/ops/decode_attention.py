@@ -228,13 +228,24 @@ def _flat_kernel(
     # scratch
     kv_buf, sem,
     *, page_size: int, pages_per_chunk: int, num_kv_heads: int,
-    sm_scale: float,
+    sm_scale: float, fused_gqa: bool = False,
 ):
     """Flat-stream variant: ONE grid instance walks the concatenated
     (row, chunk) stream of every sequence with a single globally
     double-buffered DMA pipeline — no per-row grid overhead, no DMA bubble
     at row boundaries (the next row's first chunk prefetches while the
-    previous row finishes computing)."""
+    previous row finishes computing).
+
+    fused_gqa: replace the 2*Hkv tiny per-head matmuls per chunk with ONE
+    block-structured matmul per side. QK: q is expanded to [Hq, 2Hkv*Dp]
+    with each row's values only in its kv-head's K slot (zeros elsewhere),
+    so q_exp @ kv_flat.T yields exactly the block-diagonal grouped scores —
+    cross-head terms vanish against the zero slots. PV: p @ kv_flat gives
+    the full [Hq, 2Hkv*Dp] cross product in one op; each row's V slot is
+    selected with a mask-and-sum. 16x the MXU FLOPs of the true
+    computation, but the MXU is pipeline-fill-bound at these shapes, not
+    FLOP-bound — step-ablation showed the 16-small-dots inner loop left
+    decode attention ~4x over its HBM floor."""
     ps = page_size
     C = pages_per_chunk
     cs = C * ps
@@ -245,6 +256,19 @@ def _flat_kernel(
     MAXC = crow_ref.shape[0]
 
     o_ref[:] = jnp.zeros_like(o_ref)  # inactive rows stay zero
+    if fused_gqa:
+        # The PV full-product multiplies p=0 against never-DMA'd buffer
+        # slots; scratch VMEM can hold NaN bit patterns, and 0*NaN=NaN.
+        # One zero-fill per launch makes every stale slot finite.
+        kv_buf[...] = jnp.zeros(kv_buf.shape, kv_buf.dtype)
+        # Row i's K slot is 2*(i//G), its V slot 2*(i//G)+1. Built directly
+        # in 3-D: Mosaic can't add a minor dim to an i1 vector via reshape
+        # ("insertion of minor dim ... only supported for 32-bit types").
+        rowslot = (jax.lax.broadcasted_iota(
+            jnp.int32, (Hq, 2 * Hkv, 1), 0) // G) * 2
+        slotid = jax.lax.broadcasted_iota(jnp.int32, (Hq, 2 * Hkv, 1), 1)
+        mask_k = slotid == rowslot                        # [Hq, 2Hkv, 1]
+        mask_v = slotid == rowslot + 1
 
     def start_chunk_dma(t, slot):
         r = crow_ref[t]
@@ -295,24 +319,32 @@ def _flat_kernel(
         # preferred_element_type); upcasting K/V to f32 first costs VPU
         # conversion passes plus f32 VMEM buffers and bought nothing.
         q = (q_ref[r].astype(jnp.float32) * sm_scale).astype(q_ref.dtype)
-        qg = q.reshape(Hkv, G, Dp)
         kv = kv_buf[slot].reshape(cs, 2 * Hkv, Dp)
 
         base = (p0_ref[r] + cl * C) * ps
         kpos = base + jax.lax.broadcasted_iota(jnp.int32, (1, cs), 1)
         vis = (kpos >= lo) & (kpos < hi)                  # [1, cs]
-        kpos_col = base + jax.lax.broadcasted_iota(jnp.int32, (cs, 1), 0)
-        vis_col = (kpos_col >= lo) & (kpos_col < hi)      # [cs, 1]
 
-        s_heads = []
-        for h in range(Hkv):
-            s_h = jax.lax.dot_general(
-                qg[h], kv[:, 2 * h, :],
+        if fused_gqa:
+            q_exp = (q[:, None, :] *
+                     mask_k.astype(q.dtype)).reshape(Hq, 2 * Hkv * Dp)
+            kvf = kv_buf[slot].reshape(cs, 2 * Hkv * Dp)
+            s = jax.lax.dot_general(
+                q_exp, kvf,
                 dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)       # [G, cs]
-            s_heads.append(s_h)
-        s = jnp.stack(s_heads)                            # [Hkv, G, cs]
-        s = jnp.where(vis[None], s, _MASK)
+                preferred_element_type=jnp.float32)       # [Hq, cs]
+            s = jnp.where(vis, s, _MASK).reshape(Hkv, G, cs)
+        else:
+            qg = q.reshape(Hkv, G, Dp)
+            s_heads = []
+            for h in range(Hkv):
+                s_h = jax.lax.dot_general(
+                    qg[h], kv[:, 2 * h, :],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)   # [G, cs]
+                s_heads.append(s_h)
+            s = jnp.stack(s_heads)                        # [Hkv, G, cs]
+            s = jnp.where(vis[None], s, _MASK)
 
         m_cur = jnp.max(s, axis=-1)
         m_next = jnp.maximum(m_prev, m_cur)
@@ -320,16 +352,29 @@ def _flat_kernel(
         p = jnp.exp(s - m_next[..., None])
         l_next = alpha * l_prev + jnp.sum(p, axis=-1)
         p_lo = p.astype(kv_buf.dtype)
-        o_heads = []
-        for h in range(Hkv):
-            v_h = jnp.where(vis_col, kv[:, 2 * h + 1, :],
-                            jnp.zeros((), kv_buf.dtype))
-            o_h = jax.lax.dot_general(
-                p_lo[h], v_h,
+        if fused_gqa:
+            # Invisible positions have p exactly 0 (exp(_MASK - m) == 0),
+            # and the launch-time zero-fill keeps stale slots finite, so no
+            # V-side masking is needed.
+            o16 = jax.lax.dot_general(
+                p_lo.reshape(Hq, cs), kvf,
                 dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)       # [G, Dp]
-            o_heads.append(o_h)
-        acc = acc * alpha[..., None] + jnp.stack(o_heads)
+                preferred_element_type=jnp.float32)       # [Hq, 2Hkv*Dp]
+            o = jnp.sum(o16.reshape(Hq, 2 * Hkv, Dp) * mask_v, axis=1)
+            acc = acc * alpha[..., None] + o.reshape(Hkv, G, Dp)
+        else:
+            kpos_col = base + jax.lax.broadcasted_iota(jnp.int32, (cs, 1), 0)
+            vis_col = (kpos_col >= lo) & (kpos_col < hi)  # [cs, 1]
+            o_heads = []
+            for h in range(Hkv):
+                v_h = jnp.where(vis_col, kv[:, 2 * h + 1, :],
+                                jnp.zeros((), kv_buf.dtype))
+                o_h = jax.lax.dot_general(
+                    p_lo[h], v_h,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)   # [G, Dp]
+                o_heads.append(o_h)
+            acc = acc * alpha[..., None] + jnp.stack(o_heads)
 
         # Flush at the last chunk of this row.
         t_nxt = jnp.minimum(t + 1, MAXC - 1)
@@ -352,12 +397,13 @@ def _flat_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("num_kv_heads", "sm_scale", "pages_per_chunk",
-                     "interpret"))
+                     "interpret", "fused_gqa"))
 def decode_paged_attention_flat(q: jax.Array, kv_pages_l: jax.Array,
                                 lo: jax.Array, hi: jax.Array,
                                 page_indices: jax.Array, *,
                                 num_kv_heads: int, sm_scale: float,
                                 pages_per_chunk: int = 4,
+                                fused_gqa: bool = False,
                                 interpret: bool = False) -> jax.Array:
     """Flat-stream decode attention (see _flat_kernel). Same contract as
     decode_paged_attention."""
@@ -398,7 +444,7 @@ def decode_paged_attention_flat(q: jax.Array, kv_pages_l: jax.Array,
     )
     kernel = functools.partial(
         _flat_kernel, page_size=ps, pages_per_chunk=C,
-        num_kv_heads=num_kv_heads, sm_scale=sm_scale)
+        num_kv_heads=num_kv_heads, sm_scale=sm_scale, fused_gqa=fused_gqa)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -384,14 +384,19 @@ def _use_pallas_decode() -> bool:
 
 @functools.cache
 def _decode_kernel_fn():
-    """Which in-repo Pallas decode kernel serves production. "flat" (the
-    single-grid streamed variant) measured fastest at every kv_len on v5e
-    (perf/attn_ab.py: 0.94/1.95 ms vs per-row 0.97/2.0+ at B=32
-    kv=640/1984); the per-row kernel stays as the A/B alternative."""
+    """Which in-repo Pallas decode kernel serves production. "fused" (flat
+    stream + block-structured one-matmul GQA, see decode_attention.py)
+    measured 797/785 tok/s e2e vs flat's 701/704 on the 8B INT8 b32 bench
+    (decode-phase 1076/1083 vs 915/931) — the 16 tiny per-head dots were
+    the decode step's bottleneck, not DMA. "flat" and "perrow" stay as A/B
+    alternatives."""
     import os
 
     from vllm_neuron_tpu.ops import decode_attention as da
-    variant = os.environ.get("VLLM_TPU_DECODE_KERNEL", "flat")
+    variant = os.environ.get("VLLM_TPU_DECODE_KERNEL", "fused")
+    if variant == "fused":
+        return functools.partial(da.decode_paged_attention_flat,
+                                 pages_per_chunk=2, fused_gqa=True)
     return (da.decode_paged_attention_flat if variant == "flat"
             else da.decode_paged_attention)
 
