@@ -162,7 +162,7 @@ def test_sharded_decode_matches_unsharded():
                                       pages_per_chunk=2, interpret=True)
     devs = np.asarray(jax.devices("cpu")[:2]).reshape(1, 1, 2)
     mesh = Mesh(devs, (DATA_AXIS, EXPERT_AXIS, MODEL_AXIS))
-    old = ra._ATTENTION_MESH
+    old = ra.get_attention_mesh()
     ra.set_attention_mesh(mesh)
     try:
         # Partial-manual shard_map (auto data/expert axes) requires a jit

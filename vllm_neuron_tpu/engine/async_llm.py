@@ -27,7 +27,8 @@ class AsyncEngine:
     def __init__(self, config: EngineConfig, tokenizer=None):
         self.config = config
         self.tokenizer = tokenizer
-        self.engine = EngineCore(config, tokenizer=tokenizer)
+        from vllm_neuron_tpu.engine.dp import make_engine
+        self.engine = make_engine(config, tokenizer=tokenizer)
         self._queues: dict[str, asyncio.Queue] = {}
         self._loop: Optional[asyncio.AbstractEventLoop] = None
         self._new_requests: list = []

@@ -121,7 +121,8 @@ class LLM:
             except Exception as e:
                 logger.warning(
                     "tokenizer unavailable (%s); text prompts disabled", e)
-        self.engine = EngineCore(self.config, tokenizer=self.tokenizer)
+        from vllm_neuron_tpu.engine.dp import make_engine
+        self.engine = make_engine(self.config, tokenizer=self.tokenizer)
         self._req_counter = itertools.count()
 
     # ------------------------------------------------------------------

@@ -25,6 +25,7 @@ Backends:
 from __future__ import annotations
 
 import functools
+import threading
 from dataclasses import dataclass
 from typing import Optional
 
@@ -403,13 +404,18 @@ def _decode_kernel_fn():
 
 # Mesh for partitioning the in-repo Pallas kernels (GSPMD cannot partition a
 # custom call; the executor registers its mesh at trace time and the decode
-# kernel runs under shard_map, heads split over the model axis).
-_ATTENTION_MESH = None
+# kernel runs under shard_map, heads split over the model axis). Thread-local:
+# data-parallel engine lanes step concurrently from different threads, each
+# with its own (sub-)mesh, and jit traces synchronously in the calling thread.
+_ATTENTION_MESH_TLS = threading.local()
 
 
 def set_attention_mesh(mesh) -> None:
-    global _ATTENTION_MESH
-    _ATTENTION_MESH = mesh
+    _ATTENTION_MESH_TLS.mesh = mesh
+
+
+def get_attention_mesh():
+    return getattr(_ATTENTION_MESH_TLS, "mesh", None)
 
 
 def _pallas_decode_sharded(q, kv_pages_l, lo, hi, page_indices, *,
@@ -423,7 +429,7 @@ def _pallas_decode_sharded(q, kv_pages_l, lo, hi, page_indices, *,
 
     from vllm_neuron_tpu.parallel.mesh import MODEL_AXIS
 
-    mesh = _ATTENTION_MESH
+    mesh = get_attention_mesh()
     tp = mesh.shape[MODEL_AXIS]
     f = jax.shard_map(
         functools.partial(_decode_kernel_fn(),
@@ -441,7 +447,7 @@ def _pallas_decode_sharded(q, kv_pages_l, lo, hi, page_indices, *,
 def _can_shard_decode(q, kv_pages_l) -> bool:
     from vllm_neuron_tpu.parallel.mesh import MODEL_AXIS
 
-    mesh = _ATTENTION_MESH
+    mesh = get_attention_mesh()
     if mesh is None:
         return True  # single device: plain kernel call
     tp = mesh.shape[MODEL_AXIS]
@@ -493,7 +499,7 @@ def ragged_attention(q: jax.Array, kv_pages_l: jax.Array, meta: RaggedMeta,
             from vllm_neuron_tpu.ops.decode_attention import visible_range
             lo, hi = visible_range(meta.kv_lens, sliding_window, chunk_size)
             num_kv_heads = kv_pages_l.shape[2] // 2
-            if _ATTENTION_MESH is not None:
+            if get_attention_mesh() is not None:
                 out = _pallas_decode_sharded(
                     q, kv_pages_l, lo, hi, meta.page_indices,
                     num_kv_heads=num_kv_heads, sm_scale=sm_scale)
@@ -511,7 +517,7 @@ def ragged_attention(q: jax.Array, kv_pages_l: jax.Array, meta: RaggedMeta,
         out = _spec_verify_attention_dense(q, kv_pages_l, meta, sm_scale,
                                            sliding_window, chunk_size)
     elif (backend == "pallas" and not isinstance(kv_pages_l, FP8KVCache)
-          and _ATTENTION_MESH is None):
+          and get_attention_mesh() is None):
         out = _ragged_attention_pallas(q, kv_pages_l, meta, sm_scale,
                                        sliding_window)
     elif backend in ("jnp", "pallas"):

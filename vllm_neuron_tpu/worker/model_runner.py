@@ -206,6 +206,11 @@ class ModelRunner:
                 pos % self.block_size).astype(np.int32)
 
     def execute_model(self, so: SchedulerOutput) -> ModelRunnerOutput:
+        # The ops layer reads the attention mesh from thread-local state at
+        # trace time; concurrent DP engine lanes step from different threads,
+        # so each lane re-registers its own mesh every step (cheap).
+        from vllm_neuron_tpu.ops.ragged_attention import set_attention_mesh
+        set_attention_mesh(self.mesh)
         self._update_states(so)
         if so.total_num_scheduled_tokens == 0:
             return ModelRunnerOutput()

@@ -37,7 +37,11 @@ class Worker:
 
     def init_device(self) -> None:
         from vllm_neuron_tpu.parallel.mesh import build_mesh
-        if self.config.parallel.world_size > 1:
+        if (self.config.parallel.world_size > 1
+                or self.config.parallel.devices is not None):
+            # An explicit device list (a DP engine lane's slice) needs a
+            # mesh even at world_size 1: NamedSharding over the 1-device
+            # mesh is what pins this lane's params/KV to ITS device.
             self.mesh = build_mesh(self.config.parallel)
         self.model_runner = ModelRunner(self.config, mesh=self.mesh)
 
