@@ -89,3 +89,32 @@ def test_spec_non_greedy_keeps_speculating(tiny_llama_dir, tiny_eagle_dir):
     assert len(out.outputs[0].token_ids) == 8
     fns = spec.engine.worker.model_runner.executor._fns
     assert any(k[0] == "spec_decode" for k in fns)
+
+
+def test_spec_with_prefix_caching_greedy_exact(tiny_llama_dir,
+                                               tiny_eagle_dir):
+    """Speculation composes with prefix caching: draft KV lives at the
+    target's block-table slots, so cache hits restore draft context too.
+    Requests sharing a long prefix must stay greedy-exact after a hit."""
+    shared = [7, 21, 93, 4, 55, 18, 200, 30, 31, 32, 33, 34, 61, 62, 63,
+              64, 65, 66, 90, 91]
+    prompts = [shared + [5], shared + [9, 10], shared + [120]]
+    sp = SamplingParams(temperature=0.0, max_tokens=12, ignore_eos=True)
+
+    llm = LLM(model=tiny_llama_dir, dtype="float32", max_model_len=128,
+              max_num_seqs=2, block_size=4, enable_prefix_caching=True,
+              skip_tokenizer_init=True,
+              speculative_config={"model": tiny_eagle_dir,
+                                  "num_speculative_tokens": 3,
+                                  "method": "eagle"})
+    assert llm.config.cache.enable_prefix_caching  # not force-disabled
+    # Serialize so the later prompts actually hit the earlier one's blocks.
+    for p in prompts:
+        out = llm.generate({"prompt_token_ids": p}, sp)[0]
+        ref = hf_greedy(tiny_llama_dir, p, 12)
+        got = list(out.outputs[0].token_ids)
+        assert got == ref[:len(got)], f"prompt {p}: {got} vs {ref}"
+    kvm = llm.engine.scheduler.kv_manager
+    assert kvm.block_pool.hits > 0, "no prefix-cache hit exercised"
+    fns = llm.engine.worker.model_runner.executor._fns
+    assert any(k[0] == "prefill_spec" for k in fns)

@@ -489,12 +489,12 @@ class EngineConfig:
             raise ValueError("LoRA serving is not supported together with "
                              "speculative decoding (the fused draft/verify "
                              "programs do not thread adapter ids)")
-        if self.speculative.enabled and self.cache.enable_prefix_caching:
-            # The draft needs target features for every prompt position; a
-            # cache hit skips their computation.
-            logger.warning("prefix caching disabled: Eagle speculation needs "
-                           "full-prompt features")
-            self.cache.enable_prefix_caching = False
+        # Speculation composes with prefix caching: draft KV shares the
+        # target's block table (draft position p uses target position p's
+        # slot), so cached blocks carry the draft KV written when they were
+        # first filled. Blocks whose original request bypassed speculation
+        # hold stale draft KV — that only lowers acceptance (verify is
+        # authoritative), never correctness.
 
     def config_hash(self) -> str:
         """Stable hash for the compiled-artifact cache key (reference

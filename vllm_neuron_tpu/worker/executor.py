@@ -468,11 +468,14 @@ class ModelExecutor:
         )
         # Draft stream is one position shorter; draft position i shares
         # target position i's slot (same block table, separate cache buffer).
+        # With a prefix-cache hit the window starts at nct = kv_len - num_new
+        # and the draft's context spans 0..kv_len-2: cached blocks already
+        # hold draft KV for positions < nct (written when first filled).
         dslots = np.asarray(slot_mapping).copy()
         dslots[max(num_new - 1, 0):] = -1
         meta_d = RaggedMeta(
             slot_mapping=jnp.asarray(dslots),
-            kv_lens=jnp.asarray([max(num_new - 1, 0)], jnp.int32),
+            kv_lens=jnp.asarray([max(kv_len - 1, 0)], jnp.int32),
             page_indices=meta.page_indices,
             cu_q_lens=jnp.asarray([0, max(num_new - 1, 0)], jnp.int32),
             num_seqs=jnp.asarray([1], jnp.int32),

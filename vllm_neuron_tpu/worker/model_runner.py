@@ -341,8 +341,10 @@ class ModelRunner:
             adapter_ids = np.zeros(N, np.int32)
             adapter_ids[:num_new] = state.lora_int_id
 
-        use_spec = (self.config.speculative.enabled and not host
-                    and nct == 0)
+        # nct > 0 here is a prefix-cache hit (chunked prefill is excluded
+        # with spec at config time): the cached blocks carry draft KV too,
+        # so the draft stream just starts at nct.
+        use_spec = self.config.speculative.enabled and not host
         if use_spec:
             dev_tokens = self.executor.run_prefill_spec(
                 token_ids, positions, slot_mapping, kv_len=end,
