@@ -161,3 +161,101 @@ def test_text_only_greedy_matches_hf(tiny_mllama_dir):
                        SamplingParams(temperature=0.0, max_tokens=8,
                                       ignore_eos=True))[0].outputs[0].token_ids
     assert list(got) == ref, f"{got} vs {ref}"
+
+
+def test_image_serving_greedy_matches_hf(tiny_mllama_dir):
+    """Image-conditioned Mllama through the FULL engine: vision tower at
+    prefill, per-row cross-KV cache, cross-attention in every decode step.
+    Mixed with a concurrent text-only request (row masking must hand text
+    rows the exact skip-layers result)."""
+    import torch
+    from transformers import AutoConfig, MllamaForConditionalGeneration
+
+    from vllm_neuron_tpu import LLM, SamplingParams
+
+    cfg = AutoConfig.from_pretrained(tiny_mllama_dir)
+    px, ar_ids, ar_mask = _image_inputs()
+    img_prompt = [cfg.image_token_index, 7, 8, 9, 10, 11, 12]
+    txt_prompt = [5, 6, 7, 8, 9]
+    S = len(img_prompt)
+
+    hf = MllamaForConditionalGeneration.from_pretrained(
+        tiny_mllama_dir, torch_dtype=torch.float32)
+    hf.eval()
+    with torch.no_grad():
+        img_ref = hf.generate(
+            input_ids=torch.tensor([img_prompt]),
+            attention_mask=torch.ones((1, S), dtype=torch.long),
+            pixel_values=torch.tensor(px),
+            aspect_ratio_ids=torch.tensor(ar_ids, dtype=torch.long),
+            aspect_ratio_mask=torch.tensor(ar_mask, dtype=torch.long),
+            cross_attention_mask=torch.ones((1, S, 1, 4), dtype=torch.long),
+            max_new_tokens=8, do_sample=False,
+            num_beams=1)[0, S:].tolist()
+        txt_ref = hf.generate(
+            input_ids=torch.tensor([txt_prompt]),
+            attention_mask=torch.ones((1, len(txt_prompt)),
+                                      dtype=torch.long),
+            max_new_tokens=8, do_sample=False, num_beams=1
+        )[0, len(txt_prompt):].tolist()
+
+    llm = LLM(model=tiny_mllama_dir, dtype="float32", max_model_len=64,
+              max_num_seqs=2, block_size=16, skip_tokenizer_init=True)
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    outs = llm.generate(
+        [{"prompt_token_ids": img_prompt,
+          "multi_modal_data": {"pixel_values": px,
+                               "aspect_ratio_ids": ar_ids,
+                               "aspect_ratio_mask": ar_mask}},
+         {"prompt_token_ids": txt_prompt}],
+        [sp, sp])
+    assert list(outs[0].outputs[0].token_ids) == img_ref, \
+        f"{outs[0].outputs[0].token_ids} vs {img_ref}"
+    assert list(outs[1].outputs[0].token_ids) == txt_ref, \
+        f"{outs[1].outputs[0].token_ids} vs {txt_ref}"
+
+
+def test_prefix_cache_isolated_by_image(tiny_mllama_dir):
+    """Identical token ids with DIFFERENT images must not share cached
+    blocks: the mm digest seeds the hash chain."""
+    import torch
+    from transformers import AutoConfig, MllamaForConditionalGeneration
+
+    from vllm_neuron_tpu import LLM, SamplingParams
+
+    cfg = AutoConfig.from_pretrained(tiny_mllama_dir)
+    px, ar_ids, ar_mask = _image_inputs()
+    rng = np.random.default_rng(9)
+    px2 = rng.normal(size=px.shape).astype(np.float32) * 2.0
+    prompt = [cfg.image_token_index] + list(range(7, 7 + 18))
+    S = len(prompt)
+
+    hf = MllamaForConditionalGeneration.from_pretrained(
+        tiny_mllama_dir, torch_dtype=torch.float32)
+    hf.eval()
+    refs = []
+    for p in (px, px2):
+        with torch.no_grad():
+            refs.append(hf.generate(
+                input_ids=torch.tensor([prompt]),
+                attention_mask=torch.ones((1, S), dtype=torch.long),
+                pixel_values=torch.tensor(p),
+                aspect_ratio_ids=torch.tensor(ar_ids, dtype=torch.long),
+                aspect_ratio_mask=torch.tensor(ar_mask, dtype=torch.long),
+                cross_attention_mask=torch.ones((1, S, 1, 4),
+                                                dtype=torch.long),
+                max_new_tokens=6, do_sample=False,
+                num_beams=1)[0, S:].tolist())
+
+    llm = LLM(model=tiny_mllama_dir, dtype="float32", max_model_len=64,
+              max_num_seqs=2, block_size=4, enable_prefix_caching=True,
+              skip_tokenizer_init=True)
+    sp = SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True)
+    for p, ref in zip((px, px2), refs):
+        out = llm.generate(
+            {"prompt_token_ids": prompt,
+             "multi_modal_data": {"pixel_values": p,
+                                  "aspect_ratio_ids": ar_ids,
+                                  "aspect_ratio_mask": ar_mask}}, sp)[0]
+        assert list(out.outputs[0].token_ids) == ref, \
+            f"{out.outputs[0].token_ids} vs {ref}"

@@ -49,7 +49,7 @@ def test_decode_arrays_slots_and_pages(runner):
     runner.input_batch.last_tokens[s2.row] = 7
 
     (N, token_ids, positions, slot_table, kv_lens, page_indices,
-     temperature, top_k, top_p, _) = runner._decode_arrays([s1, s2], K=4)
+     temperature, top_k, top_p, _, _) = runner._decode_arrays([s1, s2], K=4)
 
     assert token_ids[0] == 42 and token_ids[1] == 7
     assert positions[0] == 10 and positions[1] == 5
@@ -77,7 +77,7 @@ def test_decode_arrays_offset_window(runner):
 def test_decode_arrays_sampling_mirrors(runner):
     s1 = _add(runner, "a", [1, 2, 3], [3], nct=3, temperature=0.7,
               top_k=11, top_p=0.5)
-    (_, _, _, _, _, _, temperature, top_k, top_p, _) = \
+    (_, _, _, _, _, _, temperature, top_k, top_p, _, _) = \
         runner._decode_arrays([s1], K=1)
     assert temperature[0] == np.float32(0.7)
     assert top_k[0] == 11

@@ -489,6 +489,12 @@ class EngineConfig:
             raise ValueError("LoRA serving is not supported together with "
                              "speculative decoding (the fused draft/verify "
                              "programs do not thread adapter ids)")
+        if (self.speculative.enabled and self.model.architecture
+                == "MllamaForConditionalGeneration"):
+            raise ValueError(
+                "speculative decoding is not supported for gated "
+                "cross-attention families (the fused spec programs do not "
+                "thread the cross-KV cache)")
         # Speculation composes with prefix caching: draft KV shares the
         # target's block table (draft position p uses target position p's
         # slot), so cached blocks carry the draft KV written when they were

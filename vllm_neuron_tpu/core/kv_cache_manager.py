@@ -42,12 +42,20 @@ class KVCacheManager:
             end = start + self.block_size
             if end > len(tokens):
                 break
-            # LoRA changes the K/V projections, so cached KV is only
-            # reusable under the SAME adapter: seed the hash chain with the
-            # adapter id (0/base keeps the legacy None seed).
-            parent = hashes[-1] if hashes else (
-                ("lora", request.lora_int_id)
-                if getattr(request, "lora_int_id", 0) else None)
+            # LoRA changes the K/V projections and image content changes
+            # every downstream KV (embeds-merge and cross-attention alike),
+            # so cached KV is only reusable under the SAME adapter AND the
+            # same image: seed the hash chain with both (plain text keeps
+            # the legacy None seed).
+            if hashes:
+                parent = hashes[-1]
+            else:
+                seed = []
+                if getattr(request, "lora_int_id", 0):
+                    seed.append(("lora", request.lora_int_id))
+                if getattr(request, "mm_hash", None):
+                    seed.append(("mm", request.mm_hash))
+                parent = tuple(seed) if seed else None
             hashes.append(hash_block_tokens(parent,
                                             tuple(tokens[start:end])))
         return hashes[:num_blocks]

@@ -7,6 +7,8 @@ import enum
 import time
 from typing import Optional
 
+import numpy as np
+
 from vllm_neuron_tpu.sampling.params import SamplingParams
 
 
@@ -56,6 +58,20 @@ class Request:
         self.arrival_time = arrival_time or time.monotonic()
         # Multimodal inputs: {"pixel_values": np.ndarray [T, C, H, W]}.
         self.mm_inputs = mm_inputs
+        # Image-content digest: the KV of every position after (or cross-
+        # attending to) an image depends on the pixels, so the prefix-cache
+        # hash chain must be seeded with the image identity — identical
+        # token ids with a different image must never share blocks.
+        self.mm_hash: Optional[str] = None
+        if mm_inputs:
+            import hashlib
+            h = hashlib.sha1()
+            for key in sorted(mm_inputs):
+                v = mm_inputs[key]
+                h.update(key.encode())
+                h.update(np.ascontiguousarray(v).tobytes()
+                         if hasattr(v, "tobytes") else repr(v).encode())
+            self.mm_hash = h.hexdigest()
         # LoRA adapter group id (0 = base model; lora_loader.py).
         self.lora_int_id = lora_int_id
 

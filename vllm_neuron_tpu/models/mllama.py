@@ -418,15 +418,40 @@ class MllamaForCausalLM:
 
     # -- forward --------------------------------------------------------
 
+    def compute_cross_kv(self, params: dict,
+                         cross_states: jax.Array) -> jax.Array:
+        """Per-cross-layer K/V from projected vision states [T, H] ->
+        [n_cross, T, 2*nKV, D] (K stored post-k_norm, the form attention
+        consumes). Run once at prefill; serving caches the result per
+        request row (the encoder-KV analogue of the paged text cache)."""
+        nKV, D = self.num_kv_heads, self.head_dim
+        T = cross_states.shape[0]
+        outs = []
+        for li in self.cross_layers:
+            lp = params["layers"][li]
+            k = (cross_states @ lp["wk"]).reshape(T, nKV, D)
+            k = rms_norm(k, lp["k_norm"], self.rms_eps)
+            v = (cross_states @ lp["wv"]).reshape(T, nKV, D)
+            outs.append(jnp.concatenate([k, v], axis=1))
+        return jnp.stack(outs)
+
     def forward(self, params: dict, input_ids: jax.Array,
                 positions: jax.Array, kv_pages: jax.Array, meta: RaggedMeta,
                 *, kind: str = "mixed", attn_backend: Optional[str] = None,
                 cross_states: Optional[jax.Array] = None,
                 cross_valid: Optional[jax.Array] = None,
+                cross_cache: Optional[tuple] = None,
+                cross_rows: Optional[jax.Array] = None,
                 ) -> tuple[jax.Array, jax.Array]:
         """cross_states: [S, T_img, H] per-sequence projected vision states
         (None => text-only: cross layers are skipped). cross_valid:
-        [S, T_img] bool visibility of each vision token (padding tiles)."""
+        [S, T_img] bool visibility of each vision token (padding tiles).
+        cross_cache: serving-path alternative — (cross_kv
+        [n_cross, R, T, 2nKV, D], valid [R, T]) precomputed per engine row
+        (compute_cross_kv), with cross_rows [N] mapping each token to its
+        row. Rows with no visible vision token contribute exactly zero
+        (HF full_text_row_masked_out_mask semantics), so text-only
+        requests in a mixed batch match the skip-layers contract."""
         N = input_ids.shape[0]
         nH, nKV, D = self.num_heads, self.num_kv_heads, self.head_dim
         L, pages, page_size, combined, Dp = kv_pages.shape
@@ -436,11 +461,16 @@ class MllamaForCausalLM:
 
         cross_set = set(self.cross_layers)
         kv_l = 0  # compacted paged-KV slot of the next self layer
+        ci = 0  # index into the cross-layer KV cache
         for li, lp in enumerate(params["layers"]):
             if li in cross_set:
                 if cross_states is not None:
                     x = self._cross_layer(lp, x, meta, cross_states,
                                           cross_valid)
+                elif cross_cache is not None:
+                    x = self._cross_layer_cached(lp, ci, x, cross_cache,
+                                                 cross_rows)
+                ci += 1
                 continue
             l = kv_l
             kv_l += 1
@@ -503,6 +533,44 @@ class MllamaForCausalLM:
         h = rms_norm(x, lp["mlp_norm"], self.rms_eps)
         m = (jax.nn.silu(h @ lp["wg"]) * (h @ lp["wu"])) @ lp["wd"]
         return x + jnp.tanh(lp["gate_mlp"]) * m
+
+    def _cross_layer_cached(self, lp: dict, ci: int, x: jax.Array,
+                            cross_cache: tuple, cross_rows: jax.Array
+                            ) -> jax.Array:
+        """Serving-path cross layer over per-row cached K/V. Gathers each
+        token's row from the cache ([N, T, 2nKV, D] transient — at Mllama
+        scale this is the encoder-KV working set, same order as one row of
+        the paged gather); rows whose valid mask is empty (text-only
+        requests, pad tokens pointing at a cleared row) get an exact-zero
+        contribution from both the attention and the gated MLP."""
+        ckv, cvalid = cross_cache
+        N = x.shape[0]
+        nH, nKV, D = self.num_heads, self.num_kv_heads, self.head_dim
+        G = nH // nKV
+        kvr = ckv[ci][cross_rows]  # [N, T, 2nKV, D]
+        k = kvr[:, :, :nKV]
+        v = kvr[:, :, nKV:]
+        vis = cvalid[cross_rows]  # [N, T]
+        has_img = vis.any(axis=-1)  # [N]
+        h = rms_norm(x, lp["attn_norm"], self.rms_eps)
+        q = (h @ lp["wq"]).reshape(N, nH, D)
+        q = rms_norm(q, lp["q_norm"], self.rms_eps)
+        qg = q.reshape(N, nKV, G, D)
+        s = jnp.einsum("nkgd,ntkd->nkgt", qg.astype(jnp.float32),
+                       k.astype(jnp.float32)) * self.scale
+        # finfo.min (finite) keeps the all-masked softmax NaN-free
+        # (uniform); the has_img zeroing below discards those rows.
+        s = jnp.where(vis[:, None, None], s,
+                      float(jnp.finfo(jnp.float32).min))
+        p = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("nkgt,ntkd->nkgd", p,
+                       v.astype(jnp.float32)).astype(x.dtype)
+        o = o.reshape(N, nH * D) @ lp["wo"]
+        gate = has_img[:, None].astype(x.dtype)
+        x = x + gate * (jnp.tanh(lp["gate_attn"]) * o)
+        h = rms_norm(x, lp["mlp_norm"], self.rms_eps)
+        m = (jax.nn.silu(h @ lp["wg"]) * (h @ lp["wu"])) @ lp["wd"]
+        return x + gate * (jnp.tanh(lp["gate_mlp"]) * m)
 
     def compute_logits(self, params: dict, hidden: jax.Array) -> jax.Array:
         h = rms_norm(hidden, params["final_norm"], self.rms_eps)

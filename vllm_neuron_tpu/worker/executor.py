@@ -159,6 +159,85 @@ class ModelExecutor:
         self.draft_params = None
         self.kv_draft = None
         self.spec_hidden = None
+        # Cross-attention (encoder) KV for gated-cross multimodal families
+        # (Mllama): per-engine-row cached K/V over the projected vision
+        # states, the TPU analogue of vLLM's encoder KV blocks.
+        self.cross_kv = None
+        self.cross_valid = None
+        self.cross_t = 0
+
+    def _alloc(self, shape, dtype, spec=None):
+        """Device buffer allocation that respects the mesh (DP engine lanes
+        pin params to their own device slice; a bare jnp.zeros would land
+        on the process default device and break colocation)."""
+        if self.mesh is None:
+            return jnp.zeros(shape, dtype)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from vllm_neuron_tpu.parallel.mesh import MODEL_AXIS
+        from vllm_neuron_tpu.parallel.sharding import _divisible
+        tp = self.mesh.shape.get(MODEL_AXIS, 1)
+        spec = spec if spec is not None else P(*([None] * len(shape)))
+        sharding = NamedSharding(self.mesh, _divisible(spec, shape, tp))
+        return jax.jit(lambda: jnp.zeros(shape, dtype),
+                       out_shardings=sharding)()
+
+    def init_cross_attention(self, t_img: int) -> None:
+        """Allocate the cross-KV row cache: [n_cross, max_num_seqs, t_img,
+        2*nKV, D] in the model dtype + a per-row validity mask. Heads shard
+        over the model axis when divisible (same layout rule as the paged
+        cache)."""
+        from jax.sharding import PartitionSpec as P
+        from vllm_neuron_tpu.parallel.mesh import MODEL_AXIS
+        model = self.model
+        n_cross = len(model.cross_layers)
+        R = self.config.scheduler.max_num_seqs
+        shape = (n_cross, R, t_img, 2 * model.num_kv_heads, model.head_dim)
+        self.cross_t = t_img
+        self.cross_kv = self._alloc(shape, self.config.model.dtype,
+                                    P(None, None, None, MODEL_AXIS, None))
+        self.cross_valid = self._alloc((R, t_img), jnp.bool_)
+        logger.info("cross-attention KV cache: %s, %.2f GiB", shape,
+                    int(np.prod(shape)) *
+                    jnp.dtype(self.config.model.dtype).itemsize / 2**30)
+
+    def set_cross_row(self, row: int, cross_states: np.ndarray,
+                      n_valid: int) -> None:
+        """Project + cache one row's cross K/V from vision states (padded
+        to [cross_t, H]); the first n_valid tokens become visible."""
+        self._replicate("set_cross_row", dict(
+            row=row, cross_states=cross_states, n_valid=n_valid))
+        fn = self._get_fn(("cross_set",), self._build_cross_set)
+        self.cross_kv, self.cross_valid = fn(
+            self.params, self.cross_kv, self.cross_valid,
+            jnp.asarray(cross_states), jnp.asarray(row, jnp.int32),
+            jnp.asarray(n_valid, jnp.int32))
+
+    def clear_cross_row(self, row: int) -> None:
+        """Mark a row imageless (rows are reused across requests; a stale
+        valid mask would hand the next occupant the previous image)."""
+        self._replicate("clear_cross_row", dict(row=row))
+        fn = self._get_fn(("cross_clear",), self._build_cross_clear)
+        self.cross_valid = fn(self.cross_valid,
+                              jnp.asarray(row, jnp.int32))
+
+    def _build_cross_set(self):
+        model = self.model
+        T = self.cross_t
+
+        def fn(params, ckv, cvalid, states, row, n_valid):
+            kv = model.compute_cross_kv(params,
+                                        states.astype(model.dtype))
+            ckv = ckv.at[:, row].set(kv.astype(ckv.dtype))
+            cvalid = cvalid.at[row].set(
+                jnp.arange(T, dtype=jnp.int32) < n_valid)
+            return ckv, cvalid
+
+        return jax.jit(fn, donate_argnums=(1, 2))
+
+    def _build_cross_clear(self):
+        return jax.jit(
+            lambda cvalid, row: cvalid.at[row].set(False),
+            donate_argnums=(0,))
 
     def init_speculation(self, draft_model, draft_params) -> None:
         self.draft_model = draft_model
@@ -196,13 +275,19 @@ class ModelExecutor:
     # Program builder
     # ------------------------------------------------------------------
 
-    def _build_step(self, kind: str, return_logits: bool, mm: bool = False):
+    def _build_step(self, kind: str, return_logits: bool, mm: bool = False,
+                    cross: bool = False):
         model = self.model
         attn_backend = self.attn_backend
 
         def fn(params, kv_pages, token_ids, positions, meta, logits_indices,
                temperature, top_k, top_p, step_seed, *mm_args):
             kwargs = {}
+            if cross:
+                # Trailing 3 extras: cross KV cache, valid mask, row map.
+                kwargs["cross_cache"] = mm_args[-3:-1]
+                kwargs["cross_rows"] = mm_args[-1]
+                mm_args = mm_args[:-3]
             if mm:
                 kwargs["embeds_override"] = mm_args
             hidden, kv_pages = model.forward(params, token_ids, positions,
@@ -224,7 +309,8 @@ class ModelExecutor:
                                page_indices: np.ndarray, num_seqs: int,
                                temperature: np.ndarray, top_k: np.ndarray,
                                top_p: np.ndarray,
-                               adapter_ids: Optional[np.ndarray] = None
+                               adapter_ids: Optional[np.ndarray] = None,
+                               cross_rows: Optional[np.ndarray] = None
                                ) -> dict:
         """Enqueue K pipelined decode steps with device-resident token
         feedback (each step's sampled tokens feed the next WITHOUT visiting
@@ -241,10 +327,12 @@ class ModelExecutor:
             slot_table=slot_table, kv_lens0=kv_lens0,
             page_indices=page_indices, num_seqs=num_seqs,
             temperature=temperature, top_k=top_k, top_p=top_p,
-            adapter_ids=adapter_ids))
+            adapter_ids=adapter_ids, cross_rows=cross_rows))
         K, N = slot_table.shape
-        key = ("step", "decode", N, page_indices.shape, False)
-        fn = self._get_fn(key, lambda: self._build_step("decode", False))
+        cross = cross_rows is not None and self.cross_kv is not None
+        key = ("step", "decode", N, page_indices.shape, False, cross)
+        fn = self._get_fn(
+            key, lambda: self._build_step("decode", False, cross=cross))
         # One host->device transfer for the whole window.
         active = kv_lens0 > 0
         kv_lens_all = jnp.asarray(
@@ -262,6 +350,10 @@ class ModelExecutor:
         tp = jnp.asarray(top_p)
         toks = jnp.asarray(first_tokens)
         ad = (jnp.asarray(adapter_ids) if adapter_ids is not None else None)
+        extra = ()
+        if cross:
+            extra = (self.cross_kv, self.cross_valid,
+                     jnp.asarray(cross_rows))
         outs = []
         for k in range(K):
             meta = RaggedMeta(slot_mapping=slot_dev[k],
@@ -272,7 +364,7 @@ class ModelExecutor:
                              & 0xFFFFFFFF)
             toks, self.kv_pages = fn(self.params, self.kv_pages, toks,
                                      positions_all[k], meta, li, temp, tk,
-                                     tp, seed)
+                                     tp, seed, *extra)
             outs.append(toks)
         self.carry_last = toks
         # Stack on device; fetching K arrays separately would be K trips.
@@ -543,7 +635,8 @@ class ModelExecutor:
                  kind: str = "mixed", keep_device: bool = False,
                  embeds_override: Optional[np.ndarray] = None,
                  override_mask: Optional[np.ndarray] = None,
-                 adapter_ids: Optional[np.ndarray] = None
+                 adapter_ids: Optional[np.ndarray] = None,
+                 cross_rows: Optional[np.ndarray] = None
                  ) -> tuple[np.ndarray, Optional[np.ndarray]]:
         """One unified step. token_ids/positions/slot_mapping: [N] (N = a
         token bucket); kv_lens/logits_indices/sampling params: [S_step];
@@ -559,12 +652,14 @@ class ModelExecutor:
             temperature=temperature, top_k=top_k, top_p=top_p,
             return_logits=return_logits, kind=kind, keep_device=True,
             embeds_override=embeds_override, override_mask=override_mask,
-            adapter_ids=adapter_ids))
+            adapter_ids=adapter_ids, cross_rows=cross_rows))
         N = token_ids.shape[0]
         mm = embeds_override is not None
-        key = ("step", kind, N, page_indices.shape, return_logits, mm)
+        cross = cross_rows is not None and self.cross_kv is not None
+        key = ("step", kind, N, page_indices.shape, return_logits, mm,
+               cross)
         fn = self._get_fn(
-            key, lambda: self._build_step(kind, return_logits, mm))
+            key, lambda: self._build_step(kind, return_logits, mm, cross))
         meta = RaggedMeta(
             slot_mapping=jnp.asarray(slot_mapping),
             kv_lens=jnp.asarray(kv_lens),
@@ -581,6 +676,9 @@ class ModelExecutor:
         if mm:
             mm_args = (jnp.asarray(embeds_override),
                        jnp.asarray(override_mask))
+        if cross:
+            mm_args = mm_args + (self.cross_kv, self.cross_valid,
+                                 jnp.asarray(cross_rows))
         out = fn(self.params, self.kv_pages, jnp.asarray(token_ids),
                  jnp.asarray(positions), meta, jnp.asarray(logits_indices),
                  jnp.asarray(temperature), jnp.asarray(top_k),
@@ -616,6 +714,9 @@ class ModelExecutor:
             # Match the real programs' pytree structure when LoRA is on.
             adapter_ids=(np.zeros(N, np.int32)
                          if "lora" in self.params else None),
+            # Cross-attention families always thread the row cache.
+            cross_rows=(np.zeros(N, np.int32)
+                        if self.cross_kv is not None else None),
         )
 
     def warmup(self) -> None:

@@ -22,7 +22,8 @@ from vllm_neuron_tpu.sampling.params import SamplingParams
 class CachedRequestState:
     __slots__ = ("req_id", "row", "prompt_token_ids", "output_token_ids",
                  "sampling_params", "num_computed_tokens", "block_ids",
-                 "mm_inputs", "in_prefill", "lora_int_id")
+                 "mm_inputs", "in_prefill", "lora_int_id",
+                 "cross_ready")
 
     def __init__(self, req_id: str, row: int, prompt_token_ids: list[int],
                  sampling_params: SamplingParams, num_computed_tokens: int,
@@ -37,6 +38,8 @@ class CachedRequestState:
         self.mm_inputs = mm_inputs
         self.in_prefill = True
         self.lora_int_id = lora_int_id
+        # Cross-KV row cache populated/cleared for this request (Mllama).
+        self.cross_ready = False
 
     @property
     def num_prompt_tokens(self) -> int:

@@ -116,6 +116,12 @@ class ModelRunner:
             self.vision_params = self.vision.load_params(
                 self.config.model.model)
             self._vision_fwd = jax.jit(self.vision.forward)
+            if getattr(self.vision, "merge", "embeds") == "cross":
+                # Gated cross-attention family (Mllama): allocate the
+                # per-row encoder-KV cache sized for one image's worth of
+                # vision tokens (tiles x patches).
+                self.executor.init_cross_attention(
+                    self.vision.max_num_tiles * self.vision.num_patches)
         spec = self.config.speculative
         if spec.enabled:
             import jax
@@ -307,12 +313,26 @@ class ModelRunner:
         host = self._needs_host(state)
 
         mm_kwargs = {}
-        if self.vision is not None and state.mm_inputs and \
+        if getattr(self.executor, "cross_kv", None) is not None:
+            # Gated cross-attention family (Mllama): cache this row's
+            # cross K/V once per request (first dispatch — chunked
+            # continuations and prefix-cache-hit windows reuse it), and
+            # thread the row map through every program so text-only rows
+            # in mixed batches mask to the exact skip-layers result.
+            if not getattr(state, "cross_ready", False):
+                if state.mm_inputs:
+                    self._set_cross_row(state)
+                else:
+                    self.executor.clear_cross_row(state.row)
+                state.cross_ready = True
+            mm_kwargs["cross_rows"] = np.full(N, state.row, np.int32)
+        elif self.vision is not None and state.mm_inputs and \
                 getattr(self.vision, "merge", "embeds") == "cross":
-            raise NotImplementedError(
-                "cross-attention multimodal serving (Mllama) is not wired "
-                "into the engine yet; text-only requests are supported")
+            raise ValueError(
+                "Mllama image inputs require the cross-KV cache "
+                "(unavailable with load_format='random')")
         if self.vision is not None and state.mm_inputs and \
+                getattr(self.vision, "merge", "embeds") != "cross" and \
                 self.image_token_index is not None:
             chunk_tokens = np.asarray(token_ids[:num_new])
             img_rows = np.nonzero(
@@ -364,6 +384,22 @@ class ModelRunner:
                 return_logits=host, kind="prefill", keep_device=True,
                 adapter_ids=adapter_ids, **mm_kwargs)
         return dev_tokens, logits, host
+
+    def _set_cross_row(self, state) -> None:
+        """Run the vision tower and cache the request row's cross K/V
+        (Mllama: pixel_values [B, M, T, C, H, W] + aspect_ratio_ids/mask)."""
+        mm = state.mm_inputs
+        px = np.asarray(mm["pixel_values"], np.float32)
+        ar_ids = np.asarray(mm["aspect_ratio_ids"], np.int32)
+        ar_mask = np.asarray(mm["aspect_ratio_mask"], np.int32)
+        states = np.asarray(self._vision_fwd(
+            self.vision_params, px, ar_ids, ar_mask))  # [B, T_img, H]
+        states = states.reshape(-1, states.shape[-1])
+        T = self.executor.cross_t
+        n_valid = min(states.shape[0], T)
+        padded = np.zeros((T, states.shape[-1]), states.dtype)
+        padded[:n_valid] = states[:n_valid]
+        self.executor.set_cross_row(state.row, padded, n_valid)
 
     def _finalize_prefill(self, req_id: str, num_new: int, handle
                           ) -> tuple[list[int], object]:
@@ -430,7 +466,8 @@ class ModelRunner:
         """One fused Eagle speculation round: schedule gave each request
         1 + K potential tokens; the device returns the accepted prefix."""
         (N, token_ids, positions, slot_table, kv_lens, page_indices,
-         temperature, top_k, top_p, _) = self._decode_arrays(states, K + 1)
+         temperature, top_k, top_p, _, _) = self._decode_arrays(
+             states, K + 1)
         # Draft slots: draft position p shares target position p's slot
         # numbering; draft steps cover positions nct-1 .. nct+K-2.
         dslot_table = np.full((K, N), -1, np.int32)
@@ -502,8 +539,12 @@ class ModelRunner:
         if self.lora_set is not None:
             adapter_ids = np.zeros(N, np.int32)
             adapter_ids[:n] = ib.adapter_ids[rows]
+        cross_rows = None
+        if getattr(self.executor, "cross_kv", None) is not None:
+            cross_rows = np.zeros(N, np.int32)
+            cross_rows[:n] = rows
         return (N, token_ids, positions, slot_table, kv_lens, page_indices,
-                temperature, top_k, top_p, adapter_ids)
+                temperature, top_k, top_p, adapter_ids, cross_rows)
 
     def _window_key(self, items, states) -> tuple:
         return (tuple(req_id for req_id, _ in items),
@@ -516,13 +557,13 @@ class ModelRunner:
         the current computed counts. first_tokens: host array or device
         carry."""
         (N, token_ids, positions, slot_table, kv_lens, page_indices,
-         temperature, top_k, top_p, adapter_ids) = self._decode_arrays(
-             states, K, nct_offset)
+         temperature, top_k, top_p, adapter_ids,
+         cross_rows) = self._decode_arrays(states, K, nct_offset)
         handle = self.executor.dispatch_decode_window(
             first_tokens if first_tokens is not None else token_ids,
             positions, slot_table, kv_lens, page_indices,
             num_seqs=len(states), temperature=temperature, top_k=top_k,
-            top_p=top_p, adapter_ids=adapter_ids)
+            top_p=top_p, adapter_ids=adapter_ids, cross_rows=cross_rows)
         handle["K"] = K
         return handle
 
@@ -567,8 +608,8 @@ class ModelRunner:
     def _run_decode_single(self, items, states
                            ) -> dict[str, tuple[list[int], object]]:
         (N, token_ids, positions, slot_table, kv_lens, page_indices,
-         temperature, top_k, top_p, adapter_ids) = self._decode_arrays(
-             states, 1)
+         temperature, top_k, top_p, adapter_ids,
+         cross_rows) = self._decode_arrays(states, 1)
         host_rows = {i for i, s in enumerate(states) if self._needs_host(s)}
         dev_tokens, logits = self.executor.run_step(
             token_ids, positions, slot_table[0], kv_lens, page_indices,
@@ -577,7 +618,7 @@ class ModelRunner:
             logits_indices=np.arange(N, dtype=np.int32),
             temperature=temperature, top_k=top_k, top_p=top_p,
             return_logits=bool(host_rows), kind="decode",
-            adapter_ids=adapter_ids)
+            adapter_ids=adapter_ids, cross_rows=cross_rows)
         results = {}
         for i, ((req_id, _), state) in enumerate(zip(items, states)):
             state.num_computed_tokens += 1
