@@ -214,3 +214,58 @@ def test_server_routes_lora_by_model_name(tiny_llama_dir, adapters):
         assert exc.value.code == 400
     finally:
         holder["engine"].shutdown()
+
+
+def test_lora_spec_greedy_exact(tiny_llama_dir, adapters,
+                                tmp_path_factory):
+    """LoRA composes with Eagle speculation: adapter ids ride the target
+    prefill/verify metas while the draft stays base-model. Greedy outputs
+    must match the merged-weight HF oracle exactly (acceptance may drop,
+    content may not)."""
+    import torch
+    from safetensors.torch import save_file
+    from transformers import AutoConfig, LlamaConfig, LlamaForCausalLM
+
+    from vllm_neuron_tpu import LLM, SamplingParams
+
+    target_cfg = AutoConfig.from_pretrained(tiny_llama_dir)
+    dcfg = LlamaConfig(
+        vocab_size=target_cfg.vocab_size,
+        hidden_size=target_cfg.hidden_size,
+        intermediate_size=target_cfg.intermediate_size,
+        num_hidden_layers=1,
+        num_attention_heads=target_cfg.num_attention_heads,
+        num_key_value_heads=target_cfg.num_key_value_heads,
+        max_position_embeddings=target_cfg.max_position_embeddings)
+    torch.manual_seed(3)
+    dm = LlamaForCausalLM(dcfg)
+    sd = {k: v for k, v in dm.state_dict().items()
+          if k.startswith("model.layers.0.") and "rotary" not in k}
+    H = dcfg.hidden_size
+    sd["fc.weight"] = torch.randn(H, 2 * H) * 0.02
+    droot = tmp_path_factory.mktemp("lora_eagle")
+    save_file(sd, str(droot / "model.safetensors"))
+    dcfg.save_pretrained(droot)
+
+    a1, a2 = adapters
+    llm = LLM(model=tiny_llama_dir, dtype="float32", max_model_len=128,
+              max_num_seqs=4, block_size=16, skip_tokenizer_init=True,
+              lora_adapters={"a1": a1, "a2": a2},
+              speculative_config={"model": str(droot),
+                                  "num_speculative_tokens": 3,
+                                  "method": "eagle"})
+    prompts = [[5, 77, 301, 44, 12], [9, 400, 3, 250], [17, 88, 299]]
+    loras = [None, "a1", "a2"]
+    sp = SamplingParams(temperature=0.0, max_tokens=12, ignore_eos=True)
+    outs = llm.generate(
+        [{"prompt_token_ids": p, "lora": lr}
+         for p, lr in zip(prompts, loras)], [sp] * len(prompts))
+    oracles = {None: _merged_oracle(tiny_llama_dir, None),
+               "a1": _merged_oracle(tiny_llama_dir, a1),
+               "a2": _merged_oracle(tiny_llama_dir, a2)}
+    for prompt, lr, out in zip(prompts, loras, outs):
+        expect = _hf_greedy(oracles[lr], prompt, 12)
+        got = list(out.outputs[0].token_ids)
+        assert got == expect, f"adapter={lr}: {got} != {expect}"
+    fns = llm.engine.worker.model_runner.executor._fns
+    assert any(k[0] == "spec_decode" for k in fns)

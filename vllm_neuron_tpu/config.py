@@ -485,10 +485,9 @@ class EngineConfig:
             raise ValueError(
                 "speculative decoding is not supported with chunked prefill "
                 "(the Eagle draft stream cannot span prefill chunks yet)")
-        if self.lora.enabled and self.speculative.enabled:
-            raise ValueError("LoRA serving is not supported together with "
-                             "speculative decoding (the fused draft/verify "
-                             "programs do not thread adapter ids)")
+        # LoRA composes with speculation: adapter ids ride the target's
+        # prefill/verify metas (the Eagle draft stays base-model — stale
+        # drafts lower acceptance, the adapted verify stays authoritative).
         if (self.speculative.enabled and self.model.architecture
                 == "MllamaForConditionalGeneration"):
             raise ValueError(

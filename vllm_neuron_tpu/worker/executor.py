@@ -445,7 +445,7 @@ class ModelExecutor:
 
         return jax.jit(fn, donate_argnums=(2, 3, 4))
 
-    def _build_spec_decode(self, K: int):
+    def _build_spec_decode(self, K: int, lora: bool = False):
         """One fused speculation round: draft K tokens autoregressively,
         verify all K+1 positions with one target pass, accept via
         rejection sampling (greedy rows degenerate to exact prefix match),
@@ -460,7 +460,8 @@ class ModelExecutor:
 
         def fn(params, dparams, kv, kv_d, spec_hidden, row_ids, first_tokens,
                positions0, slot_table, dslot_table, kv_lens0, page_indices,
-               num_seqs, temperature, top_k, top_p, step_seed):
+               num_seqs, temperature, top_k, top_p, step_seed,
+               adapter_ids=None):
             N = first_tokens.shape[0]
             embed_fn = lambda t: params["embed"][t]  # noqa: E731
             active = kv_lens0 > 0
@@ -512,6 +513,10 @@ class ModelExecutor:
                 page_indices=page_indices,
                 cu_q_lens=jnp.arange(N + 1, dtype=jnp.int32) * T,
                 num_seqs=num_seqs,
+                # LoRA rides the target verify only; the Eagle draft has
+                # no adapters (lower acceptance, never wrong tokens).
+                adapter_ids=(jnp.repeat(adapter_ids, T)
+                             if lora else None),
             )
             hidden, kv = model.forward(params, ver_flat, pos_flat, kv, meta_v,
                                        kind="spec_verify",
@@ -541,15 +546,17 @@ class ModelExecutor:
 
     def run_prefill_spec(self, token_ids, positions, slot_mapping, kv_len,
                          page_indices, num_new, row, temperature, top_k,
-                         top_p, keep_device: bool = False) -> np.ndarray:
+                         top_p, keep_device: bool = False,
+                         adapter_ids=None) -> np.ndarray:
         self._replicate("run_prefill_spec", dict(
             token_ids=token_ids, positions=positions,
             slot_mapping=slot_mapping, kv_len=kv_len,
             page_indices=page_indices, num_new=num_new, row=row,
             temperature=temperature, top_k=top_k, top_p=top_p,
-            keep_device=True))
+            keep_device=True, adapter_ids=adapter_ids))
         N = token_ids.shape[0]
-        key = ("prefill_spec", N, page_indices.shape)
+        key = ("prefill_spec", N, page_indices.shape,
+               adapter_ids is not None)
         fn = self._get_fn(key, self._build_prefill_spec)
         meta = RaggedMeta(
             slot_mapping=jnp.asarray(slot_mapping),
@@ -557,6 +564,10 @@ class ModelExecutor:
             page_indices=jnp.asarray(page_indices),
             cu_q_lens=jnp.asarray([0, num_new], jnp.int32),
             num_seqs=jnp.asarray([1], jnp.int32),
+            # LoRA rides the target meta only: the Eagle draft has no
+            # adapters (verification stays authoritative either way).
+            adapter_ids=(jnp.asarray(adapter_ids)
+                         if adapter_ids is not None else None),
         )
         # Draft stream is one position shorter; draft position i shares
         # target position i's slot (same block table, separate cache buffer).
@@ -587,8 +598,8 @@ class ModelExecutor:
 
     def run_spec_decode(self, row_ids, first_tokens, positions0, slot_table,
                         dslot_table, kv_lens0, page_indices, num_seqs: int,
-                        temperature=None, top_k=None, top_p=None
-                        ) -> np.ndarray:
+                        temperature=None, top_k=None, top_p=None,
+                        adapter_ids=None) -> np.ndarray:
         """One fused speculation round. slot_table: [K+1, N] target slots;
         dslot_table: [K, N] draft slots; temperature/top_k/top_p: [N]
         per-row sampling params (None => greedy). Returns accepted tokens
@@ -605,13 +616,16 @@ class ModelExecutor:
             positions0=positions0, slot_table=slot_table,
             dslot_table=dslot_table, kv_lens0=kv_lens0,
             page_indices=page_indices, num_seqs=num_seqs,
-            temperature=temperature, top_k=top_k, top_p=top_p))
+            temperature=temperature, top_k=top_k, top_p=top_p,
+            adapter_ids=adapter_ids))
         K = dslot_table.shape[0]
-        key = ("spec_decode", K, N, page_indices.shape)
-        fn = self._get_fn(key, lambda: self._build_spec_decode(K))
+        lora = adapter_ids is not None
+        key = ("spec_decode", K, N, page_indices.shape, lora)
+        fn = self._get_fn(key, lambda: self._build_spec_decode(K, lora))
         self._step_counter += 1
         seed = np.uint32((self.config.model.seed + self._step_counter)
                          & 0xFFFFFFFF)
+        extra = (jnp.asarray(adapter_ids),) if lora else ()
         tokens, self.spec_hidden, self.kv_pages, self.kv_draft = fn(
             self.params, self.draft_params, self.kv_pages, self.kv_draft,
             self.spec_hidden, jnp.asarray(row_ids),
@@ -619,7 +633,7 @@ class ModelExecutor:
             jnp.asarray(slot_table.T), jnp.asarray(dslot_table),
             jnp.asarray(kv_lens0), jnp.asarray(page_indices),
             jnp.asarray([num_seqs], jnp.int32), jnp.asarray(temperature),
-            jnp.asarray(top_k), jnp.asarray(top_p), seed)
+            jnp.asarray(top_k), jnp.asarray(top_p), seed, *extra)
         return np.asarray(jax.device_get(tokens))
 
     # ------------------------------------------------------------------

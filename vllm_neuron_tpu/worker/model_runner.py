@@ -370,7 +370,7 @@ class ModelRunner:
                 token_ids, positions, slot_mapping, kv_len=end,
                 page_indices=page_indices, num_new=num_new, row=state.row,
                 temperature=temperature, top_k=top_k, top_p=top_p,
-                keep_device=True)
+                keep_device=True, adapter_ids=adapter_ids)
             logits = None
         else:
             dev_tokens, logits = self.executor.run_step(
@@ -466,7 +466,7 @@ class ModelRunner:
         """One fused Eagle speculation round: schedule gave each request
         1 + K potential tokens; the device returns the accepted prefix."""
         (N, token_ids, positions, slot_table, kv_lens, page_indices,
-         temperature, top_k, top_p, _, _) = self._decode_arrays(
+         temperature, top_k, top_p, adapter_ids, _) = self._decode_arrays(
              states, K + 1)
         # Draft slots: draft position p shares target position p's slot
         # numbering; draft steps cover positions nct-1 .. nct+K-2.
@@ -483,7 +483,8 @@ class ModelRunner:
         accepted = self.executor.run_spec_decode(
             row_ids, token_ids, positions, slot_table, dslot_table,
             kv_lens, page_indices, num_seqs=len(states),
-            temperature=temperature, top_k=top_k, top_p=top_p)  # [N, K+1]
+            temperature=temperature, top_k=top_k, top_p=top_p,
+            adapter_ids=adapter_ids)  # [N, K+1]
         results = {}
         for i, ((req_id, num_new), state) in enumerate(zip(items, states)):
             toks = [int(t) for t in accepted[i] if t >= 0][:num_new]
