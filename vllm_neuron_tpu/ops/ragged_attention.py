@@ -395,10 +395,15 @@ def _decode_kernel_fn():
 
     from vllm_neuron_tpu.ops import decode_attention as da
     variant = os.environ.get("VLLM_TPU_DECODE_KERNEL", "fused")
+    # Chunk size (pages per serial kernel iteration): the flat stream is
+    # per-iteration-latency bound, so bigger chunks = fewer iterations;
+    # bounded by the 2-slot double-buffer fitting scoped VMEM.
+    cpg = int(os.environ.get("VLLM_TPU_DECODE_CHUNK_PAGES", "2"))
     if variant == "fused":
         return functools.partial(da.decode_paged_attention_flat,
-                                 pages_per_chunk=2, fused_gqa=True)
-    return (da.decode_paged_attention_flat if variant == "flat"
+                                 pages_per_chunk=cpg, fused_gqa=True)
+    return (functools.partial(da.decode_paged_attention_flat,
+                              pages_per_chunk=cpg) if variant == "flat"
             else da.decode_paged_attention)
 
 
