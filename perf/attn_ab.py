@@ -26,7 +26,8 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from vllm_neuron_tpu.ops.decode_attention import (
-    decode_paged_attention, decode_paged_attention_flat, visible_range)
+    decode_paged_attention, decode_paged_attention_flat,
+    decode_paged_attention_rowblock, visible_range)
 from vllm_neuron_tpu.ops.ragged_attention import (RaggedMeta,
                                                   _decode_attention_dense)
 
@@ -113,6 +114,18 @@ def main():
                 q, kv, lo, hi, pages, num_kv_heads=HKV, sm_scale=SM,
                 pages_per_chunk=c, fused_gqa=True).astype(q.dtype))
             run(f"fusedC{c}", fu, q)
+
+    if which in ("rowblock", "both"):
+        lo, hi = visible_range(kv_lens)
+        rs = tuple(int(x) for x in os.environ.get(
+            "AB_ROWBLOCK_RS", "1,2").split(","))
+        for r in rs:
+            # VMEM double-buffer: 2*R*PP*ps*2Hkv*Dp*2B; R=2 @ 20 pages
+            # of 32 slots = 10.5 MB (fits); R=4 does not.
+            rb = jax.jit(lambda q, r=r: decode_paged_attention_rowblock(
+                q, kv, lo, hi, pages, num_kv_heads=HKV, sm_scale=SM,
+                rows_per_block=r).astype(q.dtype))
+            run(f"rowblockR{r}", rb, q)
 
 
 if __name__ == "__main__":

@@ -188,3 +188,42 @@ def test_bf16_cache():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         rtol=3e-2, atol=3e-2)
+
+
+def test_rowblock_matches_flat_reference():
+    """Row-block single-pass kernel == flat-stream kernel across ragged
+    lens (incl. empty rows) and every rows_per_block; also the rowblock
+    production dispatcher's VMEM fallback path."""
+    from vllm_neuron_tpu.ops.decode_attention import (
+        decode_paged_attention_flat, decode_paged_attention_rowblock)
+
+    q, kv_pages, lens, pages = _setup(B=8, Hq=8, Hkv=2, PP=6)
+    sm = 0.125
+    lo, hi = visible_range(lens)
+    ref = decode_paged_attention_flat(q, kv_pages, lo, hi, pages,
+                                      num_kv_heads=2, sm_scale=sm,
+                                      pages_per_chunk=2, interpret=True)
+    for R in (1, 2, 3, 8):
+        got = decode_paged_attention_rowblock(
+            q, kv_pages, lo, hi, pages, num_kv_heads=2, sm_scale=sm,
+            rows_per_block=R, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5,
+                                   err_msg=f"R={R}")
+
+
+def test_rowblock_sliding_window():
+    from vllm_neuron_tpu.ops.decode_attention import (
+        decode_paged_attention_flat, decode_paged_attention_rowblock)
+
+    q, kv_pages, lens, pages = _setup(B=4, Hq=8, Hkv=2, PP=6)
+    sm = 0.125
+    lo, hi = visible_range(lens, sliding_window=40)
+    ref = decode_paged_attention_flat(q, kv_pages, lo, hi, pages,
+                                      num_kv_heads=2, sm_scale=sm,
+                                      pages_per_chunk=2, interpret=True)
+    got = decode_paged_attention_rowblock(
+        q, kv_pages, lo, hi, pages, num_kv_heads=2, sm_scale=sm,
+        rows_per_block=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

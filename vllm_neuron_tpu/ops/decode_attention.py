@@ -457,6 +457,203 @@ def decode_paged_attention_flat(q: jax.Array, kv_pages_l: jax.Array,
       total, page_indices, q, kv_pages_l)
 
 
+def _rowblock_kernel(
+    # scalar prefetch
+    p0_ref, p1_ref, lo_ref, hi_ref, nblocks_ref, page_indices_ref,
+    # inputs
+    q_ref, kv_hbm_ref,
+    # outputs
+    o_ref,
+    # scratch
+    kv_buf, sem,
+    *, page_size: int, rows_per_block: int, num_kv_heads: int,
+    sm_scale: float,
+):
+    """Row-block single-pass variant: each serial iteration processes R
+    WHOLE rows — their full visible page range DMA'd into one buffer slot,
+    one fused block-structured QK matmul, one un-chunked softmax (no flash
+    running-max carry at all), one PV matmul. Cross-row and invisible
+    score entries are masked to exactly zero probability, so the full
+    [R*Hq, R*cs] product is block-diagonal by construction.
+
+    Rationale: the flat-stream kernel is per-iteration-latency bound
+    (~µs of fixed cost per chunk vs ~0.16 µs of HBM time per page).
+    ceil(B/R) iterations is the floor for a serial TPU core; with the
+    whole row resident the kernel's HBM traffic (the entire visible KV
+    once) becomes the dominant term — the speed-of-light for decode
+    attention. VMEM bounds R * PP (wrapper falls back to the flat kernel
+    when the double-buffer would not fit scoped VMEM)."""
+    ps = page_size
+    R = rows_per_block
+    P = page_indices_ref.shape[1]
+    cs = P * ps
+    B, Hq, Dp = q_ref.shape
+    Hkv = num_kv_heads
+    G = Hq // Hkv
+    NB = nblocks_ref[0]
+
+    o_ref[:] = jnp.zeros_like(o_ref)  # inactive rows stay zero
+    # Stale buffer slots can hold NaN bit patterns; 0 * NaN = NaN in the
+    # PV full product. One zero-fill per launch keeps every slot finite.
+    kv_buf[...] = jnp.zeros(kv_buf.shape, kv_buf.dtype)
+
+    # Head-slot masks (fused-GQA trick): q row m (= block k*Hq + h) has its
+    # K slot at 2*(h//G), its V slot at 2*(h//G)+1.
+    rowslot = ((jax.lax.broadcasted_iota(
+        jnp.int32, (R * Hq, 2 * Hkv, 1), 0) % Hq) // G) * 2
+    slotid = jax.lax.broadcasted_iota(jnp.int32, (R * Hq, 2 * Hkv, 1), 1)
+    mask_k = slotid == rowslot                            # [R*Hq, 2Hkv, 1]
+    mask_v = slotid == rowslot + 1
+
+    # Block-diagonal (same-row) mask over the full score grid.
+    qblk = jax.lax.broadcasted_iota(
+        jnp.int32, (R * Hq, R * cs), 0) // Hq
+    kblk = jax.lax.broadcasted_iota(
+        jnp.int32, (R * Hq, R * cs), 1) // cs
+    same_row = qblk == kblk
+
+    def start_rows_dma(t, slot):
+        r0 = t * R
+        for k in range(R):
+            r = jnp.minimum(r0 + k, B - 1)
+            npg = p1_ref[r] - p0_ref[r]
+            for j in range(P):
+                @pl.when(jnp.logical_and(r0 + k < B, j < npg))
+                def _():
+                    page = page_indices_ref[r, p0_ref[r] + j]
+                    pltpu.make_async_copy(
+                        kv_hbm_ref.at[page],
+                        kv_buf.at[slot, k, j],
+                        sem.at[slot, k, j],
+                    ).start()
+
+    def wait_rows(t, slot):
+        r0 = t * R
+        for k in range(R):
+            r = jnp.minimum(r0 + k, B - 1)
+            npg = p1_ref[r] - p0_ref[r]
+            for j in range(P):
+                @pl.when(jnp.logical_and(r0 + k < B, j < npg))
+                def _():
+                    pltpu.make_async_copy(
+                        kv_hbm_ref.at[0], kv_buf.at[slot, k, j],
+                        sem.at[slot, k, j],
+                    ).wait()
+
+    @pl.when(NB > 0)
+    def _():
+        start_rows_dma(0, 0)
+
+    def body(t, carry):
+        slot = jax.lax.rem(t, 2)
+
+        @pl.when(t + 1 < NB)
+        def _():
+            start_rows_dma(t + 1, 1 - slot)
+
+        wait_rows(t, slot)
+        r0 = t * R
+
+        # q_exp: R rows' queries expanded into their K slots.
+        q_rows = []
+        vis_rows = []
+        for k in range(R):
+            r = jnp.minimum(r0 + k, B - 1)
+            qk = (q_ref[r].astype(jnp.float32) * sm_scale).astype(
+                q_ref.dtype)                               # [Hq, Dp]
+            q_rows.append(qk)
+            kpos = p0_ref[r] * ps + jax.lax.broadcasted_iota(
+                jnp.int32, (1, cs), 1)
+            visk = (kpos >= lo_ref[r]) & (kpos < hi_ref[r])
+            visk = jnp.logical_and(visk, r0 + k < B)
+            vis_rows.append(visk)
+        q_all = jnp.concatenate(q_rows, axis=0)           # [R*Hq, Dp]
+        vis = jnp.concatenate(vis_rows, axis=1)           # [1, R*cs]
+        q_exp = (q_all[:, None, :] *
+                 mask_k.astype(q_all.dtype)).reshape(R * Hq, 2 * Hkv * Dp)
+
+        kvf = kv_buf[slot].reshape(R * cs, 2 * Hkv * Dp)
+        s = jax.lax.dot_general(
+            q_exp, kvf,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [R*Hq, R*cs]
+        s = jnp.where(jnp.logical_and(same_row, vis), s, _MASK)
+
+        # Single-pass softmax: the whole row is resident, no carry.
+        m = jnp.max(s, axis=-1, keepdims=True)            # [R*Hq, 1]
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        p_lo = p.astype(kv_buf.dtype)
+        o16 = jax.lax.dot_general(
+            p_lo, kvf,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [R*Hq, 2Hkv*Dp]
+        o = jnp.sum(o16.reshape(R * Hq, 2 * Hkv, Dp) * mask_v, axis=1)
+        l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+        o = (o * l_inv).astype(o_ref.dtype)               # [R*Hq, Dp]
+
+        for k in range(R):
+            @pl.when(jnp.logical_and(r0 + k < B,
+                                     hi_ref[jnp.minimum(r0 + k, B - 1)] > 0))
+            def _():
+                o_ref[r0 + k] = o[k * Hq:(k + 1) * Hq]
+
+        return carry
+
+    jax.lax.fori_loop(0, NB, body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_kv_heads", "sm_scale", "rows_per_block",
+                     "interpret"))
+def decode_paged_attention_rowblock(q: jax.Array, kv_pages_l: jax.Array,
+                                    lo: jax.Array, hi: jax.Array,
+                                    page_indices: jax.Array, *,
+                                    num_kv_heads: int, sm_scale: float,
+                                    rows_per_block: int = 2,
+                                    interpret: bool = False) -> jax.Array:
+    """Row-block decode attention (see _rowblock_kernel). Same contract as
+    decode_paged_attention."""
+    B, Hq, Dp = q.shape
+    _, ps, two_hkv, Dp2 = kv_pages_l.shape
+    assert Dp == Dp2 and two_hkv == 2 * num_kv_heads
+    PP = page_indices.shape[1]
+    R = min(rows_per_block, B)
+
+    active = hi > 0
+    p0 = jnp.where(active, lo // ps, 0).astype(jnp.int32)
+    p1 = jnp.where(active, (hi + ps - 1) // ps, 0).astype(jnp.int32)
+    nblocks = jnp.full((1,), (B + R - 1) // R, jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # q (full)
+            pl.BlockSpec(memory_space=pl.ANY),       # kv pages stay in HBM
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, R, PP, ps, two_hkv, Dp), kv_pages_l.dtype),
+            pltpu.SemaphoreType.DMA((2, R, PP)),
+        ],
+    )
+    kernel = functools.partial(
+        _rowblock_kernel, page_size=ps, rows_per_block=R,
+        num_kv_heads=num_kv_heads, sm_scale=sm_scale)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hq, Dp), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(p0, p1, lo.astype(jnp.int32), hi.astype(jnp.int32), nblocks,
+      page_indices, q, kv_pages_l)
+
+
 def visible_range(kv_lens: jax.Array, sliding_window=None, chunk_size=None
                   ) -> tuple[jax.Array, jax.Array]:
     """Per-row [lo, hi) visible key range for the last-token query at

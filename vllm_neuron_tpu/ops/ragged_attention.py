@@ -399,6 +399,30 @@ def _decode_kernel_fn():
     # per-iteration-latency bound, so bigger chunks = fewer iterations;
     # bounded by the 2-slot double-buffer fitting scoped VMEM.
     cpg = int(os.environ.get("VLLM_TPU_DECODE_CHUNK_PAGES", "2"))
+    if variant == "rowblock":
+        # Whole rows per iteration + single-pass softmax; needs the
+        # R-row double-buffer to fit scoped VMEM — falls back to the
+        # fused flat stream per call site otherwise (long-context page
+        # buckets).
+        R = int(os.environ.get("VLLM_TPU_DECODE_ROWS", "2"))
+
+        def rowblock_or_flat(q, kv_pages_l, lo, hi, page_indices, *,
+                             num_kv_heads, sm_scale, interpret=False):
+            PP = page_indices.shape[1]
+            _, ps, two_hkv, dp = kv_pages_l.shape
+            buf = 2 * R * PP * ps * two_hkv * dp * kv_pages_l.dtype.itemsize
+            if buf > 12 * 2**20:
+                return da.decode_paged_attention_flat(
+                    q, kv_pages_l, lo, hi, page_indices,
+                    num_kv_heads=num_kv_heads, sm_scale=sm_scale,
+                    pages_per_chunk=cpg, fused_gqa=True,
+                    interpret=interpret)
+            return da.decode_paged_attention_rowblock(
+                q, kv_pages_l, lo, hi, page_indices,
+                num_kv_heads=num_kv_heads, sm_scale=sm_scale,
+                rows_per_block=R, interpret=interpret)
+
+        return rowblock_or_flat
     if variant == "fused":
         return functools.partial(da.decode_paged_attention_flat,
                                  pages_per_chunk=cpg, fused_gqa=True)
