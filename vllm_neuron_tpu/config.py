@@ -398,8 +398,11 @@ class QuantConfig:
     # per-token (symmetric int8) and run s8xs8 on the MXU at 2x the bf16
     # rate — prefill matmuls 44.8 -> 27.6 ms/512 tokens on 8B (docs/
     # PERF_NOTES.md). 0 disables (decode stays on the dequant path either
-    # way). Requires quantization="int8".
-    w8a8_min_rows: int = 0
+    # way). Requires quantization="int8". Default 256 (prefill-sized
+    # programs only): accuracy validated at −0.0001 ppl vs BF16 on the
+    # trained tiny checkpoint (docs/ACCURACY.md), well inside the ≤0.05
+    # north star.
+    w8a8_min_rows: int = 256
     modules_to_not_convert: list[str] = field(default_factory=list)
 
     @property
