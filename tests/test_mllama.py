@@ -259,3 +259,36 @@ def test_prefix_cache_isolated_by_image(tiny_mllama_dir):
                                   "aspect_ratio_mask": ar_mask}}, sp)[0]
         assert list(out.outputs[0].token_ids) == ref, \
             f"{out.outputs[0].token_ids} vs {ref}"
+
+
+def test_quantized_image_serving(tiny_mllama_dir):
+    """INT8 weight quantization over the Mllama decoder (self AND cross
+    layers): params actually carry int8 stacks + scales, and image +
+    text-only serving still produces full generations (reference quant
+    surface: model_loader.py:886-898)."""
+    import jax.numpy as jnp
+    from transformers import AutoConfig
+
+    from vllm_neuron_tpu import LLM, SamplingParams
+
+    cfg = AutoConfig.from_pretrained(tiny_mllama_dir)
+    px, ar_ids, ar_mask = _image_inputs()
+    llm = LLM(model=tiny_mllama_dir, dtype="float32", max_model_len=64,
+              max_num_seqs=2, block_size=16, skip_tokenizer_init=True,
+              quantization="int8")
+    layers = llm.engine.worker.model_runner.executor.params["layers"]
+    model = llm.engine.worker.model_runner.model
+    self_lp = layers[model.self_layers[0]]
+    cross_lp = layers[model.cross_layers[0]]
+    for lp in (self_lp, cross_lp):
+        assert lp["wq"].dtype == jnp.int8 and "wq_scale" in lp
+        assert lp["wd"].dtype == jnp.int8 and "wd_scale" in lp
+    sp = SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True)
+    outs = llm.generate(
+        [{"prompt_token_ids": [cfg.image_token_index, 7, 8, 9],
+          "multi_modal_data": {"pixel_values": px,
+                               "aspect_ratio_ids": ar_ids,
+                               "aspect_ratio_mask": ar_mask}},
+         {"prompt_token_ids": [5, 6, 7, 8]}],
+        [sp, sp])
+    assert all(len(o.outputs[0].token_ids) == 6 for o in outs)

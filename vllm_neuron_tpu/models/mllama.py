@@ -34,6 +34,7 @@ import numpy as np
 from vllm_neuron_tpu.config import ModelConfig
 from vllm_neuron_tpu.models.weights import iter_safetensors, transpose
 from vllm_neuron_tpu.ops.norm import rms_norm
+from vllm_neuron_tpu.ops.quant import linear, quantize_per_channel
 from vllm_neuron_tpu.ops.ragged_attention import (RaggedMeta,
                                                   ragged_attention,
                                                   write_kv_pages)
@@ -284,6 +285,11 @@ class MllamaForCausalLM:
     layers are skipped (HF text-only contract), so the class serves
     text-only requests through the unchanged engine path."""
 
+    # Projections eligible for weight quantization (self AND cross
+    # layers); embed/lm_head/norms/gates stay dense, matching the
+    # llama-family policy (llama.py QUANTIZABLE).
+    QUANTIZABLE = ("wq", "wk", "wv", "wo", "wg", "wu", "wd")
+
     def __init__(self, model_config: ModelConfig, quant_config=None):
         cfg = model_config.text_config
         self.dtype = model_config.dtype
@@ -312,9 +318,11 @@ class MllamaForCausalLM:
         self.tie_embeddings = getattr(cfg, "tie_word_embeddings", False)
         self.sliding_window = None
         self.sp_sharding = None
-        if quant_config is not None and quant_config.enabled:
-            raise NotImplementedError(
-                "Mllama quantization is not wired yet (dense bf16 path)")
+        # Per-channel weight quantization over all decoder projections
+        # (self AND cross layers); embed/lm_head/norms/gates stay dense,
+        # matching the llama-family policy.
+        self.quant = quant_config if (quant_config is not None
+                                      and quant_config.enabled) else None
 
     # -- weights --------------------------------------------------------
 
@@ -380,7 +388,24 @@ class MllamaForCausalLM:
             "lm_head": get("lm_head.weight", transpose),
             "layers": layers,
         }
+        self._quantize_layers(params["layers"])
         return jax.tree.map(jnp.asarray, params)
+
+    def _quantize_layers(self, layers: list[dict]) -> None:
+        """Replace eligible [K, N] projections with int8/fp8 values +
+        per-channel scales (in place, host-side numpy). Applies to both
+        self- and cross-attention layers."""
+        if self.quant is None:
+            return
+        skip = set(self.quant.modules_to_not_convert)
+        for lp in layers:
+            for name in self.QUANTIZABLE:
+                if name in skip or name not in lp:
+                    continue
+                wq, s = quantize_per_channel(np.asarray(lp[name]),
+                                             self.quant.quantization)
+                lp[name] = wq
+                lp[name + "_scale"] = s
 
     def random_params(self, rng: jax.Array, scale: float = 0.02) -> dict:
         H, D, I = self.hidden_size, self.head_dim, self.intermediate_size
@@ -409,12 +434,15 @@ class MllamaForCausalLM:
                     "gate_mlp": jnp.zeros((1,), self.dtype),
                 })
             layers.append(lp)
-        return {
+        # Tiny shapes only (bench/tests): quantize host-side like
+        # load_params; the llama-family on-device path is for 8B+ stacks.
+        self._quantize_layers(layers)
+        return jax.tree.map(jnp.asarray, {
             "embed": w((self.vocab_size + 8, H)),
             "final_norm": jnp.ones((H,), self.dtype),
             "lm_head": w((H, self.vocab_size)),
             "layers": layers,
-        }
+        })
 
     # -- forward --------------------------------------------------------
 
@@ -429,9 +457,9 @@ class MllamaForCausalLM:
         outs = []
         for li in self.cross_layers:
             lp = params["layers"][li]
-            k = (cross_states @ lp["wk"]).reshape(T, nKV, D)
+            k = linear(cross_states, lp, "wk").reshape(T, nKV, D)
             k = rms_norm(k, lp["k_norm"], self.rms_eps)
-            v = (cross_states @ lp["wv"]).reshape(T, nKV, D)
+            v = linear(cross_states, lp, "wv").reshape(T, nKV, D)
             outs.append(jnp.concatenate([k, v], axis=1))
         return jnp.stack(outs)
 
@@ -475,9 +503,9 @@ class MllamaForCausalLM:
             l = kv_l
             kv_l += 1
             h = rms_norm(x, lp["attn_norm"], self.rms_eps)
-            q = (h @ lp["wq"]).reshape(N, nH, D)
-            k = (h @ lp["wk"]).reshape(N, nKV, D)
-            v = (h @ lp["wv"]).reshape(N, nKV, D)
+            q = linear(h, lp, "wq").reshape(N, nH, D)
+            k = linear(h, lp, "wk").reshape(N, nKV, D)
+            v = linear(h, lp, "wv").reshape(N, nKV, D)
             q, k = apply_rope(q, k, positions, self.inv_freq,
                               self.attention_scaling)
             slots_l = jnp.where(valid,
@@ -489,9 +517,10 @@ class MllamaForCausalLM:
                 page_indices=meta.page_indices + l * pages)
             attn = ragged_attention(q, kv_flat, meta_l, self.scale,
                                     None, kind=kind, backend=attn_backend)
-            x = x + attn.reshape(N, nH * D) @ lp["wo"]
+            x = x + linear(attn.reshape(N, nH * D), lp, "wo")
             h = rms_norm(x, lp["mlp_norm"], self.rms_eps)
-            x = x + (jax.nn.silu(h @ lp["wg"]) * (h @ lp["wu"])) @ lp["wd"]
+            x = x + linear(jax.nn.silu(linear(h, lp, "wg")) *
+                           linear(h, lp, "wu"), lp, "wd")
         return x, kv_flat.reshape(L, pages, page_size, combined, Dp)
 
     def _cross_layer(self, lp: dict, x: jax.Array, meta: RaggedMeta,
@@ -506,11 +535,11 @@ class MllamaForCausalLM:
         G = nH // nKV
         S, T_img, H = cross_states.shape
         h = rms_norm(x, lp["attn_norm"], self.rms_eps)
-        q = (h @ lp["wq"]).reshape(N, nH, D)
+        q = linear(h, lp, "wq").reshape(N, nH, D)
         q = rms_norm(q, lp["q_norm"], self.rms_eps)
-        k = (cross_states @ lp["wk"]).reshape(S, T_img, nKV, D)
+        k = linear(cross_states, lp, "wk").reshape(S, T_img, nKV, D)
         k = rms_norm(k, lp["k_norm"], self.rms_eps)
-        v = (cross_states @ lp["wv"]).reshape(S, T_img, nKV, D)
+        v = linear(cross_states, lp, "wv").reshape(S, T_img, nKV, D)
         # Token n belongs to the sequence whose cu_q_lens bucket holds n.
         token_idx = jnp.arange(N, dtype=jnp.int32)
         seq_of = jnp.clip(
@@ -528,10 +557,11 @@ class MllamaForCausalLM:
         p = jax.nn.softmax(s, axis=-1)
         o = jnp.einsum("nkgt,ntkd->nkgd", p,
                        vq.astype(jnp.float32)).astype(x.dtype)
-        o = o.reshape(N, nH * D) @ lp["wo"]
+        o = linear(o.reshape(N, nH * D), lp, "wo")
         x = x + jnp.tanh(lp["gate_attn"]) * o
         h = rms_norm(x, lp["mlp_norm"], self.rms_eps)
-        m = (jax.nn.silu(h @ lp["wg"]) * (h @ lp["wu"])) @ lp["wd"]
+        m = linear(jax.nn.silu(linear(h, lp, "wg")) *
+                   linear(h, lp, "wu"), lp, "wd")
         return x + jnp.tanh(lp["gate_mlp"]) * m
 
     def _cross_layer_cached(self, lp: dict, ci: int, x: jax.Array,
@@ -553,7 +583,7 @@ class MllamaForCausalLM:
         vis = cvalid[cross_rows]  # [N, T]
         has_img = vis.any(axis=-1)  # [N]
         h = rms_norm(x, lp["attn_norm"], self.rms_eps)
-        q = (h @ lp["wq"]).reshape(N, nH, D)
+        q = linear(h, lp, "wq").reshape(N, nH, D)
         q = rms_norm(q, lp["q_norm"], self.rms_eps)
         qg = q.reshape(N, nKV, G, D)
         s = jnp.einsum("nkgd,ntkd->nkgt", qg.astype(jnp.float32),
@@ -565,11 +595,12 @@ class MllamaForCausalLM:
         p = jax.nn.softmax(s, axis=-1)
         o = jnp.einsum("nkgt,ntkd->nkgd", p,
                        v.astype(jnp.float32)).astype(x.dtype)
-        o = o.reshape(N, nH * D) @ lp["wo"]
+        o = linear(o.reshape(N, nH * D), lp, "wo")
         gate = has_img[:, None].astype(x.dtype)
         x = x + gate * (jnp.tanh(lp["gate_attn"]) * o)
         h = rms_norm(x, lp["mlp_norm"], self.rms_eps)
-        m = (jax.nn.silu(h @ lp["wg"]) * (h @ lp["wu"])) @ lp["wd"]
+        m = linear(jax.nn.silu(linear(h, lp, "wg")) *
+                   linear(h, lp, "wu"), lp, "wd")
         return x + gate * (jnp.tanh(lp["gate_mlp"]) * m)
 
     def compute_logits(self, params: dict, hidden: jax.Array) -> jax.Array:
