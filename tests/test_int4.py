@@ -1,0 +1,124 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Grouped INT4 weight quantization (w4a16) — beyond the reference's
+INT8/FP8 surface (model_loader.py:886-898): decode on TPU is
+weight-HBM-bound, so int4 halves the per-step traffic floor again.
+Covers pack/unpack roundtrip, the XLA fallback, the Pallas kernel in
+interpret mode, and full-engine serving."""
+import numpy as np
+import pytest
+
+
+def test_int4_pack_roundtrip():
+    import jax.numpy as jnp
+
+    from vllm_neuron_tpu.ops.quant import (quantize_int4_grouped,
+                                           unpack_int4)
+
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(512, 96)).astype(np.float32)
+    packed, scale = quantize_int4_grouped(w, group_size=128)
+    assert packed.shape == (256, 96) and packed.dtype == np.int8
+    assert scale.shape == (4, 96)
+    q = np.asarray(unpack_int4(jnp.asarray(packed)))
+    assert q.min() >= -7 and q.max() <= 7
+    deq = q.reshape(4, 128, 96) * scale[:, None, :]
+    err = np.abs(deq.reshape(512, 96) - w)
+    # Max error is half an int4 step (scale = absmax/7 per group).
+    assert np.all(err <= scale.repeat(128, axis=0) * 0.5 + 1e-6)
+
+
+def test_int4_stacked_layers():
+    from vllm_neuron_tpu.ops.quant import quantize_int4_grouped
+
+    rng = np.random.default_rng(1)
+    w = rng.normal(size=(3, 256, 64)).astype(np.float32)  # [L, K, N]
+    packed, scale = quantize_int4_grouped(w, group_size=128)
+    assert packed.shape == (3, 128, 64)
+    assert scale.shape == (3, 2, 64)
+    # Odd group fit: K not a multiple of 2*G falls back to G = K/2.
+    packed2, scale2 = quantize_int4_grouped(
+        rng.normal(size=(192, 64)).astype(np.float32), group_size=128)
+    assert packed2.shape == (96, 64) and scale2.shape == (2, 64)
+
+
+def test_int4_linear_fallback_exact():
+    """dequant_matmul int4 route == manual dequantized matmul."""
+    import jax.numpy as jnp
+
+    from vllm_neuron_tpu.ops.quant import (dequant_matmul,
+                                           quantize_int4_grouped,
+                                           unpack_int4)
+
+    rng = np.random.default_rng(2)
+    w = rng.normal(size=(256, 128)).astype(np.float32)
+    x = rng.normal(size=(4, 256)).astype(np.float32)
+    packed, scale = quantize_int4_grouped(w, group_size=64)
+    got = dequant_matmul(jnp.asarray(x), jnp.asarray(packed),
+                         jnp.asarray(scale))
+    q = np.asarray(unpack_int4(jnp.asarray(packed))).astype(np.float32)
+    deq = (q.reshape(4, 64, 128) * scale[:, None, :]).reshape(256, 128)
+    want = x @ deq
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
+
+
+def test_int4_pallas_kernel_interpret():
+    """The Mosaic kernel (interpret mode) matches the XLA fallback — the
+    unpack/scale/dot chain inside the kernel is the production decode
+    path on chip."""
+    import jax.numpy as jnp
+
+    from vllm_neuron_tpu.ops.quant import (_dequant_matmul_int4_jnp,
+                                           _dequant_matmul_int4_pallas,
+                                           quantize_int4_grouped)
+
+    rng = np.random.default_rng(3)
+    K, N, M = 512, 256, 16
+    w = rng.normal(size=(K, N)).astype(np.float32)
+    x = (rng.normal(size=(M, K)) * 0.1).astype(np.float32)
+    packed, scale = quantize_int4_grouped(w, group_size=128)
+    xj = jnp.asarray(x, jnp.bfloat16)
+    got = _dequant_matmul_int4_pallas(xj, jnp.asarray(packed),
+                                      jnp.asarray(scale),
+                                      out_dtype=jnp.float32,
+                                      interpret=True)
+    want = _dequant_matmul_int4_jnp(xj, jnp.asarray(packed),
+                                    jnp.asarray(scale), jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_int4_engine_generate(tiny_llama_dir):
+    from vllm_neuron_tpu import LLM, SamplingParams
+
+    llm = LLM(model=tiny_llama_dir, dtype="float32", max_model_len=128,
+              max_num_seqs=2, block_size=16, skip_tokenizer_init=True,
+              quantization="int4")
+    import jax.numpy as jnp
+    layers = llm.engine.worker.model_runner.executor.params["layers"]
+    # Stacked wqkv: [L, K/2, (nH+2nKV)*D] packed int8 + grouped scale.
+    assert layers["wqkv"].dtype == jnp.int8
+    assert layers["wqkv_scale"].shape[1] >= 1
+    out = llm.generate({"prompt_token_ids": [5, 77, 301, 44]},
+                       SamplingParams(temperature=0.0, max_tokens=8,
+                                      ignore_eos=True))[0]
+    assert len(out.outputs[0].token_ids) == 8
+
+
+def test_int4_ppl_delta_tinypy():
+    """Perplexity delta vs BF16 on the TRAINED tiny checkpoint
+    (ckpt_tinypy). INT4 sits below the reference's bit-width floor so
+    the ≤0.05 north star does not bind it; gate at a documented looser
+    bound to catch regressions (docs/ACCURACY.md)."""
+    import os
+
+    from tests.test_accuracy_tinypy import CKPT, _val_tokens
+    if not os.path.exists(os.path.join(CKPT, "model.safetensors")):
+        pytest.skip("trained tiny checkpoint not present")
+    from vllm_neuron_tpu.tools.eval_ppl import evaluate_ppl
+
+    toks = _val_tokens(4097)
+    base = evaluate_ppl(CKPT, toks, window=512, dtype="bfloat16")
+    int4 = evaluate_ppl(CKPT, toks, window=512, dtype="bfloat16",
+                        quantization="int4")
+    d_ppl = abs(int4["ppl"] - base["ppl"])
+    assert d_ppl <= 0.35, (base, int4)

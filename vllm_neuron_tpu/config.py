@@ -391,8 +391,12 @@ class LoRAConfig:
 class QuantConfig:
     """INT8/FP8 quantization (reference: model_loader.py:886-898)."""
 
-    quantization: Optional[str] = None  # "int8" | "fp8" | None
+    quantization: Optional[str] = None  # "int8" | "fp8" | "int4" | None
     quantization_type: str = "per_channel_symmetric"
+    # INT4 is grouped (per-group scales along K): the TPU decode path is
+    # weight-HBM-bound, so int4 halves the per-step floor again below the
+    # reference's int8/fp8 surface. Group size along the input dim.
+    int4_group_size: int = 128
     kv_cache_quant: bool = False
     # W8A8: programs with >= this many token rows quantize activations
     # per-token (symmetric int8) and run s8xs8 on the MXU at 2x the bf16

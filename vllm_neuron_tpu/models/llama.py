@@ -34,7 +34,8 @@ import numpy as np
 from vllm_neuron_tpu.config import ModelConfig, QuantConfig
 from vllm_neuron_tpu.models.weights import (StackingLoader, iter_safetensors,
                                             transpose)
-from vllm_neuron_tpu.ops.quant import linear, quantize_per_channel
+from vllm_neuron_tpu.ops.quant import (linear, quantize_int4_grouped,
+                                       quantize_per_channel)
 from vllm_neuron_tpu.ops.ragged_attention import (RaggedMeta,
                                                   ragged_attention,
                                                   write_kv_pages)
@@ -193,8 +194,12 @@ class LlamaForCausalLM:
         for name in self.QUANTIZABLE:
             if name in skip or name not in layers:
                 continue
-            wq, scale = quantize_per_channel(layers[name],
-                                             self.quant.quantization)
+            if self.quant.quantization == "int4":
+                wq, scale = quantize_int4_grouped(
+                    layers[name], self.quant.int4_group_size)
+            else:
+                wq, scale = quantize_per_channel(layers[name],
+                                                 self.quant.quantization)
             layers[name] = wq
             layers[name + "_scale"] = scale
 
@@ -244,6 +249,21 @@ class LlamaForCausalLM:
                 def per_layer(k):
                     wf = jax.random.normal(k, layer_shape,
                                            jnp.float32) * scale
+                    if self.quant.quantization == "int4":
+                        K, N = layer_shape
+                        G = self.quant.int4_group_size
+                        if K % (2 * G) != 0:
+                            G = K // 2
+                        Kg = K // G
+                        g = wf.reshape(Kg, G, N)
+                        absmax = jnp.max(jnp.abs(g), axis=1, keepdims=True)
+                        s = jnp.maximum(absmax / 7.0, 1e-12)
+                        q = jnp.clip(jnp.round(g / s), -7,
+                                     7).astype(jnp.int32).reshape(K, N)
+                        lo, hi = q[:K // 2], q[K // 2:]
+                        packed = ((lo & 0xF) | ((hi & 0xF) << 4)
+                                  ).astype(jnp.int8)
+                        return packed, s.reshape(Kg, N)
                     absmax = jnp.max(jnp.abs(wf), axis=0, keepdims=True)
                     s = jnp.maximum(absmax / qmax, 1e-12)
                     scaled = wf / s

@@ -25,10 +25,13 @@ import numpy as np
 
 INT8_MAX = 127.0
 FP8_MAX = 448.0  # float8_e4m3fn finite max
+INT4_MAX = 7.0  # symmetric [-7, 7] (avoid the asymmetric -8)
+INT4_GROUP = 128  # default group size along K
 
 QUANT_DTYPES = {
     "int8": jnp.int8,
     "fp8": jnp.float8_e4m3fn,
+    "int4": jnp.int8,  # two nibbles per byte, split-half packed
 }
 
 
@@ -49,6 +52,41 @@ def quantize_per_channel(w: np.ndarray, quant: str
     else:
         raise ValueError(f"unknown quantization {quant!r}")
     return wq, scale
+
+
+def quantize_int4_grouped(w: np.ndarray, group_size: int = INT4_GROUP
+                          ) -> tuple[np.ndarray, np.ndarray]:
+    """Symmetric per-group INT4 along the input (K) axis — the extra
+    bit-width below the reference's INT8/FP8 floor (decode on TPU is
+    weight-HBM-bound; int4 halves that traffic again). w: [..., K, N] ->
+    (packed [..., K/2, N] int8, scale [..., K/G, N] float32).
+
+    Packing is SPLIT-HALF, not interleaved: byte[k] holds w[k] in the low
+    nibble and w[k + K/2] in the high nibble. Unpacking is then a single
+    sublane-contiguous concatenate — layout-friendly for the Mosaic
+    kernel, no element interleave."""
+    wf = np.asarray(w, np.float32)
+    K = wf.shape[-2]
+    if K % (2 * group_size) != 0:
+        # Fall back to one group per half so any even K quantizes.
+        group_size = K // 2
+    Kg = K // group_size
+    g = wf.reshape(*wf.shape[:-2], Kg, group_size, wf.shape[-1])
+    absmax = np.max(np.abs(g), axis=-2, keepdims=True)
+    scale = np.maximum(absmax / INT4_MAX, 1e-12).astype(np.float32)
+    q = np.clip(np.rint(g / scale), -7, 7).astype(np.int32)
+    q = q.reshape(wf.shape)
+    lo, hi = q[..., :K // 2, :], q[..., K // 2:, :]
+    packed = ((lo & 0xF) | ((hi & 0xF) << 4)).astype(np.uint8).view(np.int8)
+    return packed, scale.reshape(*wf.shape[:-2], Kg, wf.shape[-1])
+
+
+def unpack_int4(packed: jax.Array) -> jax.Array:
+    """[..., K/2, N] int8 -> [..., K, N] int32 in natural row order."""
+    w32 = packed.astype(jnp.int32)
+    lo = jnp.right_shift(jnp.left_shift(w32, 28), 28)
+    hi = jnp.right_shift(w32, 4)
+    return jnp.concatenate([lo, hi], axis=-2)
 
 
 # ---------------------------------------------------------------------------
@@ -109,6 +147,75 @@ def _dequant_matmul_pallas(x, wq, scale, *, out_dtype):
     )(x, wq, scale)
 
 
+def _dequant_matmul_int4_kernel(x_ref, w_ref, s_ref, o_ref):
+    # Unpack nibbles (split-half: concat restores natural K order),
+    # apply per-group scales via a broadcast reshape, dequantize to bf16
+    # at the MXU door. All VPU work overlaps the (halved) weight DMA.
+    w32 = w_ref[:].astype(jnp.int32)
+    lo = jnp.right_shift(jnp.left_shift(w32, 28), 28)
+    hi = jnp.right_shift(w32, 4)
+    q = jnp.concatenate([lo, hi], axis=0).astype(jnp.float32)  # [K, TN]
+    Kg, TN = s_ref.shape
+    K = q.shape[0]
+    wf = (q.reshape(Kg, K // Kg, TN) * s_ref[:][:, None, :]).reshape(K, TN)
+    o_ref[:] = jnp.dot(x_ref[:].astype(jnp.bfloat16),
+                       wf.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32
+                       ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
+def _dequant_matmul_int4_pallas(x, packed, scale, *, out_dtype,
+                                interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, K = x.shape
+    N = packed.shape[1]
+    Kg = scale.shape[0]
+    TM = _pick_tile(M, 128)
+    TN = _pick_tile(N, 256)
+    grid = (M // TM, N // TN)
+    return pl.pallas_call(
+        _dequant_matmul_int4_kernel,
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((TM, K), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((K // 2, TN), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Kg, TN), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((TM, TN), lambda i, j: (i, j),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=M * K * 2 + K * N // 2 + Kg * N * 4 + M * N * 2,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, packed, scale)
+
+
+def _dequant_matmul_int4_jnp(x2, packed, scale, out_dtype):
+    """XLA fallback (CPU tests / kernel-ineligible shapes). Materializes
+    the dequantized block — on TPU this path loses the bandwidth win, so
+    the Pallas kernel is the production route."""
+    K = x2.shape[-1]
+    Kg = scale.shape[-2]
+    q = unpack_int4(packed).astype(jnp.float32)
+    N = q.shape[-1]
+    wf = (q.reshape(Kg, K // Kg, N) * scale[:, None, :]).reshape(K, N)
+    return jnp.dot(x2, wf.astype(x2.dtype),
+                   preferred_element_type=jnp.float32).astype(out_dtype)
+
+
 @functools.cache
 def _use_pallas() -> bool:
     # XLA is the default dequant path: it fuses the int8->bf16 convert into
@@ -152,8 +259,24 @@ def dequant_matmul(x: jax.Array, wq: jax.Array, scale: jax.Array,
     K = x.shape[-1]
     N = wq.shape[-1]
     x2 = x.reshape(-1, K)
-    use_pallas = backend == "pallas" if backend else _use_pallas()
     M = x2.shape[0]
+    if wq.dtype == jnp.int8 and wq.shape[-2] * 2 == K:
+        # Grouped INT4 (packed nibbles). Unlike int8, XLA cannot fuse the
+        # group-scale multiply into the dot's operand read, so the Pallas
+        # kernel is the production path (not env-gated). Under a mesh the
+        # jnp chain is used instead: GSPMD partitions the unpack/scale/dot
+        # chain (split-half concat keeps K-sharding consistent), while a
+        # pallas_call would be replicated via all-gathered operands.
+        from vllm_neuron_tpu.ops.ragged_attention import get_attention_mesh
+        if (jax.default_backend() != "cpu" and backend != "jnp"
+                and get_attention_mesh() is None
+                and M % 8 == 0 and K % 256 == 0 and N % 128 == 0):
+            out = _dequant_matmul_int4_pallas(x2, wq, scale,
+                                              out_dtype=x.dtype)
+        else:
+            out = _dequant_matmul_int4_jnp(x2, wq, scale, x.dtype)
+        return out.reshape(*lead, N)
+    use_pallas = backend == "pallas" if backend else _use_pallas()
     min_rows = _w8a8_min_rows()
     if (min_rows and M >= min_rows and wq.dtype == jnp.int8
             and backend is None):

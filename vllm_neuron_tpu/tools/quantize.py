@@ -99,7 +99,7 @@ def main():
     p.add_argument("--model", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--quantization", required=True,
-                   choices=["int8", "fp8"])
+                   choices=["int8", "fp8", "int4"])
     p.add_argument("--dtype", default="bfloat16")
     args = p.parse_args()
     quantize_and_save(args.model, args.output, args.quantization,
