@@ -53,3 +53,20 @@ def test_llama4_greedy_matches_hf(tiny_llama4_dir):
         ref = hf_greedy(tiny_llama4_dir, p, 10)
         got = out.outputs[0].token_ids[:len(ref)]
         assert got == ref, f"prompt {p}: {got} vs {ref}"
+
+
+def test_llama4_tp2_exact(tiny_llama4_dir):
+    """Per-layer-dict param trees shard under a mesh (param_specs handles
+    the list layout): tp2 greedy == HF. Regression for the round-2 fix —
+    shard_params previously crashed on list-of-dict layers, making
+    Llama-4 unservable multi-chip."""
+    llm = LLM(model=tiny_llama4_dir, dtype="float32", max_model_len=128,
+              max_num_seqs=2, block_size=16, skip_tokenizer_init=True,
+              tensor_parallel_size=2)
+    prompts = [[5, 77, 301, 44, 12], list(range(200, 240))]
+    sp = SamplingParams(temperature=0.0, max_tokens=10, ignore_eos=True)
+    outs = llm.generate([{"prompt_token_ids": p} for p in prompts],
+                        [sp] * len(prompts))
+    for p, out in zip(prompts, outs):
+        ref = hf_greedy(tiny_llama4_dir, p, 10)
+        assert out.outputs[0].token_ids[:len(ref)] == ref

@@ -292,3 +292,42 @@ def test_quantized_image_serving(tiny_mllama_dir):
          {"prompt_token_ids": [5, 6, 7, 8]}],
         [sp, sp])
     assert all(len(o.outputs[0].token_ids) == 6 for o in outs)
+
+
+def test_mllama_tp2_image_serving(tiny_mllama_dir):
+    """Mllama (list-of-dict layers, cross-KV cache) under a tp2 mesh:
+    image + text greedy == HF (same regression class as
+    test_llama4_tp2_exact)."""
+    import torch
+    from transformers import AutoConfig, MllamaForConditionalGeneration
+
+    from vllm_neuron_tpu import LLM, SamplingParams
+
+    cfg = AutoConfig.from_pretrained(tiny_mllama_dir)
+    px, ar_ids, ar_mask = _image_inputs()
+    img_prompt = [cfg.image_token_index, 7, 8, 9, 10, 11, 12]
+    S = len(img_prompt)
+    hf = MllamaForConditionalGeneration.from_pretrained(
+        tiny_mllama_dir, torch_dtype=torch.float32)
+    hf.eval()
+    with torch.no_grad():
+        ref = hf.generate(
+            input_ids=torch.tensor([img_prompt]),
+            attention_mask=torch.ones((1, S), dtype=torch.long),
+            pixel_values=torch.tensor(px),
+            aspect_ratio_ids=torch.tensor(ar_ids, dtype=torch.long),
+            aspect_ratio_mask=torch.tensor(ar_mask, dtype=torch.long),
+            cross_attention_mask=torch.ones((1, S, 1, 4), dtype=torch.long),
+            max_new_tokens=8, do_sample=False, num_beams=1)[0, S:].tolist()
+
+    llm = LLM(model=tiny_mllama_dir, dtype="float32", max_model_len=64,
+              max_num_seqs=2, block_size=16, skip_tokenizer_init=True,
+              tensor_parallel_size=2)
+    got = llm.generate(
+        {"prompt_token_ids": img_prompt,
+         "multi_modal_data": {"pixel_values": px,
+                              "aspect_ratio_ids": ar_ids,
+                              "aspect_ratio_mask": ar_mask}},
+        SamplingParams(temperature=0.0, max_tokens=8,
+                       ignore_eos=True))[0].outputs[0].token_ids
+    assert list(got) == ref, f"{got} vs {ref}"

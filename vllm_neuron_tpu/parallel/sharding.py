@@ -94,14 +94,34 @@ def _divisible(spec: P, shape: tuple, tp: int, ep: int = 1) -> P:
     return P(*parts)
 
 
+def _layer_spec(name: str, ndim: int) -> P:
+    """Spec for one layer param. LAYER_PARAM_SPECS is written for the
+    stacked [L, ...] layout; per-layer dict models (Llama-4, Mllama) hold
+    the same tensors without the leading layer axis — drop the leading
+    None to match the rank."""
+    spec = LAYER_PARAM_SPECS.get(name, P())
+    if len(spec) == ndim + 1 and spec[0] is None:
+        return P(*spec[1:])
+    if len(spec) > ndim:
+        return P()
+    return spec
+
+
 def param_specs(params: dict) -> dict:
     specs = {}
     for name, value in params.items():
         if name == "layers":
-            specs["layers"] = {
-                k: LAYER_PARAM_SPECS.get(k, P())
-                for k in value
-            }
+            if isinstance(value, (list, tuple)):
+                # Per-layer dict layout (Llama-4 / Mllama class).
+                specs["layers"] = [
+                    {k: _layer_spec(k, getattr(v, "ndim", 0))
+                     for k, v in lp.items()} for lp in value
+                ]
+            else:
+                specs["layers"] = {
+                    k: _layer_spec(k, getattr(v, "ndim", 0))
+                    for k, v in value.items()
+                }
         elif name == "lora":
             # LoRA stacks are rank-r slivers: replicate (the base matmul's
             # activations stay sharded; XLA inserts the tiny collectives).
@@ -138,6 +158,8 @@ def shard_params(params: dict, mesh: Mesh, model=None) -> dict:
     def place(p, s):
         if isinstance(p, dict):
             return {k: place(v, s[k]) for k, v in p.items()}
+        if isinstance(p, (list, tuple)):
+            return [place(v, si) for v, si in zip(p, s)]
         return _place_global(
             p, mesh, NamedSharding(mesh, _divisible(s, p.shape, tp, ep)))
 
