@@ -108,3 +108,14 @@ def test_ep_shards_expert_weights(tiny_qwen3_moe_dir):
     shard_shape = wg.sharding.shard_shape(wg.shape)
     assert shard_shape[1] == E // 2, shard_shape  # expert axis
     assert shard_shape[3] == I // 2, shard_shape  # model axis
+
+
+def test_ep2_int8_matches_ep1_int8(tiny_qwen3_moe_dir):
+    """Quantized experts under EP: the shard_map path (scale slabs over
+    the expert axis, post-dot gather) must equal the single-device
+    quantized output exactly."""
+    base = _run(tiny_qwen3_moe_dir, quantization="int8")
+    got = _run(tiny_qwen3_moe_dir, quantization="int8",
+               expert_parallel_size=2)
+    for g, r in zip(got, base):
+        assert g == r, f"{g} vs {r}"

@@ -70,3 +70,24 @@ def test_llama4_tp2_exact(tiny_llama4_dir):
     for p, out in zip(prompts, outs):
         ref = hf_greedy(tiny_llama4_dir, p, 10)
         assert out.outputs[0].token_ids[:len(ref)] == ref
+
+
+def test_llama4_int8_generate(tiny_llama4_dir):
+    """Llama-4 quantization (previously a silent no-op): dense + shared
+    expert + routed expert stacks all carry int8 values + scales, and
+    the engine still serves."""
+    import jax.numpy as jnp
+
+    llm = LLM(model=tiny_llama4_dir, dtype="float32", max_model_len=128,
+              max_num_seqs=2, block_size=16, skip_tokenizer_init=True,
+              quantization="int8")
+    layers = llm.engine.worker.model_runner.executor.params["layers"]
+    moe_lp = next(lp for lp in layers if "router" in lp)
+    dense_lp = next(lp for lp in layers if "wg" in lp)
+    assert moe_lp["gate_up"].dtype == jnp.int8 and "gate_up_scale" in moe_lp
+    assert moe_lp["shared_wg"].dtype == jnp.int8
+    assert dense_lp["wg"].dtype == jnp.int8
+    out = llm.generate({"prompt_token_ids": [5, 77, 301, 44, 12]},
+                       SamplingParams(temperature=0.0, max_tokens=8,
+                                      ignore_eos=True))[0]
+    assert len(out.outputs[0].token_ids) == 8

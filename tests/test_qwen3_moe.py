@@ -70,3 +70,49 @@ def test_moe_ragged_equals_dense():
     dense = np.asarray(_moe_dense(x, weights, ids, wg, wu, wd))
     ragged = np.asarray(_moe_ragged(x, weights, ids, wg, wu, wd))
     np.testing.assert_allclose(ragged, dense, atol=1e-5, rtol=1e-5)
+
+
+def test_moe_quantized_scales_ragged_equals_dense():
+    """Quantized expert paths: ragged (post-dot scale gather) == dense
+    (whole-stack dequant), and both track the unquantized output."""
+    import jax
+    import jax.numpy as jnp
+
+    from vllm_neuron_tpu.ops.moe import _moe_dense, _moe_ragged, route
+    from vllm_neuron_tpu.ops.quant import quantize_per_channel
+
+    rng = np.random.default_rng(11)
+    N, H, I, E, k = 16, 32, 24, 8, 2
+    x = jnp.asarray(rng.normal(size=(N, H)), jnp.float32)
+    router = jnp.asarray(rng.normal(size=(H, E)) * 0.3, jnp.float32)
+    wg = rng.normal(size=(E, H, I)).astype(np.float32) * 0.2
+    wu = rng.normal(size=(E, H, I)).astype(np.float32) * 0.2
+    wd = rng.normal(size=(E, I, H)).astype(np.float32) * 0.2
+    weights, ids = route(x, router, k, True)
+    dense_ref = _moe_dense(x, weights, ids, jnp.asarray(wg),
+                           jnp.asarray(wu), jnp.asarray(wd))
+    qs = [quantize_per_channel(w, "int8") for w in (wg, wu, wd)]
+    qw = [jnp.asarray(q) for q, _ in qs]
+    sc = tuple(jnp.asarray(s) for _, s in qs)
+    got_d = _moe_dense(x, weights, ids, *qw, scales=sc)
+    got_r = _moe_ragged(x, weights, ids, *qw, scales=sc)
+    np.testing.assert_allclose(np.asarray(got_d), np.asarray(got_r),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_r), np.asarray(dense_ref),
+                               rtol=0.12, atol=0.02)
+
+
+def test_qwen3_moe_int8_generate(tiny_qwen3_moe_dir):
+    """INT8 through the engine: attention AND expert stacks quantized."""
+    import jax.numpy as jnp
+
+    llm = LLM(model=tiny_qwen3_moe_dir, dtype="float32", max_model_len=128,
+              max_num_seqs=2, block_size=16, skip_tokenizer_init=True,
+              quantization="int8")
+    layers = llm.engine.worker.model_runner.executor.params["layers"]
+    assert layers["we_gate"].dtype == jnp.int8
+    assert "we_gate_scale" in layers and "we_down_scale" in layers
+    out = llm.generate({"prompt_token_ids": [5, 77, 301, 44]},
+                       SamplingParams(temperature=0.0, max_tokens=8,
+                                      ignore_eos=True))[0]
+    assert len(out.outputs[0].token_ids) == 8

@@ -34,6 +34,7 @@ from vllm_neuron_tpu.config import ModelConfig
 from vllm_neuron_tpu.models.weights import iter_safetensors, transpose
 from vllm_neuron_tpu.ops.moe import moe_mlp_llama4
 from vllm_neuron_tpu.ops.norm import rms_norm
+from vllm_neuron_tpu.ops.quant import linear
 from vllm_neuron_tpu.ops.ragged_attention import (RaggedMeta,
                                                   ragged_attention,
                                                   write_kv_pages)
@@ -108,6 +109,44 @@ class Llama4ForCausalLM:
         self.sp_sharding = None
         # Expert parallelism (see LlamaForCausalLM.ep_mesh).
         self.ep_mesh = None
+        # Weight quantization: dense projections + shared expert follow
+        # the llama-family policy (int4 grouped eligible); routed expert
+        # stacks quantize per-channel int8/fp8 with scales applied inside
+        # the grouped matmul (ops/moe.py). Reference quant surface:
+        # model_loader.py:886-898.
+        self.quant = quant_config if (quant_config is not None
+                                      and quant_config.enabled) else None
+
+    DENSE_QUANTIZABLE = ("wq", "wk", "wv", "wo", "wg", "wu", "wd",
+                         "shared_wg", "shared_wu", "shared_wd")
+    EXPERT_QUANTIZABLE = ("gate_up", "down")
+
+    def _quantize_layers(self, layers: list[dict]) -> None:
+        if self.quant is None:
+            return
+        from vllm_neuron_tpu.ops.quant import (quantize_int4_grouped,
+                                               quantize_per_channel)
+        skip = set(self.quant.modules_to_not_convert)
+        q8 = ("int8" if self.quant.quantization == "int4"
+              else self.quant.quantization)
+        for lp in layers:
+            for name in self.DENSE_QUANTIZABLE:
+                if name in skip or name not in lp:
+                    continue
+                if self.quant.quantization == "int4":
+                    wq, s = quantize_int4_grouped(
+                        np.asarray(lp[name]), self.quant.int4_group_size)
+                else:
+                    wq, s = quantize_per_channel(np.asarray(lp[name]),
+                                                 self.quant.quantization)
+                lp[name] = wq
+                lp[name + "_scale"] = s
+            for name in self.EXPERT_QUANTIZABLE:
+                if name in skip or name not in lp:
+                    continue
+                wq, s = quantize_per_channel(np.asarray(lp[name]), q8)
+                lp[name] = wq
+                lp[name + "_scale"] = s
 
     # ------------------------------------------------------------------
 
@@ -167,6 +206,7 @@ class Llama4ForCausalLM:
             params["lm_head"] = np.ascontiguousarray(params["embed"].T)
         else:
             params["lm_head"] = get("lm_head.weight", transpose)
+        self._quantize_layers(layers)
         return jax.tree.map(jnp.asarray, params)
 
     def random_params(self, rng: jax.Array, scale: float = 0.02) -> dict:
@@ -205,12 +245,15 @@ class Llama4ForCausalLM:
                 lp.update({"wg": w((H, Im)), "wu": w((H, Im)),
                            "wd": w((Im, H))})
             layers.append(lp)
-        return {
+        # Tiny shapes only (tests/dryrun): quantize host-side like
+        # load_params.
+        self._quantize_layers(layers)
+        return jax.tree.map(jnp.asarray, {
             "embed": w((self.vocab_size, H)),
             "final_norm": jnp.ones((H,), self.dtype),
             "lm_head": w((H, self.vocab_size)),
             "layers": layers,
-        }
+        })
 
     # ------------------------------------------------------------------
 
@@ -238,9 +281,9 @@ class Llama4ForCausalLM:
 
         for l, lp in enumerate(params["layers"]):
             h = rms_norm(x, lp["attn_norm"], self.rms_eps)
-            q = (h @ lp["wq"]).reshape(N, nH, D)
-            k = (h @ lp["wk"]).reshape(N, nKV, D)
-            v = (h @ lp["wv"]).reshape(N, nKV, D)
+            q = linear(h, lp, "wq").reshape(N, nH, D)
+            k = linear(h, lp, "wk").reshape(N, nKV, D)
+            v = linear(h, lp, "wv").reshape(N, nKV, D)
             use_rope = self.use_rope[l]
             if use_rope:
                 q, k = _interleaved_rope(q, k, positions, self.inv_freq)
@@ -264,18 +307,22 @@ class Llama4ForCausalLM:
             attn = ragged_attention(q, kv_flat, meta_l, self.scale,
                                     self.sliding_window, kind=kind,
                                     backend=attn_backend, chunk_size=chunk)
-            x = x + attn.reshape(N, nH * D) @ lp["wo"]
+            x = x + linear(attn.reshape(N, nH * D), lp, "wo")
             h = rms_norm(x, lp["mlp_norm"], self.rms_eps)
             if "router" in lp:
+                scales = None
+                if "gate_up_scale" in lp:
+                    scales = (lp["gate_up_scale"], lp["down_scale"])
                 routed = moe_mlp_llama4(h, lp["router"], lp["gate_up"],
                                         lp["down"], self.top_k,
-                                        ep_mesh=self.ep_mesh)
-                shared = (jax.nn.silu(h @ lp["shared_wg"]) *
-                          (h @ lp["shared_wu"])) @ lp["shared_wd"]
+                                        ep_mesh=self.ep_mesh,
+                                        scales=scales)
+                shared = linear(jax.nn.silu(linear(h, lp, "shared_wg")) *
+                                linear(h, lp, "shared_wu"), lp, "shared_wd")
                 x = x + shared + routed
             else:
-                x = x + (jax.nn.silu(h @ lp["wg"]) *
-                         (h @ lp["wu"])) @ lp["wd"]
+                x = x + linear(jax.nn.silu(linear(h, lp, "wg")) *
+                               linear(h, lp, "wu"), lp, "wd")
         return x, kv_flat.reshape(L, pages, page_size, combined, Dp)
 
     def compute_logits(self, params: dict, hidden: jax.Array) -> jax.Array:

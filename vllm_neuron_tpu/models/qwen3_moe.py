@@ -41,8 +41,27 @@ class Qwen3MoeForCausalLM(LlamaForCausalLM):
         if sparse_step != 1 or mlp_only:
             raise NotImplementedError(
                 "mixed dense/sparse Qwen3-MoE layers not supported yet")
-        # MoE expert weights stay in the model dtype (routed matmuls);
-        # quantization currently covers the attention projections only.
+
+    # Expert stacks quantize per-channel (int8/fp8 — ragged_dot applies
+    # the scale post-dot, ops/moe.py). Under quantization="int4" the
+    # experts use int8: the grouped-int4 kernel covers dense projections
+    # only.
+    EXPERT_QUANTIZABLE = ("we_gate", "we_up", "we_down")
+
+    def _quantize_layer_params(self, layers: dict) -> None:
+        super()._quantize_layer_params(layers)
+        if self.quant is None:
+            return
+        from vllm_neuron_tpu.ops.quant import quantize_per_channel
+        q = ("int8" if self.quant.quantization == "int4"
+             else self.quant.quantization)
+        skip = set(self.quant.modules_to_not_convert)
+        for name in self.EXPERT_QUANTIZABLE:
+            if name in skip or name not in layers:
+                continue
+            wq, s = quantize_per_channel(np.asarray(layers[name]), q)
+            layers[name] = wq
+            layers[name + "_scale"] = s
 
     # ------------------------------------------------------------------
 
@@ -103,15 +122,34 @@ class Qwen3MoeForCausalLM(LlamaForCausalLM):
                     scale).astype(self.dtype)
 
         layers["router"] = w((L, H, E))
-        layers["we_gate"] = w((L, E, H, Ie))
-        layers["we_up"] = w((L, E, H, Ie))
-        layers["we_down"] = w((L, E, Ie, H))
+        expert = {"we_gate": w((L, E, H, Ie)), "we_up": w((L, E, H, Ie)),
+                  "we_down": w((L, E, Ie, H))}
+        if self.quant is not None:
+            # Host-side re-quantization (random params serve tests/dryrun
+            # at tiny scale; large-scale random MoE isn't a bench config).
+            from vllm_neuron_tpu.ops.quant import quantize_per_channel
+            q = ("int8" if self.quant.quantization == "int4"
+                 else self.quant.quantization)
+            skip = set(self.quant.modules_to_not_convert)
+            for name, wv in expert.items():
+                if name in skip:
+                    layers[name] = wv
+                    continue
+                wq, s = quantize_per_channel(np.asarray(wv), q)
+                layers[name] = jnp.asarray(wq)
+                layers[name + "_scale"] = jnp.asarray(s)
+        else:
+            layers.update(expert)
         return params
 
     # ------------------------------------------------------------------
 
     def _mlp(self, lp: dict, h: jax.Array) -> jax.Array:
+        scales = None
+        if "we_gate_scale" in lp:
+            scales = (lp["we_gate_scale"], lp["we_up_scale"],
+                      lp["we_down_scale"])
         return moe_mlp(h, lp["router"], lp["we_gate"], lp["we_up"],
                        lp["we_down"], top_k=self.top_k,
                        norm_topk_prob=self.norm_topk_prob,
-                       ep_mesh=self.ep_mesh)
+                       ep_mesh=self.ep_mesh, scales=scales)

@@ -38,11 +38,36 @@ def route(x: jax.Array, router_w: jax.Array, top_k: int,
     return weights, ids.astype(jnp.int32)
 
 
-def _moe_dense(x, weights, ids, we_gate, we_up, we_down):
+def _dq(w, scale, dtype):
+    """Dequantize a whole expert stack [E, K, N] (dense/test path; the
+    ragged path scales per-row after the dot instead)."""
+    if scale is None:
+        return w
+    return (w.astype(jnp.float32) * scale).astype(dtype)
+
+
+def _rdot(xs, w, scale, sid, group_sizes):
+    """ragged_dot with optional per-channel expert quantization: weights
+    stay int8/fp8 in HBM (the dtype convert fuses into the dot's operand
+    read, as in ops/quant.py); the per-channel scale is applied AFTER the
+    dot, gathered per sorted row's expert (sid [M])."""
+    out = jax.lax.ragged_dot(xs, w if scale is None else w.astype(xs.dtype),
+                             group_sizes,
+                             preferred_element_type=jnp.float32)
+    if scale is not None:
+        out = out * scale[sid, 0]  # [M, N] f32
+    return out
+
+
+def _moe_dense(x, weights, ids, we_gate, we_up, we_down, scales=None):
     """One-hot dense fallback: exact, O(E) FLOPs overhead — test scale."""
     N, H = x.shape
     E = we_gate.shape[0]
     k = ids.shape[1]
+    gs, us, ds = scales or (None, None, None)
+    we_gate = _dq(we_gate, gs, x.dtype)
+    we_up = _dq(we_up, us, x.dtype)
+    we_down = _dq(we_down, ds, x.dtype)
     onehot = jax.nn.one_hot(ids, E, dtype=jnp.float32)  # [N, k, E]
     combine = jnp.einsum("nke,nk->ne", onehot, weights)  # [N, E]
     xf = x.astype(we_gate.dtype)
@@ -53,25 +78,24 @@ def _moe_dense(x, weights, ids, we_gate, we_up, we_down):
     return jnp.einsum("neh,ne->nh", out.astype(jnp.float32), combine)
 
 
-def _moe_ragged(x, weights, ids, we_gate, we_up, we_down):
+def _moe_ragged(x, weights, ids, we_gate, we_up, we_down, scales=None):
     """Sorted grouped-matmul path: flatten (token, expert) pairs, sort by
     expert, ragged_dot per projection, unsort, combine."""
     N, H = x.shape
     E = we_gate.shape[0]
     k = ids.shape[1]
+    gs, us, ds = scales or (None, None, None)
     flat_ids = ids.reshape(-1)  # [N*k]
     order = jnp.argsort(flat_ids)  # stable
     inv_order = jnp.argsort(order)
     token_idx = jnp.arange(N * k, dtype=jnp.int32) // k
     xs = x[token_idx[order]]  # [N*k, H] sorted by expert
+    sid = flat_ids[order]  # [N*k] expert of each sorted row
     group_sizes = jnp.bincount(flat_ids, length=E).astype(jnp.int32)
-    gate = jax.lax.ragged_dot(xs, we_gate, group_sizes,
-                              preferred_element_type=jnp.float32)
-    up = jax.lax.ragged_dot(xs, we_up, group_sizes,
-                            preferred_element_type=jnp.float32)
+    gate = _rdot(xs, we_gate, gs, sid, group_sizes)
+    up = _rdot(xs, we_up, us, sid, group_sizes)
     act = (jax.nn.silu(gate) * up).astype(x.dtype)
-    out = jax.lax.ragged_dot(act, we_down, group_sizes,
-                             preferred_element_type=jnp.float32)  # [N*k, H]
+    out = _rdot(act, we_down, ds, sid, group_sizes)  # [N*k, H]
     out = out[inv_order].reshape(N, k, H)
     return jnp.einsum("nkh,nk->nh", out, weights)
 
@@ -79,25 +103,30 @@ def _moe_ragged(x, weights, ids, we_gate, we_up, we_down):
 def moe_mlp_llama4(x: jax.Array, router_w: jax.Array, gate_up: jax.Array,
                    down: jax.Array, top_k: int,
                    backend: Optional[str] = None,
-                   ep_mesh: Optional[Mesh] = None) -> jax.Array:
+                   ep_mesh: Optional[Mesh] = None,
+                   scales: Optional[tuple] = None) -> jax.Array:
     """Llama-4 MoE: router scores are sigmoid(top-k logits) applied to the
     EXPERT INPUT (x * score), outputs summed over the selected experts
     (shared expert handled by the caller). gate_up: [E, H, 2I] fused;
-    down: [E, I, H]."""
+    down: [E, I, H]. scales: optional (gate_up_scale [E, 1, 2I],
+    down_scale [E, 1, H]) per-channel quantization scales."""
     N, H = x.shape
     E = gate_up.shape[0]
-    I = gate_up.shape[2] // 2
+    gus, ds = scales or (None, None)
     logits = jnp.dot(x.astype(jnp.float32), router_w.astype(jnp.float32),
                      preferred_element_type=jnp.float32)  # [N, E]
     top_vals, ids = jax.lax.top_k(logits, top_k)
     scores = jax.nn.sigmoid(top_vals)  # [N, k]
     if ep_mesh is not None and ep_mesh.shape.get(EXPERT_AXIS, 1) > 1:
         return _moe_ep_llama4(x, scores, ids.astype(jnp.int32), gate_up,
-                              down, ep_mesh, backend).astype(x.dtype)
+                              down, ep_mesh, backend,
+                              scales).astype(x.dtype)
     if backend is None:
         backend = "ragged" if jax.devices()[0].platform == "tpu" else "dense"
-    xf = x.astype(gate_up.dtype)
     if backend == "dense":
+        gate_up = _dq(gate_up, gus, x.dtype)
+        down = _dq(down, ds, x.dtype)
+        xf = x.astype(gate_up.dtype)
         onehot = jax.nn.one_hot(ids, E, dtype=jnp.float32)  # [N, k, E]
         xin = xf[:, None] * scores[:, :, None].astype(xf.dtype)  # [N, k, H]
         gu = jnp.einsum("nkh,ehi->nkei", xin, gate_up)
@@ -106,19 +135,19 @@ def moe_mlp_llama4(x: jax.Array, router_w: jax.Array, gate_up: jax.Array,
         out = jnp.einsum("nkei,eih->nkeh", act, down)
         out = jnp.einsum("nkeh,nke->nh", out.astype(jnp.float32), onehot)
         return out.astype(x.dtype)
+    xf = x.astype(gate_up.dtype) if gus is None else x
     flat_ids = ids.reshape(-1)
     order = jnp.argsort(flat_ids)
     inv_order = jnp.argsort(order)
     token_idx = jnp.arange(N * top_k, dtype=jnp.int32) // top_k
     xin = (xf * 1.0)[token_idx] * scores.reshape(-1, 1).astype(xf.dtype)
     xs = xin[order]
+    sid = flat_ids[order]
     group_sizes = jnp.bincount(flat_ids, length=E).astype(jnp.int32)
-    gu = jax.lax.ragged_dot(xs, gate_up, group_sizes,
-                            preferred_element_type=jnp.float32)
+    gu = _rdot(xs, gate_up, gus, sid, group_sizes)
     gate, up = jnp.split(gu, 2, axis=-1)
     act = (jax.nn.silu(gate) * up).astype(x.dtype)
-    out = jax.lax.ragged_dot(act, down, group_sizes,
-                             preferred_element_type=jnp.float32)
+    out = _rdot(act, down, ds, sid, group_sizes)
     out = out[inv_order].reshape(N, top_k, H).sum(axis=1)
     return out.astype(x.dtype)
 
@@ -127,21 +156,24 @@ def moe_mlp(x: jax.Array, router_w: jax.Array, we_gate: jax.Array,
             we_up: jax.Array, we_down: jax.Array, top_k: int,
             norm_topk_prob: bool = True,
             backend: Optional[str] = None,
-            ep_mesh: Optional[Mesh] = None) -> jax.Array:
+            ep_mesh: Optional[Mesh] = None,
+            scales: Optional[tuple] = None) -> jax.Array:
     """x: [N, H]; router_w: [H, E]; we_gate/we_up: [E, H, I];
     we_down: [E, I, H]. Returns [N, H] in x.dtype. With ``ep_mesh`` set
     (expert-axis size > 1) the expert compute runs under shard_map with
-    experts partitioned over the "expert" mesh axis."""
+    experts partitioned over the "expert" mesh axis. scales: optional
+    (gate_scale, up_scale, down_scale) per-channel [E, 1, N] quantization
+    scales (reference MoE quant surface: model_loader.py:886-898)."""
     weights, ids = route(x, router_w, top_k, norm_topk_prob)
     if ep_mesh is not None and ep_mesh.shape.get(EXPERT_AXIS, 1) > 1:
         return _moe_ep(x, weights, ids, we_gate, we_up, we_down,
-                       ep_mesh, backend).astype(x.dtype)
+                       ep_mesh, backend, scales).astype(x.dtype)
     if backend is None:
         backend = "ragged" if jax.devices()[0].platform == "tpu" else "dense"
     if backend == "ragged":
-        out = _moe_ragged(x, weights, ids, we_gate, we_up, we_down)
+        out = _moe_ragged(x, weights, ids, we_gate, we_up, we_down, scales)
     else:
-        out = _moe_dense(x, weights, ids, we_gate, we_up, we_down)
+        out = _moe_dense(x, weights, ids, we_gate, we_up, we_down, scales)
     return out.astype(x.dtype)
 
 
@@ -171,24 +203,25 @@ def _local_pairs(ids: jax.Array, weights: jax.Array, e_local: int):
     return jnp.clip(lids, 0, e_local - 1), jnp.where(sel, weights, 0.0), sel
 
 
-def _ep_ffn(xs: jax.Array, group_sizes: jax.Array, wg_l, wu_l, wd_l):
+def _ep_ffn(xs: jax.Array, group_sizes: jax.Array, wg_l, wu_l, wd_l,
+            scales=(None, None, None), sid=None):
     """Grouped FFN over a local expert slab: xs [M, H] sorted by local
     expert, group_sizes [E_local] (+ padding rows folded into the last
-    group so every row has a defined group)."""
+    group so every row has a defined group). scales/sid: optional
+    per-channel expert quantization (foreign rows' garbage scales are
+    discarded by the caller's zero combine weights)."""
     M = xs.shape[0]
+    gs_l, us_l, ds_l = scales
     leftover = M - jnp.sum(group_sizes)
     group_sizes = group_sizes.at[-1].add(leftover)
-    gate = jax.lax.ragged_dot(xs, wg_l, group_sizes,
-                              preferred_element_type=jnp.float32)
-    up = jax.lax.ragged_dot(xs, wu_l, group_sizes,
-                            preferred_element_type=jnp.float32)
+    gate = _rdot(xs, wg_l, gs_l, sid, group_sizes)
+    up = _rdot(xs, wu_l, us_l, sid, group_sizes)
     act = (jax.nn.silu(gate) * up).astype(xs.dtype)
-    return jax.lax.ragged_dot(act, wd_l, group_sizes,
-                              preferred_element_type=jnp.float32)  # [M, H]
+    return _rdot(act, wd_l, ds_l, sid, group_sizes)  # [M, H]
 
 
 def _moe_ep(x, weights, ids, we_gate, we_up, we_down, mesh: Mesh,
-            backend: Optional[str]):
+            backend: Optional[str], scales: Optional[tuple] = None):
     E, _, I = we_gate.shape
     ep = mesh.shape[EXPERT_AXIS]
     tp = mesh.shape[MODEL_AXIS]
@@ -197,10 +230,16 @@ def _moe_ep(x, weights, ids, we_gate, we_up, we_down, mesh: Mesh,
     psum_axes = (EXPERT_AXIS,) + ((MODEL_AXIS,) if i_shard else ())
     if backend is None:
         backend = "ragged" if jax.devices()[0].platform == "tpu" else "dense"
+    gs, us, ds = scales or (None, None, None)
+    quant = gs is not None
 
-    def body(xl, w, ids, wg_l, wu_l, wd_l):
+    def body(xl, w, ids, wg_l, wu_l, wd_l, *scl):
         lids, wl, sel = _local_pairs(ids, w, e_local)
+        gs_l, us_l, ds_l = scl if quant else (None, None, None)
         if backend == "dense":
+            wg_l = _dq(wg_l, gs_l, xl.dtype)
+            wu_l = _dq(wu_l, us_l, xl.dtype)
+            wd_l = _dq(wd_l, ds_l, xl.dtype)
             onehot = jax.nn.one_hot(lids, e_local, dtype=jnp.float32)
             combine = jnp.einsum("nke,nk->ne", onehot,
                                  wl.astype(jnp.float32))
@@ -220,32 +259,38 @@ def _moe_ep(x, weights, ids, we_gate, we_up, we_down, mesh: Mesh,
             inv_order = jnp.argsort(order)
             token_idx = jnp.arange(N * k, dtype=jnp.int32) // k
             xs = xl[token_idx[order]]
+            sid = jnp.clip(flat_l[order], 0, e_local - 1)
             group_sizes = jnp.bincount(
                 jnp.where(sel.reshape(-1), flat_l, e_local),
                 length=e_local).astype(jnp.int32)
-            out = _ep_ffn(xs, group_sizes, wg_l, wu_l, wd_l)
+            out = _ep_ffn(xs, group_sizes, wg_l, wu_l, wd_l,
+                          (gs_l, us_l, ds_l), sid)
             out = out[inv_order].reshape(N, k, -1)
             out = jnp.einsum("nkh,nk->nh", out, wl.astype(jnp.float32))
         return jax.lax.psum(out, psum_axes)
 
+    w_specs = (P(EXPERT_AXIS, None, i_shard),
+               P(EXPERT_AXIS, None, i_shard),
+               P(EXPERT_AXIS, i_shard, None))
+    s_specs = (P(EXPERT_AXIS, None, i_shard),
+               P(EXPERT_AXIS, None, i_shard),
+               P(EXPERT_AXIS, None, None)) if quant else ()
     f = jax.shard_map(
         body, mesh=mesh, axis_names={EXPERT_AXIS, MODEL_AXIS},
-        in_specs=(P(), P(), P(),
-                  P(EXPERT_AXIS, None, i_shard),
-                  P(EXPERT_AXIS, None, i_shard),
-                  P(EXPERT_AXIS, i_shard, None)),
+        in_specs=(P(), P(), P()) + w_specs + s_specs,
         out_specs=P(), check_vma=False)
-    return f(x, weights, ids, we_gate, we_up, we_down)
+    args = (x, weights, ids, we_gate, we_up, we_down)
+    if quant:
+        args = args + (gs, us, ds)
+    return f(*args)
 
 
 def _moe_ep_llama4(x, scores, ids, gate_up, down, mesh: Mesh,
-                   backend: Optional[str]):
+                   backend: Optional[str], scales: Optional[tuple] = None):
     """Llama-4 routed experts under EP: sigmoid score scales the expert
     INPUT; outputs sum over selected experts (weight 1 at combine)."""
     E, _, I2 = gate_up.shape
-    I = I2 // 2
     ep = mesh.shape[EXPERT_AXIS]
-    tp = mesh.shape[MODEL_AXIS]
     e_local = E // ep
     # gate_up is [E, H, 2I] fused: a model-axis shard must slice gate and
     # up halves together, which P on the last dim cannot express — keep the
@@ -255,13 +300,20 @@ def _moe_ep_llama4(x, scores, ids, gate_up, down, mesh: Mesh,
     psum_axes = (EXPERT_AXIS,)
     if backend is None:
         backend = "ragged" if jax.devices()[0].platform == "tpu" else "dense"
+    gus, ds = scales or (None, None)
+    quant = gus is not None
 
-    def body(xl, sc, ids, gu_l, dn_l):
+    def body(xl, sc, ids, gu_l, dn_l, *scl):
+        gus_l, ds_l = scl if quant else (None, None)
         ones = jnp.ones_like(sc)
         lids, wl, sel = _local_pairs(ids, ones, e_local)
-        xin = xl[:, None, :] * sc[:, :, None].astype(xl.dtype)  # [N, k, H]
-        xin = jnp.where(sel[:, :, None], xin, 0).astype(gu_l.dtype)
         if backend == "dense":
+            gu_l = _dq(gu_l, gus_l, xl.dtype)
+            dn_l = _dq(dn_l, ds_l, xl.dtype)
+        xin = xl[:, None, :] * sc[:, :, None].astype(xl.dtype)  # [N, k, H]
+        xin = jnp.where(sel[:, :, None], xin, 0)
+        if backend == "dense":
+            xin = xin.astype(gu_l.dtype)
             # xin is already zeroed for non-local pairs; the one-hot picks
             # each pair's expert slot (combine weight is 1 for Llama-4).
             onehot = jax.nn.one_hot(lids, e_local, dtype=jnp.float32)
@@ -273,31 +325,36 @@ def _moe_ep_llama4(x, scores, ids, gate_up, down, mesh: Mesh,
                              onehot)
         else:
             N, k = ids.shape
+            xin = xin.astype(xl.dtype)
             flat_l = lids.reshape(-1)
             key = jnp.where(sel.reshape(-1), flat_l, e_local)
             order = jnp.argsort(key)
             inv_order = jnp.argsort(order)
             xs = xin.reshape(N * k, -1)[order]
+            sid = jnp.clip(flat_l[order], 0, e_local - 1)
             group_sizes = jnp.bincount(
                 jnp.where(sel.reshape(-1), flat_l, e_local),
                 length=e_local).astype(jnp.int32)
             M = xs.shape[0]
             leftover = M - jnp.sum(group_sizes)
             group_sizes = group_sizes.at[-1].add(leftover)
-            gu = jax.lax.ragged_dot(xs, gu_l, group_sizes,
-                                    preferred_element_type=jnp.float32)
+            gu = _rdot(xs, gu_l, gus_l, sid, group_sizes)
             gate, up = jnp.split(gu, 2, axis=-1)
             act = (jax.nn.silu(gate) * up).astype(xs.dtype)
-            out = jax.lax.ragged_dot(act, dn_l, group_sizes,
-                                     preferred_element_type=jnp.float32)
+            out = _rdot(act, dn_l, ds_l, sid, group_sizes)
             out = out[inv_order].reshape(N, k, -1)
             out = jnp.einsum("nkh,nk->nh", out, wl.astype(jnp.float32))
         return jax.lax.psum(out, psum_axes)
 
+    w_specs = (P(EXPERT_AXIS, None, i_shard),
+               P(EXPERT_AXIS, i_shard, None))
+    s_specs = (P(EXPERT_AXIS, None, None),
+               P(EXPERT_AXIS, None, None)) if quant else ()
     f = jax.shard_map(
         body, mesh=mesh, axis_names={EXPERT_AXIS, MODEL_AXIS},
-        in_specs=(P(), P(), P(),
-                  P(EXPERT_AXIS, None, i_shard),
-                  P(EXPERT_AXIS, i_shard, None)),
+        in_specs=(P(), P(), P()) + w_specs + s_specs,
         out_specs=P(), check_vma=False)
-    return f(x, scores, ids, gate_up, down)
+    args = (x, scores, ids, gate_up, down)
+    if quant:
+        args = args + (gus, ds)
+    return f(*args)

@@ -71,6 +71,17 @@ LAYER_PARAM_SPECS = {
     "shared_wg": P(None, None, MODEL_AXIS),
     "shared_wu": P(None, None, MODEL_AXIS),
     "shared_wd": P(None, MODEL_AXIS, None),
+    # Expert quantization scales ([.., E, 1, N]) follow their weight's
+    # expert/output-dim sharding; row-parallel (down) scales replicate
+    # their channel dim.
+    "we_gate_scale": P(None, EXPERT_AXIS, None, MODEL_AXIS),
+    "we_up_scale": P(None, EXPERT_AXIS, None, MODEL_AXIS),
+    "we_down_scale": P(None, EXPERT_AXIS, None, None),
+    "gate_up_scale": P(None, EXPERT_AXIS, None, MODEL_AXIS),
+    "down_scale": P(None, EXPERT_AXIS, None, None),
+    "shared_wg_scale": P(None, None, MODEL_AXIS),
+    "shared_wu_scale": P(None, None, MODEL_AXIS),
+    "shared_wd_scale": P(),
 }
 
 TOP_PARAM_SPECS = {
