@@ -22,3 +22,7 @@ AB_ROWBLOCK_RS=1,2 \
 # Phase 4: async decode-window chaining (hides the host RTT per window).
 # BENCH_ASYNC_DECODE=1 VLLM_TPU_DECODE_KERNEL=rowblock \
 #   timeout 6000 python bench.py
+
+# Phase 5: packed single-transfer window dispatch (tunnel h2d cost).
+# VLLM_TPU_PACKED_H2D=1 VLLM_TPU_DECODE_KERNEL=rowblock \
+#   timeout 6000 python bench.py

@@ -187,3 +187,31 @@ def test_abort_midflight(llm):
                        SamplingParams(temperature=0.0, max_tokens=4,
                                       ignore_eos=True))[0]
     assert len(out.outputs[0].token_ids) == 4
+
+
+def test_packed_h2d_window_exact(tiny_llama_dir):
+    """VLLM_TPU_PACKED_H2D=1 (single packed transfer + device unpack per
+    decode window) must be bit-exact with the per-array path."""
+    import os
+
+    from vllm_neuron_tpu.worker import executor as ex
+
+    prompts = [[5, 77, 301, 44, 12], list(range(300, 340)), [7, 8, 9]]
+    sp = SamplingParams(temperature=0.0, max_tokens=12, ignore_eos=True)
+
+    def run():
+        llm = LLM(model=tiny_llama_dir, dtype="float32", max_model_len=128,
+                  max_num_seqs=4, block_size=16, skip_tokenizer_init=True)
+        outs = llm.generate([{"prompt_token_ids": p} for p in prompts],
+                            [sp] * len(prompts))
+        return [o.outputs[0].token_ids for o in outs]
+
+    base = run()
+    os.environ["VLLM_TPU_PACKED_H2D"] = "1"
+    ex._packed_h2d.cache_clear()
+    try:
+        packed = run()
+    finally:
+        del os.environ["VLLM_TPU_PACKED_H2D"]
+        ex._packed_h2d.cache_clear()
+    assert packed == base, f"{packed} vs {base}"

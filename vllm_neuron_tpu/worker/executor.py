@@ -42,6 +42,33 @@ from vllm_neuron_tpu.utils import cdiv, init_logger
 logger = init_logger(__name__)
 
 
+@functools.cache
+def _packed_h2d() -> bool:
+    # Pack the decode window's ~10 small host arrays into ONE [R, N] i32
+    # transfer + one jitted unpack (the axon tunnel charges per transfer —
+    # PERF_NOTES "h2d small-array transfers: ~3 ms for ~10 arrays").
+    # Opt-in pending on-chip A/B (perf/tpu_sweep.sh).
+    return os.environ.get("VLLM_TPU_PACKED_H2D") == "1"
+
+
+def _unpack_window(rows, *, K: int):
+    """Split the packed [7+K+PP, N] i32 window buffer back into the step
+    arrays, entirely on device (one dispatch)."""
+    toks = rows[0]
+    pos0 = rows[1]
+    kv0 = rows[2]
+    tk = rows[3]
+    temp = jax.lax.bitcast_convert_type(rows[4], jnp.float32)
+    tp = jax.lax.bitcast_convert_type(rows[5], jnp.float32)
+    ad = rows[6]
+    slots = rows[7:7 + K]
+    pages = rows[7 + K:].T
+    steps = jnp.arange(K, dtype=jnp.int32)[:, None]
+    kv_all = jnp.where(kv0[None] > 0, kv0[None] + steps, 0)
+    pos_all = pos0[None] + steps
+    return toks, pos_all, kv_all, slots, pages, temp, tk, tp, ad
+
+
 @dataclass(frozen=True)
 class KVCacheSpec:
     num_layers: int
@@ -333,23 +360,53 @@ class ModelExecutor:
         key = ("step", "decode", N, page_indices.shape, False, cross)
         fn = self._get_fn(
             key, lambda: self._build_step("decode", False, cross=cross))
-        # One host->device transfer for the whole window.
-        active = kv_lens0 > 0
-        kv_lens_all = jnp.asarray(
-            np.where(active[None], kv_lens0[None] +
-                     np.arange(K, dtype=np.int32)[:, None], 0))
-        positions_all = jnp.asarray(
-            positions0[None] + np.arange(K, dtype=np.int32)[:, None])
-        slot_dev = jnp.asarray(slot_table)
-        pi = jnp.asarray(page_indices)
+        if _packed_h2d():
+            # ONE host->device transfer for the whole window: every small
+            # int/float row is packed into a single [R, N] i32 buffer and
+            # unpacked by one jitted device program (the axon tunnel
+            # charges per transfer; PERF_NOTES "h2d small-array
+            # transfers"). Token carry (device array, async chaining)
+            # bypasses the pack.
+            PP = page_indices.shape[1]
+            rows = np.empty((7 + K + PP, N), np.int32)
+            rows[0] = (first_tokens if isinstance(first_tokens, np.ndarray)
+                       else 0)
+            rows[1] = positions0
+            rows[2] = kv_lens0
+            rows[3] = top_k
+            rows[4] = temperature.view(np.int32)
+            rows[5] = top_p.view(np.int32)
+            rows[6] = adapter_ids if adapter_ids is not None else 0
+            rows[7:7 + K] = slot_table
+            rows[7 + K:] = page_indices.T
+            unpack = self._get_fn(
+                ("unpack_window", K, N, PP),
+                lambda: jax.jit(_unpack_window, static_argnames=("K",)))
+            (toks_p, positions_all, kv_lens_all, slot_dev, pi, temp, tk,
+             tp, ad_p) = unpack(jnp.asarray(rows), K=K)
+            toks = (toks_p if isinstance(first_tokens, np.ndarray)
+                    else first_tokens)
+            ad = ad_p if adapter_ids is not None else None
+        else:
+            # Per-array transfers (direct-attached hosts: issue cost is
+            # negligible and skipping the unpack program wins).
+            active = kv_lens0 > 0
+            kv_lens_all = jnp.asarray(
+                np.where(active[None], kv_lens0[None] +
+                         np.arange(K, dtype=np.int32)[:, None], 0))
+            positions_all = jnp.asarray(
+                positions0[None] + np.arange(K, dtype=np.int32)[:, None])
+            slot_dev = jnp.asarray(slot_table)
+            pi = jnp.asarray(page_indices)
+            temp = jnp.asarray(temperature)
+            tk = jnp.asarray(top_k)
+            tp = jnp.asarray(top_p)
+            toks = jnp.asarray(first_tokens)
+            ad = (jnp.asarray(adapter_ids) if adapter_ids is not None
+                  else None)
         cu = jnp.arange(N + 1, dtype=jnp.int32)
         li = jnp.arange(N, dtype=jnp.int32)
         ns = jnp.asarray([num_seqs], jnp.int32)
-        temp = jnp.asarray(temperature)
-        tk = jnp.asarray(top_k)
-        tp = jnp.asarray(top_p)
-        toks = jnp.asarray(first_tokens)
-        ad = (jnp.asarray(adapter_ids) if adapter_ids is not None else None)
         extra = ()
         if cross:
             extra = (self.cross_kv, self.cross_valid,
