@@ -205,3 +205,36 @@ def test_w8a8_threshold_gating(monkeypatch):
         assert rel.mean() < 0.02
     finally:
         quant._w8a8_min_rows.cache_clear()
+
+
+def test_quantized_lm_head(tiny_llama_dir):
+    """Opt-in int8 head (override_tpu_config quantize_lm_head): params
+    carry the int8 head + scale, generation runs, and tp2 equals tp1."""
+    import jax.numpy as jnp
+
+    def run(**kw):
+        llm = LLM(model=tiny_llama_dir, dtype="float32", max_model_len=128,
+                  max_num_seqs=2, block_size=16, skip_tokenizer_init=True,
+                  quantization="int8",
+                  override_tpu_config={"quantize_lm_head": True}, **kw)
+        out = llm.generate({"prompt_token_ids": [5, 77, 301, 44]},
+                           SamplingParams(temperature=0.0, max_tokens=8,
+                                          ignore_eos=True))[0]
+        return llm, list(out.outputs[0].token_ids)
+
+    llm, toks = run()
+    params = llm.engine.worker.model_runner.executor.params
+    assert params["lm_head"].dtype == jnp.int8
+    assert params["lm_head_scale"].shape[0] == 1
+    assert len(toks) == 8
+    _, toks_tp = run(tensor_parallel_size=2)
+    assert toks_tp == toks
+
+
+def test_quantized_lm_head_nll_delta(tiny_llama_dir, nll_f32):
+    llm_q = LLM(model=tiny_llama_dir, dtype="float32", max_model_len=128,
+                max_num_seqs=2, block_size=16, skip_tokenizer_init=True,
+                quantization="int8",
+                override_tpu_config={"quantize_lm_head": True})
+    delta = abs(_avg_nll(llm_q, STREAM) - nll_f32)
+    assert delta <= 0.06, f"int8 lm_head NLL delta {delta:.4f} too large"

@@ -397,6 +397,11 @@ class QuantConfig:
     # weight-HBM-bound, so int4 halves the per-step floor again below the
     # reference's int8/fp8 surface. Group size along the input dim.
     int4_group_size: int = 128
+    # Opt-in int8 per-channel lm_head (common convention keeps the head
+    # high-precision; at 8B the bf16 head is ~1 GB of decode HBM traffic
+    # per step). The per-channel scale applies post-dot so logits stay
+    # f32-accumulated.
+    quantize_lm_head: bool = False
     kv_cache_quant: bool = False
     # W8A8: programs with >= this many token rows quantize activations
     # per-token (symmetric int8) and run s8xs8 on the MXU at 2x the bf16

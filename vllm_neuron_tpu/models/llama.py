@@ -149,7 +149,23 @@ class LlamaForCausalLM:
         if self.tie_embeddings:
             params["lm_head"] = np.ascontiguousarray(params["embed"].T)
         self._quantize_layer_params(params["layers"])
+        self._quantize_lm_head(params)
         return jax.tree.map(jnp.asarray, params)
+
+    def _quantize_lm_head(self, params: dict) -> None:
+        """Opt-in int8 head (QuantConfig.quantize_lm_head). Always int8
+        per-channel — the scale moves past the dot (output dim), so the
+        weight read stays quantized with no custom kernel."""
+        if self.quant is None or not getattr(self.quant, "quantize_lm_head",
+                                             False):
+            return
+        if "lm_head" not in params or "lm_head" in set(
+                self.quant.modules_to_not_convert):
+            return
+        wq, scale = quantize_per_channel(np.asarray(params["lm_head"]),
+                                         "int8")
+        params["lm_head"] = wq
+        params["lm_head_scale"] = scale
 
     @staticmethod
     def _detect_prefix(model_dir: str) -> tuple[str, str]:
@@ -285,12 +301,21 @@ class LlamaForCausalLM:
         else:
             for name, shape in weight_shapes.items():
                 layers[name] = w(shape)
-        return {
+        out = {
             "embed": w((V, H)),
             "final_norm": jnp.ones((H,), self.dtype),
             "lm_head": w((H, V)),
             "layers": layers,
         }
+        if self.quant is not None and getattr(self.quant,
+                                              "quantize_lm_head", False):
+            lm = out["lm_head"].astype(jnp.float32)
+            absmax = jnp.max(jnp.abs(lm), axis=0, keepdims=True)
+            s = jnp.maximum(absmax / 127.0, 1e-12)
+            out["lm_head_scale"] = s
+            out["lm_head"] = jnp.clip(jnp.rint(lm / s), -127,
+                                      127).astype(jnp.int8)
+        return out
 
     # ------------------------------------------------------------------
     # Forward (unified ragged step)
@@ -433,5 +458,12 @@ class LlamaForCausalLM:
     def compute_logits(self, params: dict, hidden: jax.Array) -> jax.Array:
         """hidden: [N, H] -> logits [N, V] float32."""
         h = rms_norm(hidden, params["final_norm"], self.rms_eps)
+        scale = params.get("lm_head_scale")
+        if scale is not None:
+            # int8 head: convert fuses into the dot's operand read; the
+            # per-channel (output-dim) scale applies to the f32 logits.
+            logits = jnp.dot(h, params["lm_head"].astype(h.dtype),
+                             preferred_element_type=jnp.float32)
+            return logits * scale
         return jnp.dot(h, params["lm_head"],
                        preferred_element_type=jnp.float32)

@@ -207,6 +207,8 @@ class Llama4ForCausalLM:
         else:
             params["lm_head"] = get("lm_head.weight", transpose)
         self._quantize_layers(layers)
+        from vllm_neuron_tpu.models.llama import LlamaForCausalLM
+        LlamaForCausalLM._quantize_lm_head(self, params)
         return jax.tree.map(jnp.asarray, params)
 
     def random_params(self, rng: jax.Array, scale: float = 0.02) -> dict:
@@ -327,5 +329,9 @@ class Llama4ForCausalLM:
 
     def compute_logits(self, params: dict, hidden: jax.Array) -> jax.Array:
         h = rms_norm(hidden, params["final_norm"], self.rms_eps)
+        scale = params.get("lm_head_scale")
+        if scale is not None:
+            return jnp.dot(h, params["lm_head"].astype(h.dtype),
+                           preferred_element_type=jnp.float32) * scale
         return jnp.dot(h, params["lm_head"],
                        preferred_element_type=jnp.float32)

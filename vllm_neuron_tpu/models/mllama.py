@@ -389,6 +389,8 @@ class MllamaForCausalLM:
             "layers": layers,
         }
         self._quantize_layers(params["layers"])
+        from vllm_neuron_tpu.models.llama import LlamaForCausalLM
+        LlamaForCausalLM._quantize_lm_head(self, params)
         return jax.tree.map(jnp.asarray, params)
 
     def _quantize_layers(self, layers: list[dict]) -> None:
@@ -605,5 +607,9 @@ class MllamaForCausalLM:
 
     def compute_logits(self, params: dict, hidden: jax.Array) -> jax.Array:
         h = rms_norm(hidden, params["final_norm"], self.rms_eps)
+        scale = params.get("lm_head_scale")
+        if scale is not None:
+            return jnp.dot(h, params["lm_head"].astype(h.dtype),
+                           preferred_element_type=jnp.float32) * scale
         return jnp.dot(h, params["lm_head"],
                        preferred_element_type=jnp.float32)

@@ -106,6 +106,7 @@ class Qwen3MoeForCausalLM(LlamaForCausalLM):
         if self.tie_embeddings:
             params["lm_head"] = np.ascontiguousarray(params["embed"].T)
         self._quantize_layer_params(layers)
+        self._quantize_lm_head(params)
         return jax.tree.map(jnp.asarray, params)
 
     def random_params(self, rng: jax.Array, scale: float = 0.02) -> dict:

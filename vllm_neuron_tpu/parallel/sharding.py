@@ -88,6 +88,7 @@ TOP_PARAM_SPECS = {
     "embed": P(),
     "final_norm": P(),
     "lm_head": P(None, MODEL_AXIS),
+    "lm_head_scale": P(None, MODEL_AXIS),
 }
 
 

@@ -21,7 +21,8 @@ import numpy as np
 
 def evaluate_ppl(model_dir: str, token_ids: np.ndarray, window: int = 1024,
                  dtype: str = "bfloat16", quantization=None,
-                 kv_cache_dtype: str = "auto") -> dict:
+                 kv_cache_dtype: str = "auto",
+                 override_tpu_config: dict = None) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -35,7 +36,8 @@ def evaluate_ppl(model_dir: str, token_ids: np.ndarray, window: int = 1024,
         block_size=32, quantization=quantization,
         kv_cache_dtype=kv_cache_dtype,
         override_tpu_config={"context_encoding_buckets": [window],
-                             "token_generation_buckets": [1]})
+                             "token_generation_buckets": [1],
+                             **(override_tpu_config or {})})
     model = get_model(config)
     params = model.load_params(model_dir)
     executor = ModelExecutor(model, config, params)
