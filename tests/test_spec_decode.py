@@ -118,3 +118,27 @@ def test_spec_with_prefix_caching_greedy_exact(tiny_llama_dir,
     assert kvm.block_pool.hits > 0, "no prefix-cache hit exercised"
     fns = llm.engine.worker.model_runner.executor._fns
     assert any(k[0] == "prefill_spec" for k in fns)
+
+
+def test_spec_with_quantized_target(tiny_llama_dir, tiny_eagle_dir):
+    """Speculation composes with a quantized target: int8 spec greedy ==
+    int8 non-spec greedy (acceptance is exact prefix match under greedy,
+    so the quantized target's own distribution is the oracle)."""
+    prompts = [[5, 77, 301, 44, 12, 99, 8], [401, 3, 3, 17]]
+    sp = SamplingParams(temperature=0.0, max_tokens=16, ignore_eos=True)
+    kw = dict(dtype="float32", max_model_len=128, max_num_seqs=4,
+              block_size=16, skip_tokenizer_init=True, quantization="int8")
+
+    base = LLM(model=tiny_llama_dir, **kw)
+    base_out = base.generate([{"prompt_token_ids": p} for p in prompts],
+                             [sp] * len(prompts))
+    spec = LLM(model=tiny_llama_dir,
+               speculative_config={"model": tiny_eagle_dir,
+                                   "num_speculative_tokens": 3,
+                                   "method": "eagle"}, **kw)
+    spec_out = spec.generate([{"prompt_token_ids": p} for p in prompts],
+                             [sp] * len(prompts))
+    for b, s in zip(base_out, spec_out):
+        assert s.outputs[0].token_ids == b.outputs[0].token_ids
+    assert any(k[0] == "spec_decode"
+               for k in spec.engine.worker.model_runner.executor._fns)
