@@ -26,3 +26,9 @@ AB_ROWBLOCK_RS=1,2 \
 # Phase 5: packed single-transfer window dispatch (tunnel h2d cost).
 # VLLM_TPU_PACKED_H2D=1 VLLM_TPU_DECODE_KERNEL=rowblock \
 #   timeout 6000 python bench.py
+
+# Phase 6: batch sweep at the winning variant combo (weights traffic
+# amortizes over rows; fp8 KV frees HBM for the bigger pool).
+# BENCH_BATCH=48 BENCH_KV_DTYPE=fp8 BENCH_QUANT=int4 \
+#   VLLM_TPU_DECODE_KERNEL=rowblock VLLM_TPU_PACKED_H2D=1 \
+#   timeout 6000 python bench.py
