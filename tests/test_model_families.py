@@ -68,3 +68,42 @@ def test_mistral_sliding_window_matches_hf(tiny_mistral_dir):
     ref = hf_greedy(tiny_mistral_dir, prompt, 12)
     got = out.outputs[0].token_ids[:len(ref)]
     assert got == ref, f"{got} vs {ref}"
+
+
+@pytest.fixture(scope="module")
+def tiny_llama31_dir(tmp_path_factory):
+    """Llama-3.1-style checkpoint: rope_scaling rope_type=llama3 (the
+    frequency-banded scaling every 3.1/3.3 checkpoint ships with)."""
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    torch.manual_seed(21)
+    cfg = LlamaConfig(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512, rope_theta=500000.0,
+        rope_scaling={"rope_type": "llama3", "factor": 8.0,
+                      "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                      "original_max_position_embeddings": 64},
+        tie_word_embeddings=False)
+    model = LlamaForCausalLM(cfg)
+    path = tmp_path_factory.mktemp("tiny_llama31")
+    model.save_pretrained(path, safe_serialization=True)
+    return str(path)
+
+
+def test_llama31_rope_scaling_matches_hf(tiny_llama31_dir):
+    """Positions past original_max exercise all three frequency bands
+    (ops/rope.py llama3 branch) — greedy must track HF exactly."""
+    from vllm_neuron_tpu import LLM, SamplingParams
+    from tests.conftest import hf_greedy
+
+    llm = LLM(model=tiny_llama31_dir, dtype="float32", max_model_len=256,
+              max_num_seqs=2, block_size=16, skip_tokenizer_init=True)
+    prompts = [[5, 77, 301, 44, 12], list(range(100, 220))]  # crosses 64
+    sp = SamplingParams(temperature=0.0, max_tokens=10, ignore_eos=True)
+    outs = llm.generate([{"prompt_token_ids": p} for p in prompts],
+                        [sp] * 2)
+    for p, out in zip(prompts, outs):
+        ref = hf_greedy(tiny_llama31_dir, p, 10)
+        assert out.outputs[0].token_ids[:len(ref)] == ref
