@@ -107,3 +107,42 @@ def test_llama31_rope_scaling_matches_hf(tiny_llama31_dir):
     for p, out in zip(prompts, outs):
         ref = hf_greedy(tiny_llama31_dir, p, 10)
         assert out.outputs[0].token_ids[:len(ref)] == ref
+
+
+@pytest.fixture(scope="module")
+def tiny_yarn_dir(tmp_path_factory):
+    """Long-context Qwen-2.5-style checkpoint: rope_type=yarn (frequency
+    interpolation + attention_scaling on cos/sin)."""
+    import torch
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    torch.manual_seed(23)
+    cfg = Qwen2Config(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512, rope_theta=100000.0,
+        rope_scaling={"rope_type": "yarn", "factor": 4.0,
+                      "original_max_position_embeddings": 128},
+        tie_word_embeddings=False)
+    model = Qwen2ForCausalLM(cfg)
+    path = tmp_path_factory.mktemp("tiny_yarn")
+    model.save_pretrained(path, safe_serialization=True)
+    return str(path)
+
+
+def test_yarn_rope_matches_hf(tiny_yarn_dir):
+    """YaRN inv_freq bands + attention_scaling (ops/rope.py) — greedy
+    must track HF exactly past the original context length."""
+    from vllm_neuron_tpu import LLM, SamplingParams
+    from tests.conftest import hf_greedy
+
+    llm = LLM(model=tiny_yarn_dir, dtype="float32", max_model_len=256,
+              max_num_seqs=2, block_size=16, skip_tokenizer_init=True)
+    prompts = [[5, 77, 301, 44, 12], list(range(100, 240))]  # crosses 128
+    sp = SamplingParams(temperature=0.0, max_tokens=10, ignore_eos=True)
+    outs = llm.generate([{"prompt_token_ids": p} for p in prompts],
+                        [sp] * 2)
+    for p, out in zip(prompts, outs):
+        ref = hf_greedy(tiny_yarn_dir, p, 10)
+        assert out.outputs[0].token_ids[:len(ref)] == ref, \
+            f"{out.outputs[0].token_ids} vs {ref}"

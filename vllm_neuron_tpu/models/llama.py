@@ -40,7 +40,8 @@ from vllm_neuron_tpu.ops.ragged_attention import (RaggedMeta,
                                                   ragged_attention,
                                                   write_kv_pages)
 from vllm_neuron_tpu.ops.norm import rms_norm
-from vllm_neuron_tpu.ops.rope import apply_rope, compute_inv_freq
+from vllm_neuron_tpu.ops.rope import (apply_rope, compute_inv_freq,
+                                      rope_attention_scaling)
 from vllm_neuron_tpu.utils import init_logger
 
 logger = init_logger(__name__)
@@ -88,8 +89,8 @@ class LlamaForCausalLM:
         self.scale = self.head_dim**-0.5
         self.inv_freq = compute_inv_freq(self.head_dim, self.rope_theta,
                                          self.rope_scaling)
-        # HF "llama3" rope scaling uses attention_scaling=1.0; "linear" too.
-        self.attention_scaling = 1.0
+        # 1.0 for default/linear/llama3; yarn scales cos/sin magnitudes.
+        self.attention_scaling = rope_attention_scaling(self.rope_scaling)
         # Sequence parallelism (reference semantics:
         # test/tiny/test_sequence_parallel.py:25-58): when set (a
         # NamedSharding over the token axis, installed by ModelRunner when

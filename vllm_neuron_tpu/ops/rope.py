@@ -38,6 +38,28 @@ def compute_inv_freq(head_dim: int, rope_theta: float,
             inv_freq = np.where(wavelen > low_wl, scaled, inv_freq)
             is_medium = (wavelen <= low_wl) & (wavelen >= high_wl)
             inv_freq = np.where(is_medium, smoothed, inv_freq)
+        elif rope_type == "yarn":
+            # HF ROPE_INIT_FUNCTIONS['yarn'] semantics (long-context
+            # Qwen-2.5 class checkpoints): interpolate low frequencies,
+            # extrapolate high, linear ramp between correction dims.
+            factor = rope_scaling["factor"]
+            orig_max = rope_scaling["original_max_position_embeddings"]
+            beta_fast = rope_scaling.get("beta_fast", 32)
+            beta_slow = rope_scaling.get("beta_slow", 1)
+
+            def corr_dim(n_rot):
+                return (head_dim * math.log(
+                    orig_max / (n_rot * 2 * math.pi))) / (
+                        2 * math.log(rope_theta))
+
+            low = max(math.floor(corr_dim(beta_fast)), 0)
+            high = min(math.ceil(corr_dim(beta_slow)), head_dim - 1)
+            if low == high:
+                high += 0.001
+            ramp = np.clip((np.arange(head_dim // 2, dtype=np.float64) -
+                            low) / (high - low), 0, 1)
+            extrap = 1.0 - ramp
+            inv_freq = (inv_freq / factor) * (1 - extrap) + inv_freq * extrap
         elif rope_type in ("default", None):
             pass
         elif rope_type == "linear":
@@ -45,6 +67,23 @@ def compute_inv_freq(head_dim: int, rope_theta: float,
         else:
             raise NotImplementedError(f"rope_type {rope_type!r}")
     return inv_freq.astype(np.float32)
+
+
+def rope_attention_scaling(rope_scaling: Optional[dict]) -> float:
+    """cos/sin magnitude factor (HF ``attention_scaling``): 1.0 for
+    default/linear/llama3; yarn uses 0.1*ln(factor)+1 (or the config's
+    explicit ``attention_factor``)."""
+    if not rope_scaling:
+        return 1.0
+    rope_type = rope_scaling.get("rope_type",
+                                 rope_scaling.get("type", "default"))
+    if rope_type != "yarn":
+        return 1.0
+    af = rope_scaling.get("attention_factor")
+    if af is not None:
+        return float(af)
+    factor = rope_scaling["factor"]
+    return float(0.1 * math.log(factor) + 1.0) if factor > 1 else 1.0
 
 
 def apply_rope(q: jax.Array, k: jax.Array, positions: jax.Array,
