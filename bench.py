@@ -27,7 +27,10 @@ PROMPT_LEN = 512
 GEN_TOKENS = 128
 MAX_MODEL_LEN = 2048
 BLOCK_SIZE = 32
-PREV_BEST = 576.6  # BENCH_r01.json: 8B INT8 b32 p512 g128 tokens/s/chip
+# Best previously recorded value on the 8B INT8 b32 p512 g128 config:
+# 797.0 tok/s e2e (fused-GQA decode kernel, docs/PERF_NOTES.md; BENCH_r01
+# was 576.6 at round-1 end).
+PREV_BEST = 797.0
 # Variant knobs (experiments): BENCH_QUANT=int8|fp8, BENCH_KV_DTYPE=fp8,
 # BENCH_DECODE_WINDOW=16, BENCH_MODEL=tinyllama|llama8b.
 # Default = the BASELINE.json north-star config: Llama-3.1-8B INT8
