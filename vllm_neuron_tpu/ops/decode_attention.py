@@ -460,14 +460,11 @@ def decode_paged_attention_flat(q: jax.Array, kv_pages_l: jax.Array,
 def _rowblock_kernel(
     # scalar prefetch
     p0_ref, p1_ref, lo_ref, hi_ref, nblocks_ref, page_indices_ref,
-    # inputs
+    # inputs (+ s_hbm_ref when has_scales), outputs, scratch
     q_ref, kv_hbm_ref,
-    # outputs
-    o_ref,
-    # scratch
-    kv_buf, sem,
-    *, page_size: int, rows_per_block: int, num_kv_heads: int,
-    sm_scale: float,
+    *rest,
+    page_size: int, rows_per_block: int, num_kv_heads: int,
+    sm_scale: float, has_scales: bool = False,
 ):
     """Row-block single-pass variant: each serial iteration processes R
     WHOLE rows — their full visible page range DMA'd into one buffer slot,
@@ -483,6 +480,14 @@ def _rowblock_kernel(
     once) becomes the dominant term — the speed-of-light for decode
     attention. VMEM bounds R * PP (wrapper falls back to the flat kernel
     when the double-buffer would not fit scoped VMEM)."""
+    if has_scales:
+        # FP8 cache with per-slot/per-head scales: the scales page array
+        # rides a parallel DMA stream and dequant happens in VMEM right
+        # before the matmuls (HBM traffic stays fp8 + 1/Dp of scales).
+        s_hbm_ref, o_ref, kv_buf, s_buf, sem, sem_s = rest
+    else:
+        o_ref, kv_buf, sem = rest
+        s_hbm_ref = s_buf = sem_s = None
     ps = page_size
     R = rows_per_block
     P = page_indices_ref.shape[1]
@@ -496,6 +501,8 @@ def _rowblock_kernel(
     # Stale buffer slots can hold NaN bit patterns; 0 * NaN = NaN in the
     # PV full product. One zero-fill per launch keeps every slot finite.
     kv_buf[...] = jnp.zeros(kv_buf.shape, kv_buf.dtype)
+    if has_scales:
+        s_buf[...] = jnp.zeros(s_buf.shape, s_buf.dtype)
 
     # Head-slot masks (fused-GQA trick): q row m (= block k*Hq + h) has its
     # K slot at 2*(h//G), its V slot at 2*(h//G)+1.
@@ -526,6 +533,12 @@ def _rowblock_kernel(
                         kv_buf.at[slot, k, j],
                         sem.at[slot, k, j],
                     ).start()
+                    if has_scales:
+                        pltpu.make_async_copy(
+                            s_hbm_ref.at[page],
+                            s_buf.at[slot, k, j],
+                            sem_s.at[slot, k, j],
+                        ).start()
 
     def wait_rows(t, slot):
         r0 = t * R
@@ -539,6 +552,11 @@ def _rowblock_kernel(
                         kv_hbm_ref.at[0], kv_buf.at[slot, k, j],
                         sem.at[slot, k, j],
                     ).wait()
+                    if has_scales:
+                        pltpu.make_async_copy(
+                            s_hbm_ref.at[0], s_buf.at[slot, k, j],
+                            sem_s.at[slot, k, j],
+                        ).wait()
 
     @pl.when(NB > 0)
     def _():
@@ -572,7 +590,16 @@ def _rowblock_kernel(
         q_exp = (q_all[:, None, :] *
                  mask_k.astype(q_all.dtype)).reshape(R * Hq, 2 * Hkv * Dp)
 
-        kvf = kv_buf[slot].reshape(R * cs, 2 * Hkv * Dp)
+        if has_scales:
+            # Dequantize in VMEM (fp8 value * bf16 per-slot/head scale),
+            # overlapped with the next iteration's DMA.
+            kvf = (kv_buf[slot].reshape(R * cs, 2 * Hkv, Dp)
+                   .astype(jnp.float32) *
+                   s_buf[slot].reshape(R * cs, 2 * Hkv, 1)
+                   .astype(jnp.float32)).astype(q_ref.dtype)
+            kvf = kvf.reshape(R * cs, 2 * Hkv * Dp)
+        else:
+            kvf = kv_buf[slot].reshape(R * cs, 2 * Hkv * Dp)
         s = jax.lax.dot_general(
             q_exp, kvf,
             dimension_numbers=(((1,), (1,)), ((), ())),
@@ -583,7 +610,7 @@ def _rowblock_kernel(
         m = jnp.max(s, axis=-1, keepdims=True)            # [R*Hq, 1]
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
-        p_lo = p.astype(kv_buf.dtype)
+        p_lo = p.astype(kvf.dtype)
         o16 = jax.lax.dot_general(
             p_lo, kvf,
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -612,36 +639,54 @@ def decode_paged_attention_rowblock(q: jax.Array, kv_pages_l: jax.Array,
                                     page_indices: jax.Array, *,
                                     num_kv_heads: int, sm_scale: float,
                                     rows_per_block: int = 2,
-                                    interpret: bool = False) -> jax.Array:
+                                    interpret: bool = False,
+                                    kv_scales: jax.Array = None
+                                    ) -> jax.Array:
     """Row-block decode attention (see _rowblock_kernel). Same contract as
-    decode_paged_attention."""
+    decode_paged_attention. kv_scales: optional [pages, ps, 2Hkv] per-slot/
+    per-head dequant scales (FP8 cache) — DMA'd alongside the pages."""
     B, Hq, Dp = q.shape
     _, ps, two_hkv, Dp2 = kv_pages_l.shape
     assert Dp == Dp2 and two_hkv == 2 * num_kv_heads
     PP = page_indices.shape[1]
     R = min(rows_per_block, B)
+    has_scales = kv_scales is not None
 
     active = hi > 0
     p0 = jnp.where(active, lo // ps, 0).astype(jnp.int32)
     p1 = jnp.where(active, (hi + ps - 1) // ps, 0).astype(jnp.int32)
     nblocks = jnp.full((1,), (B + R - 1) // R, jnp.int32)
 
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # q (full)
+        pl.BlockSpec(memory_space=pl.ANY),       # kv pages stay in HBM
+    ]
+    scratch = [
+        pltpu.VMEM((2, R, PP, ps, two_hkv, Dp), kv_pages_l.dtype),
+    ]
+    if has_scales:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # scales (HBM)
+        scratch.append(pltpu.VMEM((2, R, PP, ps, two_hkv),
+                                  kv_scales.dtype))
+    scratch.append(pltpu.SemaphoreType.DMA((2, R, PP)))
+    if has_scales:
+        scratch.append(pltpu.SemaphoreType.DMA((2, R, PP)))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(1,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # q (full)
-            pl.BlockSpec(memory_space=pl.ANY),       # kv pages stay in HBM
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, R, PP, ps, two_hkv, Dp), kv_pages_l.dtype),
-            pltpu.SemaphoreType.DMA((2, R, PP)),
-        ],
+        scratch_shapes=scratch,
     )
     kernel = functools.partial(
         _rowblock_kernel, page_size=ps, rows_per_block=R,
-        num_kv_heads=num_kv_heads, sm_scale=sm_scale)
+        num_kv_heads=num_kv_heads, sm_scale=sm_scale,
+        has_scales=has_scales)
+    args = (p0, p1, lo.astype(jnp.int32), hi.astype(jnp.int32), nblocks,
+            page_indices, q, kv_pages_l)
+    if has_scales:
+        args = args + (kv_scales,)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -650,8 +695,7 @@ def decode_paged_attention_rowblock(q: jax.Array, kv_pages_l: jax.Array,
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(p0, p1, lo.astype(jnp.int32), hi.astype(jnp.int32), nblocks,
-      page_indices, q, kv_pages_l)
+    )(*args)
 
 
 def visible_range(kv_lens: jax.Array, sliding_window=None, chunk_size=None

@@ -407,11 +407,15 @@ def _decode_kernel_fn():
         R = int(os.environ.get("VLLM_TPU_DECODE_ROWS", "2"))
 
         def rowblock_or_flat(q, kv_pages_l, lo, hi, page_indices, *,
-                             num_kv_heads, sm_scale, interpret=False):
+                             num_kv_heads, sm_scale, interpret=False,
+                             kv_scales=None):
             PP = page_indices.shape[1]
             _, ps, two_hkv, dp = kv_pages_l.shape
             buf = 2 * R * PP * ps * two_hkv * dp * kv_pages_l.dtype.itemsize
             if buf > 12 * 2**20:
+                assert kv_scales is None, (
+                    "scaled-FP8 eligibility must be gated on the VMEM "
+                    "bound (_scaled_kernel_eligible)")
                 return da.decode_paged_attention_flat(
                     q, kv_pages_l, lo, hi, page_indices,
                     num_kv_heads=num_kv_heads, sm_scale=sm_scale,
@@ -420,15 +424,26 @@ def _decode_kernel_fn():
             return da.decode_paged_attention_rowblock(
                 q, kv_pages_l, lo, hi, page_indices,
                 num_kv_heads=num_kv_heads, sm_scale=sm_scale,
-                rows_per_block=R, interpret=interpret)
+                rows_per_block=R, interpret=interpret,
+                kv_scales=kv_scales)
 
         return rowblock_or_flat
+
+    def _no_scales(fn):
+        def wrapped(*args, kv_scales=None, **kw):
+            assert kv_scales is None, (
+                "only the rowblock kernel reads FP8 scales")
+            return fn(*args, **kw)
+        return wrapped
+
     if variant == "fused":
-        return functools.partial(da.decode_paged_attention_flat,
-                                 pages_per_chunk=cpg, fused_gqa=True)
-    return (functools.partial(da.decode_paged_attention_flat,
-                              pages_per_chunk=cpg) if variant == "flat"
-            else da.decode_paged_attention)
+        return _no_scales(functools.partial(
+            da.decode_paged_attention_flat, pages_per_chunk=cpg,
+            fused_gqa=True))
+    return _no_scales(
+        functools.partial(da.decode_paged_attention_flat,
+                          pages_per_chunk=cpg) if variant == "flat"
+        else da.decode_paged_attention)
 
 
 # Mesh for partitioning the in-repo Pallas kernels (GSPMD cannot partition a
@@ -449,7 +464,7 @@ def get_attention_mesh():
 
 def _pallas_decode_sharded(q, kv_pages_l, lo, hi, page_indices, *,
                            num_kv_heads: int, sm_scale: float,
-                           interpret: bool = False):
+                           interpret: bool = False, kv_scales=None):
     """Head-parallel decode kernel over the mesh: attention is embarrassingly
     parallel across KV-head groups, so each model-axis shard runs the kernel
     on its local heads — zero collectives. Requires the GQA group structure
@@ -460,17 +475,40 @@ def _pallas_decode_sharded(q, kv_pages_l, lo, hi, page_indices, *,
 
     mesh = get_attention_mesh()
     tp = mesh.shape[MODEL_AXIS]
+    specs = [P(None, MODEL_AXIS, None),        # q [B, Hq, D]
+             P(None, None, MODEL_AXIS, None),  # kv [pages, ps, 2Hkv, D]
+             P(), P(), P()]                    # lo, hi, page_indices
+    args = [q, kv_pages_l, lo, hi, page_indices]
+    if kv_scales is not None:
+        specs.append(P(None, None, MODEL_AXIS))  # scales [pages, ps, 2Hkv]
+        args.append(kv_scales)
+
+    def body(q, kv, lo, hi, pi, *sc):
+        return _decode_kernel_fn()(
+            q, kv, lo, hi, pi, num_kv_heads=num_kv_heads // tp,
+            sm_scale=sm_scale, interpret=interpret,
+            kv_scales=sc[0] if sc else None)
+
     f = jax.shard_map(
-        functools.partial(_decode_kernel_fn(),
-                          num_kv_heads=num_kv_heads // tp,
-                          sm_scale=sm_scale, interpret=interpret),
-        mesh=mesh, axis_names={MODEL_AXIS},
-        in_specs=(P(None, MODEL_AXIS, None),        # q [B, Hq, D]
-                  P(None, None, MODEL_AXIS, None),  # kv [pages, ps, 2Hkv, D]
-                  P(), P(), P()),                   # lo, hi, page_indices
+        body, mesh=mesh, axis_names={MODEL_AXIS},
+        in_specs=tuple(specs),
         out_specs=P(None, MODEL_AXIS, None),
         check_vma=False)
-    return f(q, kv_pages_l, lo, hi, page_indices)
+    return f(*args)
+
+
+def _scaled_kernel_eligible(pages, page_indices) -> bool:
+    """Scaled-FP8 pages can take the kernel path only when the ROWBLOCK
+    variant is selected AND its double-buffer fits scoped VMEM (the flat
+    fallback inside rowblock_or_flat cannot read scales)."""
+    import os
+    if os.environ.get("VLLM_TPU_DECODE_KERNEL", "fused") != "rowblock":
+        return False
+    R = int(os.environ.get("VLLM_TPU_DECODE_ROWS", "2"))
+    _, ps, two_hkv, dp = pages.shape
+    PP = page_indices.shape[1]
+    buf = 2 * R * PP * ps * two_hkv * (dp * pages.dtype.itemsize + 2)
+    return buf <= 12 * 2**20
 
 
 def _can_shard_decode(q, kv_pages_l) -> bool:
@@ -519,23 +557,31 @@ def ragged_attention(q: jax.Array, kv_pages_l: jax.Array, meta: RaggedMeta,
     if D < Dp:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, Dp - D)))
     if kind == "decode":
-        # The in-repo Pallas decode kernel streams raw pages; FP8-with-
-        # scales decode takes the dense path (dequant fuses into its
-        # gather) until the kernel learns to DMA the scales alongside.
+        # FP8-with-scales pages run the ROWBLOCK kernel (it DMAs the
+        # scales page array alongside and dequantizes in VMEM); the other
+        # kernel variants stream raw pages only, so scaled caches fall to
+        # the dense path there (dequant fuses into its gather).
+        pages = kv_pages_l.pages if isinstance(kv_pages_l,
+                                               FP8KVCache) else kv_pages_l
+        scales = (kv_pages_l.scales if isinstance(kv_pages_l, FP8KVCache)
+                  else None)
         if (backend == "pallas" and _use_pallas_decode()
-                and not isinstance(kv_pages_l, FP8KVCache)
-                and _can_shard_decode(q, kv_pages_l)):
+                and (scales is None or _scaled_kernel_eligible(
+                    pages, meta.page_indices))
+                and _can_shard_decode(q, pages)):
             from vllm_neuron_tpu.ops.decode_attention import visible_range
             lo, hi = visible_range(meta.kv_lens, sliding_window, chunk_size)
-            num_kv_heads = kv_pages_l.shape[2] // 2
+            num_kv_heads = pages.shape[2] // 2
             if get_attention_mesh() is not None:
                 out = _pallas_decode_sharded(
-                    q, kv_pages_l, lo, hi, meta.page_indices,
-                    num_kv_heads=num_kv_heads, sm_scale=sm_scale)
+                    q, pages, lo, hi, meta.page_indices,
+                    num_kv_heads=num_kv_heads, sm_scale=sm_scale,
+                    kv_scales=scales)
             else:
                 out = _decode_kernel_fn()(
-                    q, kv_pages_l, lo, hi, meta.page_indices,
-                    num_kv_heads=num_kv_heads, sm_scale=sm_scale)
+                    q, pages, lo, hi, meta.page_indices,
+                    num_kv_heads=num_kv_heads, sm_scale=sm_scale,
+                    kv_scales=scales)
         else:
             out = _decode_attention_dense(q, kv_pages_l, meta, sm_scale,
                                           sliding_window, chunk_size)
