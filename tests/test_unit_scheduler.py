@@ -154,3 +154,53 @@ def test_openai_protocol_parsing():
         sampling_from_body({"temperature": "hot"})
     with pytest.raises(ValueError):
         sampling_from_body({"n": 2, "best_of": 3})
+
+
+def test_min_tokens_stop_matrix():
+    """check_stop_with_min_tokens behavioral matrix (reference:
+    test/unit/test_scheduler.py:256-365, core/scheduler.py:130-166):
+    min_tokens suppresses EOS and stop_token_ids but never the length
+    caps; once satisfied, each stop fires with the right status."""
+    from vllm_neuron_tpu.core.scheduler import check_stop_with_min_tokens
+    from vllm_neuron_tpu.engine.request import Request, RequestStatus
+    from vllm_neuron_tpu.sampling.params import SamplingParams
+
+    EOS, STOP = 2, 99
+
+    def req(outputs, **sp_kw):
+        sp_kw.setdefault("max_tokens", 64)
+        r = Request("r", [5, 6, 7], SamplingParams(temperature=0.0,
+                                                   **sp_kw),
+                    eos_token_id=EOS)
+        for t in outputs:
+            r.append_output_token_ids(t)
+        return r
+
+    # EOS before min_tokens: suppressed; after: stops.
+    r = req([1, EOS], min_tokens=4)
+    assert not check_stop_with_min_tokens(r, 128)
+    r = req([1, 1, 1, EOS], min_tokens=4)
+    assert check_stop_with_min_tokens(r, 128)
+    assert r.status == RequestStatus.FINISHED_STOPPED
+
+    # stop_token_ids before min_tokens: suppressed; after: stops with
+    # stop_reason = the token.
+    r = req([STOP], min_tokens=2, stop_token_ids=[STOP])
+    assert not check_stop_with_min_tokens(r, 128)
+    r = req([1, STOP], min_tokens=2, stop_token_ids=[STOP])
+    assert check_stop_with_min_tokens(r, 128)
+    assert r.stop_reason == STOP
+
+    # max_tokens caps regardless of min_tokens.
+    r = req([1, 1, 1], min_tokens=8, max_tokens=3)
+    assert check_stop_with_min_tokens(r, 128)
+    assert r.status == RequestStatus.FINISHED_LENGTH_CAPPED
+
+    # max_model_len caps regardless of min_tokens (prompt 3 + 3 outputs).
+    r = req([1, 1, 1], min_tokens=8)
+    assert check_stop_with_min_tokens(r, 6)
+    assert r.status == RequestStatus.FINISHED_LENGTH_CAPPED
+
+    # ignore_eos: EOS never stops, even past min_tokens.
+    r = req([1, 1, 1, EOS], min_tokens=1, ignore_eos=True)
+    assert not check_stop_with_min_tokens(r, 128)
