@@ -122,3 +122,88 @@ def test_int4_ppl_delta_tinypy():
                         quantization="int4")
     d_ppl = abs(int4["ppl"] - base["ppl"])
     assert d_ppl <= 0.35, (base, int4)
+
+
+def test_int4_group_size_respected_when_divisible():
+    """K % group_size == 0 must keep the configured group size even when
+    K % (2*group_size) != 0 (regression: the old condition coarsened
+    K=384/G=128 to G=192)."""
+    from vllm_neuron_tpu.ops.quant import quantize_int4_grouped
+
+    rng = np.random.default_rng(5)
+    w = rng.normal(size=(384, 64)).astype(np.float32)
+    packed, scale = quantize_int4_grouped(w, group_size=128)
+    assert scale.shape == (3, 64)  # Kg = 384/128, not 384/192
+
+
+def test_int4_mllama_serves(tiny_mllama_dir=None):
+    """quantization='int4' on the Mllama family routes to the grouped
+    packer (regression: it used to crash in quantize_per_channel)."""
+    import torch
+    from transformers import MllamaConfig, MllamaForConditionalGeneration
+    from transformers.models.mllama.configuration_mllama import (
+        MllamaTextConfig, MllamaVisionConfig)
+
+    from vllm_neuron_tpu import LLM, SamplingParams
+
+    torch.manual_seed(5)
+    vision = MllamaVisionConfig(
+        hidden_size=32, num_hidden_layers=1, num_global_layers=1,
+        num_attention_heads=2, intermediate_size=64, vision_output_dim=64,
+        image_size=32, patch_size=8, max_num_tiles=4,
+        intermediate_layers_indices=[0])
+    text = MllamaTextConfig(
+        vocab_size=512, hidden_size=64, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=2, intermediate_size=128,
+        cross_attention_layers=[1], max_position_embeddings=256,
+        rope_scaling={"rope_type": "default"}, pad_token_id=0)
+    cfg = MllamaConfig(vision_config=vision.to_dict(),
+                       text_config=text.to_dict(), image_token_index=400)
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        MllamaForConditionalGeneration(cfg).save_pretrained(
+            d, safe_serialization=True)
+        llm = LLM(model=d, dtype="float32", max_model_len=64,
+                  max_num_seqs=2, block_size=16, skip_tokenizer_init=True,
+                  quantization="int4")
+        out = llm.generate({"prompt_token_ids": [5, 6, 7, 8]},
+                           SamplingParams(temperature=0.0, max_tokens=6,
+                                          ignore_eos=True))[0]
+        assert len(out.outputs[0].token_ids) == 6
+
+
+def test_expert_skip_list_is_all_or_nothing(tiny_llama_dir):
+    """Naming ONE expert stack in modules_to_not_convert keeps the whole
+    expert unit dense (regression: partial skip used to serve unscaled
+    int8 matmuls or crash with KeyError)."""
+    import torch
+    from transformers import Qwen3MoeConfig, Qwen3MoeForCausalLM
+
+    import jax.numpy as jnp
+    from vllm_neuron_tpu import LLM, SamplingParams
+
+    torch.manual_seed(5)
+    cfg = Qwen3MoeConfig(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        moe_intermediate_size=48, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        num_experts=4, num_experts_per_tok=2, decoder_sparse_step=1,
+        mlp_only_layers=[], norm_topk_prob=True,
+        max_position_embeddings=256, tie_word_embeddings=False)
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        Qwen3MoeForCausalLM(cfg).save_pretrained(d, safe_serialization=True)
+        llm = LLM(model=d, dtype="float32", max_model_len=128,
+                  max_num_seqs=2, block_size=16, skip_tokenizer_init=True,
+                  quantization="int8",
+                  override_tpu_config={
+                      "modules_to_not_convert": ["we_up"]})
+        layers = llm.engine.worker.model_runner.executor.params["layers"]
+        # Whole unit stays dense; attention stacks still quantize.
+        assert layers["we_gate"].dtype != jnp.int8
+        assert "we_gate_scale" not in layers
+        assert layers["wq"].dtype == jnp.int8
+        out = llm.generate({"prompt_token_ids": [5, 77, 301, 44]},
+                           SamplingParams(temperature=0.0, max_tokens=6,
+                                          ignore_eos=True))[0]
+        assert len(out.outputs[0].token_ids) == 6

@@ -146,3 +146,30 @@ def test_yarn_rope_matches_hf(tiny_yarn_dir):
         ref = hf_greedy(tiny_yarn_dir, p, 10)
         assert out.outputs[0].token_ids[:len(ref)] == ref, \
             f"{out.outputs[0].token_ids} vs {ref}"
+
+
+def test_yarn_without_original_max_falls_back(tmp_path):
+    """HF treats original_max_position_embeddings as optional (falls back
+    to max_position_embeddings) — regression for a load-time KeyError."""
+    import torch
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    from vllm_neuron_tpu import LLM, SamplingParams
+    from tests.conftest import hf_greedy
+
+    torch.manual_seed(29)
+    cfg = Qwen2Config(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, rope_theta=100000.0,
+        rope_scaling={"rope_type": "yarn", "factor": 2.0},
+        tie_word_embeddings=False)
+    d = str(tmp_path / "yarn_nomax")
+    Qwen2ForCausalLM(cfg).save_pretrained(d, safe_serialization=True)
+    llm = LLM(model=d, dtype="float32", max_model_len=128,
+              max_num_seqs=2, block_size=16, skip_tokenizer_init=True)
+    p = [5, 77, 301, 44, 12]
+    out = llm.generate({"prompt_token_ids": p},
+                       SamplingParams(temperature=0.0, max_tokens=8,
+                                      ignore_eos=True))[0]
+    assert list(out.outputs[0].token_ids) == hf_greedy(d, p, 8)

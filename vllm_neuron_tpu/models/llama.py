@@ -34,8 +34,8 @@ import numpy as np
 from vllm_neuron_tpu.config import ModelConfig, QuantConfig
 from vllm_neuron_tpu.models.weights import (StackingLoader, iter_safetensors,
                                             transpose)
-from vllm_neuron_tpu.ops.quant import (linear, quantize_int4_grouped,
-                                       quantize_per_channel)
+from vllm_neuron_tpu.ops.quant import (linear, quantize_per_channel,
+                                       quantize_projections)
 from vllm_neuron_tpu.ops.ragged_attention import (RaggedMeta,
                                                   ragged_attention,
                                                   write_kv_pages)
@@ -87,8 +87,9 @@ class LlamaForCausalLM:
                 not cfg.use_sliding_window:
             self.sliding_window = None
         self.scale = self.head_dim**-0.5
-        self.inv_freq = compute_inv_freq(self.head_dim, self.rope_theta,
-                                         self.rope_scaling)
+        self.inv_freq = compute_inv_freq(
+            self.head_dim, self.rope_theta, self.rope_scaling,
+            getattr(cfg, "max_position_embeddings", None))
         # 1.0 for default/linear/llama3; yarn scales cos/sin magnitudes.
         self.attention_scaling = rope_attention_scaling(self.rope_scaling)
         # Sequence parallelism (reference semantics:
@@ -203,22 +204,9 @@ class LlamaForCausalLM:
                 [layers.pop("wg"), layers.pop("wu")], axis=-1)
 
     def _quantize_layer_params(self, layers: dict) -> None:
-        """Replace eligible [L, K, N] weight stacks with int8/fp8 values +
-        per-channel scales (in place, host-side numpy)."""
-        if self.quant is None:
-            return
-        skip = set(self.quant.modules_to_not_convert)
-        for name in self.QUANTIZABLE:
-            if name in skip or name not in layers:
-                continue
-            if self.quant.quantization == "int4":
-                wq, scale = quantize_int4_grouped(
-                    layers[name], self.quant.int4_group_size)
-            else:
-                wq, scale = quantize_per_channel(layers[name],
-                                                 self.quant.quantization)
-            layers[name] = wq
-            layers[name + "_scale"] = scale
+        """Replace eligible [L, K, N] weight stacks with quantized values +
+        scales (in place, host-side numpy; shared policy in ops/quant.py)."""
+        quantize_projections(layers, self.QUANTIZABLE, self.quant)
 
     def random_params(self, rng: jax.Array, scale: float = 0.02) -> dict:
         """Random params (bench / dryrun without a checkpoint). With
@@ -267,10 +255,11 @@ class LlamaForCausalLM:
                     wf = jax.random.normal(k, layer_shape,
                                            jnp.float32) * scale
                     if self.quant.quantization == "int4":
+                        from vllm_neuron_tpu.ops.quant import (
+                            int4_group_size_for)
                         K, N = layer_shape
-                        G = self.quant.int4_group_size
-                        if K % (2 * G) != 0:
-                            G = K // 2
+                        G = int4_group_size_for(
+                            K, self.quant.int4_group_size)
                         Kg = K // G
                         g = wf.reshape(Kg, G, N)
                         absmax = jnp.max(jnp.abs(g), axis=1, keepdims=True)

@@ -122,31 +122,10 @@ class Llama4ForCausalLM:
     EXPERT_QUANTIZABLE = ("gate_up", "down")
 
     def _quantize_layers(self, layers: list[dict]) -> None:
-        if self.quant is None:
-            return
-        from vllm_neuron_tpu.ops.quant import (quantize_int4_grouped,
-                                               quantize_per_channel)
-        skip = set(self.quant.modules_to_not_convert)
-        q8 = ("int8" if self.quant.quantization == "int4"
-              else self.quant.quantization)
+        from vllm_neuron_tpu.ops.quant import quantize_projections
         for lp in layers:
-            for name in self.DENSE_QUANTIZABLE:
-                if name in skip or name not in lp:
-                    continue
-                if self.quant.quantization == "int4":
-                    wq, s = quantize_int4_grouped(
-                        np.asarray(lp[name]), self.quant.int4_group_size)
-                else:
-                    wq, s = quantize_per_channel(np.asarray(lp[name]),
-                                                 self.quant.quantization)
-                lp[name] = wq
-                lp[name + "_scale"] = s
-            for name in self.EXPERT_QUANTIZABLE:
-                if name in skip or name not in lp:
-                    continue
-                wq, s = quantize_per_channel(np.asarray(lp[name]), q8)
-                lp[name] = wq
-                lp[name + "_scale"] = s
+            quantize_projections(lp, self.DENSE_QUANTIZABLE, self.quant,
+                                 expert_names=self.EXPERT_QUANTIZABLE)
 
     # ------------------------------------------------------------------
 

@@ -34,7 +34,7 @@ import numpy as np
 from vllm_neuron_tpu.config import ModelConfig
 from vllm_neuron_tpu.models.weights import iter_safetensors, transpose
 from vllm_neuron_tpu.ops.norm import rms_norm
-from vllm_neuron_tpu.ops.quant import linear, quantize_per_channel
+from vllm_neuron_tpu.ops.quant import linear
 from vllm_neuron_tpu.ops.ragged_attention import (RaggedMeta,
                                                   ragged_attention,
                                                   write_kv_pages)
@@ -394,20 +394,12 @@ class MllamaForCausalLM:
         return jax.tree.map(jnp.asarray, params)
 
     def _quantize_layers(self, layers: list[dict]) -> None:
-        """Replace eligible [K, N] projections with int8/fp8 values +
-        per-channel scales (in place, host-side numpy). Applies to both
-        self- and cross-attention layers."""
-        if self.quant is None:
-            return
-        skip = set(self.quant.modules_to_not_convert)
+        """Replace eligible [K, N] projections with quantized values +
+        scales (shared policy incl. int4 routing: ops/quant.py). Applies
+        to both self- and cross-attention layers."""
+        from vllm_neuron_tpu.ops.quant import quantize_projections
         for lp in layers:
-            for name in self.QUANTIZABLE:
-                if name in skip or name not in lp:
-                    continue
-                wq, s = quantize_per_channel(np.asarray(lp[name]),
-                                             self.quant.quantization)
-                lp[name] = wq
-                lp[name + "_scale"] = s
+            quantize_projections(lp, self.QUANTIZABLE, self.quant)
 
     def random_params(self, rng: jax.Array, scale: float = 0.02) -> dict:
         H, D, I = self.hidden_size, self.head_dim, self.intermediate_size

@@ -42,26 +42,14 @@ class Qwen3MoeForCausalLM(LlamaForCausalLM):
             raise NotImplementedError(
                 "mixed dense/sparse Qwen3-MoE layers not supported yet")
 
-    # Expert stacks quantize per-channel (int8/fp8 — ragged_dot applies
-    # the scale post-dot, ops/moe.py). Under quantization="int4" the
-    # experts use int8: the grouped-int4 kernel covers dense projections
-    # only.
+    # Expert stacks quantize per-channel int8/fp8 AS A UNIT (shared
+    # policy: ops/quant.py quantize_projections).
     EXPERT_QUANTIZABLE = ("we_gate", "we_up", "we_down")
 
     def _quantize_layer_params(self, layers: dict) -> None:
-        super()._quantize_layer_params(layers)
-        if self.quant is None:
-            return
-        from vllm_neuron_tpu.ops.quant import quantize_per_channel
-        q = ("int8" if self.quant.quantization == "int4"
-             else self.quant.quantization)
-        skip = set(self.quant.modules_to_not_convert)
-        for name in self.EXPERT_QUANTIZABLE:
-            if name in skip or name not in layers:
-                continue
-            wq, s = quantize_per_channel(np.asarray(layers[name]), q)
-            layers[name] = wq
-            layers[name + "_scale"] = s
+        from vllm_neuron_tpu.ops.quant import quantize_projections
+        quantize_projections(layers, self.QUANTIZABLE, self.quant,
+                             expert_names=self.EXPERT_QUANTIZABLE)
 
     # ------------------------------------------------------------------
 
@@ -128,17 +116,10 @@ class Qwen3MoeForCausalLM(LlamaForCausalLM):
         if self.quant is not None:
             # Host-side re-quantization (random params serve tests/dryrun
             # at tiny scale; large-scale random MoE isn't a bench config).
-            from vllm_neuron_tpu.ops.quant import quantize_per_channel
-            q = ("int8" if self.quant.quantization == "int4"
-                 else self.quant.quantization)
-            skip = set(self.quant.modules_to_not_convert)
-            for name, wv in expert.items():
-                if name in skip:
-                    layers[name] = wv
-                    continue
-                wq, s = quantize_per_channel(np.asarray(wv), q)
-                layers[name] = jnp.asarray(wq)
-                layers[name + "_scale"] = jnp.asarray(s)
+            from vllm_neuron_tpu.ops.quant import quantize_projections
+            quantize_projections(expert, (), self.quant,
+                                 expert_names=self.EXPERT_QUANTIZABLE)
+            layers.update({k: jnp.asarray(v) for k, v in expert.items()})
         else:
             layers.update(expert)
         return params

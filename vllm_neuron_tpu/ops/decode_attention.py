@@ -698,6 +698,19 @@ def decode_paged_attention_rowblock(q: jax.Array, kv_pages_l: jax.Array,
     )(*args)
 
 
+def rowblock_vmem_fits(rows_per_block: int, num_pages_bucket: int,
+                       page_size: int, two_hkv: int, head_dim: int,
+                       kv_itemsize: int, has_scales: bool = False) -> bool:
+    """Whether the rowblock kernel's double-buffer (+ scale buffer for
+    scaled-FP8 caches) fits scoped VMEM. THE single eligibility bound —
+    shared by the dispatcher's kernel selection and the scaled-FP8 gate
+    (ragged_attention.py) so they cannot drift."""
+    per_slot = head_dim * kv_itemsize + (2 if has_scales else 0)
+    buf = (2 * rows_per_block * num_pages_bucket * page_size * two_hkv *
+           per_slot)
+    return buf <= 12 * 2**20
+
+
 def visible_range(kv_lens: jax.Array, sliding_window=None, chunk_size=None
                   ) -> tuple[jax.Array, jax.Array]:
     """Per-row [lo, hi) visible key range for the last-token query at

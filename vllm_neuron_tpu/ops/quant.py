@@ -54,6 +54,15 @@ def quantize_per_channel(w: np.ndarray, quant: str
     return wq, scale
 
 
+def int4_group_size_for(K: int, group_size: int) -> int:
+    """Effective int4 group size for an input dim K: the configured size
+    when it divides K, else one group per packed half (K even required by
+    the nibble packing)."""
+    if K % 2 != 0:
+        raise ValueError(f"int4 packing requires an even input dim, got {K}")
+    return group_size if K % group_size == 0 else K // 2
+
+
 def quantize_int4_grouped(w: np.ndarray, group_size: int = INT4_GROUP
                           ) -> tuple[np.ndarray, np.ndarray]:
     """Symmetric per-group INT4 along the input (K) axis — the extra
@@ -67,9 +76,7 @@ def quantize_int4_grouped(w: np.ndarray, group_size: int = INT4_GROUP
     kernel, no element interleave."""
     wf = np.asarray(w, np.float32)
     K = wf.shape[-2]
-    if K % (2 * group_size) != 0:
-        # Fall back to one group per half so any even K quantizes.
-        group_size = K // 2
+    group_size = int4_group_size_for(K, group_size)
     Kg = K // group_size
     g = wf.reshape(*wf.shape[:-2], Kg, group_size, wf.shape[-1])
     absmax = np.max(np.abs(g), axis=-2, keepdims=True)
@@ -79,6 +86,43 @@ def quantize_int4_grouped(w: np.ndarray, group_size: int = INT4_GROUP
     lo, hi = q[..., :K // 2, :], q[..., K // 2:, :]
     packed = ((lo & 0xF) | ((hi & 0xF) << 4)).astype(np.uint8).view(np.int8)
     return packed, scale.reshape(*wf.shape[:-2], Kg, wf.shape[-1])
+
+
+def quantize_projections(container, names, quant_config,
+                         expert_names=()) -> None:
+    """THE quantization policy, shared by every model family (in place,
+    host-side numpy). ``container`` is a dict of weights (stacked layout)
+    or one per-layer dict. Dense ``names`` follow quant_config.quantization
+    (int4 routes to grouped packing); ``expert_names`` are MoE expert
+    stacks — always per-channel int8/fp8 (the grouped matmul applies
+    scales post-dot; the int4 kernel covers dense projections only), and
+    they quantize AS A UNIT: if any expert stack is in
+    modules_to_not_convert, all of them stay dense (partial expert quant
+    would leave the in-dispatch scale tuple inconsistent)."""
+    if quant_config is None or not quant_config.enabled:
+        return
+    skip = set(quant_config.modules_to_not_convert)
+    q = quant_config.quantization
+    for name in names:
+        if name in skip or name not in container:
+            continue
+        if q == "int4":
+            wq, s = quantize_int4_grouped(np.asarray(container[name]),
+                                          quant_config.int4_group_size)
+        else:
+            wq, s = quantize_per_channel(np.asarray(container[name]), q)
+        container[name] = wq
+        container[name + "_scale"] = s
+    present = [n for n in expert_names if n in container]
+    if not present:
+        return
+    if any(n in skip for n in expert_names):
+        return  # expert unit skipped as a whole
+    q8 = "int8" if q == "int4" else q
+    for name in present:
+        wq, s = quantize_per_channel(np.asarray(container[name]), q8)
+        container[name] = wq
+        container[name + "_scale"] = s
 
 
 def unpack_int4(packed: jax.Array) -> jax.Array:

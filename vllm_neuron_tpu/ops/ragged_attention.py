@@ -411,8 +411,9 @@ def _decode_kernel_fn():
                              kv_scales=None):
             PP = page_indices.shape[1]
             _, ps, two_hkv, dp = kv_pages_l.shape
-            buf = 2 * R * PP * ps * two_hkv * dp * kv_pages_l.dtype.itemsize
-            if buf > 12 * 2**20:
+            if not da.rowblock_vmem_fits(R, PP, ps, two_hkv, dp,
+                                         kv_pages_l.dtype.itemsize,
+                                         has_scales=kv_scales is not None):
                 assert kv_scales is None, (
                     "scaled-FP8 eligibility must be gated on the VMEM "
                     "bound (_scaled_kernel_eligible)")
@@ -500,15 +501,18 @@ def _pallas_decode_sharded(q, kv_pages_l, lo, hi, page_indices, *,
 def _scaled_kernel_eligible(pages, page_indices) -> bool:
     """Scaled-FP8 pages can take the kernel path only when the ROWBLOCK
     variant is selected AND its double-buffer fits scoped VMEM (the flat
-    fallback inside rowblock_or_flat cannot read scales)."""
+    fallback inside rowblock_or_flat cannot read scales). Same bound as
+    the dispatcher: decode_attention.rowblock_vmem_fits."""
     import os
+
+    from vllm_neuron_tpu.ops.decode_attention import rowblock_vmem_fits
     if os.environ.get("VLLM_TPU_DECODE_KERNEL", "fused") != "rowblock":
         return False
     R = int(os.environ.get("VLLM_TPU_DECODE_ROWS", "2"))
     _, ps, two_hkv, dp = pages.shape
     PP = page_indices.shape[1]
-    buf = 2 * R * PP * ps * two_hkv * (dp * pages.dtype.itemsize + 2)
-    return buf <= 12 * 2**20
+    return rowblock_vmem_fits(R, PP, ps, two_hkv, dp,
+                              pages.dtype.itemsize, has_scales=True)
 
 
 def _can_shard_decode(q, kv_pages_l) -> bool:

@@ -13,7 +13,9 @@ import numpy as np
 
 
 def compute_inv_freq(head_dim: int, rope_theta: float,
-                     rope_scaling: Optional[dict]) -> np.ndarray:
+                     rope_scaling: Optional[dict],
+                     max_position_embeddings: Optional[int] = None
+                     ) -> np.ndarray:
     """Static (host-side) inverse frequencies, with optional Llama-3 scaling.
 
     Matches HF ``ROPE_INIT_FUNCTIONS['llama3']`` semantics so checkpoints load
@@ -43,7 +45,15 @@ def compute_inv_freq(head_dim: int, rope_theta: float,
             # Qwen-2.5 class checkpoints): interpolate low frequencies,
             # extrapolate high, linear ramp between correction dims.
             factor = rope_scaling["factor"]
-            orig_max = rope_scaling["original_max_position_embeddings"]
+            # HF treats original_max as optional, falling back to the
+            # config's max_position_embeddings.
+            orig_max = rope_scaling.get(
+                "original_max_position_embeddings",
+                max_position_embeddings)
+            if orig_max is None:
+                raise ValueError(
+                    "yarn rope_scaling needs original_max_position_"
+                    "embeddings (or pass max_position_embeddings)")
             beta_fast = rope_scaling.get("beta_fast", 32)
             beta_slow = rope_scaling.get("beta_slow", 1)
 
