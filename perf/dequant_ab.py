@@ -1,0 +1,86 @@
+# SPDX-License-Identifier: Apache-2.0
+"""A/B microbenchmark: dequant-GEMM variants at 8B decode/prefill shapes.
+
+Run ALONE on the TPU (single-tenant chip — see CLAUDE.md). Methodology:
+chain ITER iterations feeding the output back into x's first rows and
+fetch ONE scalar at the end (block_until_ready alone under-reports
+through the axon tunnel).
+
+    python perf/dequant_ab.py [decode|prefill] [M]
+
+Variants timed per (K, N) projection shape of Llama-3.1-8B:
+  bf16      — dense baseline (weights 2 bytes/elem)
+  int8      — per-channel dequant via the XLA fused-convert path
+  int4      — grouped packed-nibble Pallas kernel (weights 0.5 bytes/elem)
+Expected on-chip: decode (M=32) time ratio ~ bytes ratio (HBM-bound);
+prefill (M=512) roughly flat (MXU-bound at the bf16 rate).
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/vllm_neuron_tpu/perf"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from vllm_neuron_tpu.ops.quant import (dequant_matmul,
+                                       quantize_int4_grouped,
+                                       quantize_per_channel)
+
+MODE = sys.argv[1] if len(sys.argv) > 1 else "decode"
+M = int(sys.argv[2]) if len(sys.argv) > 2 else (32 if MODE == "decode"
+                                                else 512)
+ITER = 32
+# Llama-3.1-8B projection shapes (wqkv, wo, wgu, wd).
+SHAPES = [(4096, 6144), (4096, 4096), (4096, 28672), (14336, 4096)]
+
+
+def chain(fn, x0, iters=ITER):
+    def step(x, _):
+        y = fn(x)
+        # Feed output back into the input's leading columns to serialize.
+        x = x.at[:, :1].set(y[:, :1].astype(x.dtype) * 1e-3)
+        return x, None
+    run = jax.jit(lambda x: jax.lax.scan(step, x, None, length=iters)[0])
+    run(x0).block_until_ready()  # compile + warm
+    t0 = time.perf_counter()
+    out = run(x0)
+    float(out[0, 0])  # one scalar fetch
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    rng = np.random.default_rng(0)
+    print(f"mode={MODE} M={M} iters={ITER}")
+    for K, N in SHAPES:
+        w = (rng.standard_normal((K, N)) * 0.02).astype(np.float32)
+        x0 = jnp.asarray(rng.standard_normal((M, K)) * 0.1, jnp.bfloat16)
+
+        wbf = jnp.asarray(w, jnp.bfloat16)
+        t_bf = chain(lambda x: jnp.dot(x, wbf,
+                                       preferred_element_type=jnp.float32
+                                       ).astype(jnp.bfloat16), x0)
+
+        w8, s8 = quantize_per_channel(w, "int8")
+        w8j, s8j = jnp.asarray(w8), jnp.asarray(s8)
+        t_i8 = chain(lambda x: dequant_matmul(x, w8j, s8j), x0)
+
+        w4, s4 = quantize_int4_grouped(w, 128)
+        w4j, s4j = jnp.asarray(w4), jnp.asarray(s4)
+        t_i4 = chain(lambda x: dequant_matmul(x, w4j, s4j), x0)
+
+        hbm_bf = K * N * 2 / 819e9 * 1e6
+        print(f"[{K:6d}x{N:6d}] bf16 {t_bf*1e6:8.1f}us  "
+              f"int8 {t_i8*1e6:8.1f}us  int4 {t_i4*1e6:8.1f}us  "
+              f"(bf16 HBM floor ~{hbm_bf:.0f}us; int4 target ~{hbm_bf/4:.0f}us)")
+
+
+if __name__ == "__main__":
+    main()

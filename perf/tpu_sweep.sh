@@ -32,3 +32,8 @@ AB_ROWBLOCK_RS=1,2 \
 # BENCH_BATCH=48 BENCH_KV_DTYPE=fp8 BENCH_QUANT=int4 \
 #   VLLM_TPU_DECODE_KERNEL=rowblock VLLM_TPU_PACKED_H2D=1 \
 #   timeout 6000 python bench.py
+
+# Phase 0 (run first, ~2 min): dequant-GEMM microbench — confirms the
+# int4 kernel actually halves decode weight time before the full benches.
+# timeout 1800 python perf/dequant_ab.py decode 32
+# timeout 1800 python perf/dequant_ab.py prefill 512
