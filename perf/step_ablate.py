@@ -55,8 +55,14 @@ def main():
     real_write = llama.write_kv_pages
 
     def timed(name):
-        # Fresh program per variant (cache key ignores the monkeypatch).
-        ex._fns.pop(("step", "decode", B, page_indices.shape, False), None)
+        # Fresh program per variant (the cache key ignores the
+        # monkeypatch). Drop EVERY decode-step entry by prefix rather
+        # than reconstructing the exact key tuple — the key grew a
+        # `cross` flag once already and a stale pop here silently
+        # measures the first-compiled program for every variant.
+        for k in [k for k in ex._fns
+                  if k[:2] == ("step", "decode")]:
+            ex._fns.pop(k, None)
         h = ex.dispatch_decode_window(first, positions0, slot1, kv_lens0,
                                       page_indices, B, temp, tk, tp)
         ex.fetch_decode_window(h)

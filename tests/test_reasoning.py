@@ -36,7 +36,9 @@ def _drive(deltas):
         r, c = s.feed(d)
         r_all += r
         c_all += c
-    r_all += s.flush()
+    r_t, c_t = s.flush()
+    r_all += r_t
+    c_all += c_t
     return r_all, c_all
 
 
@@ -65,3 +67,32 @@ def test_stream_unclosed_flush():
 
 def test_stream_everything_in_one_delta():
     assert _drive(["<think>r</think>c"]) == ("r", "c")
+
+
+def test_stream_content_only_routes_to_content():
+    """A stream with NO think block must land in content, matching the
+    batch parse() (regression: it used to stream as reasoning_content)."""
+    from vllm_neuron_tpu.server.reasoning import ThinkTagParser
+
+    q = ThinkTagParser("think", implicit_open=False)
+
+    def drive(deltas):
+        s = q.stream()
+        r_all, c_all = "", ""
+        for d in deltas:
+            r, c = s.feed(d)
+            r_all += r
+            c_all += c
+        r_t, c_t = s.flush()
+        return r_all + r_t, c_all + c_t
+
+    assert drive(["plain ", "answer"]) == ("", "plain answer")
+    # Explicit open still splits.
+    assert drive(["<think>r</think>", "ans"]) == ("r", "ans")
+    # A stream that ends while still a prefix of "<think>" is content.
+    assert drive(["<thi"]) == ("", "<thi")
+    # R1-style implicit open (the default): reasoning until close.
+    from vllm_neuron_tpu.server.reasoning import REASONING_PARSERS
+    r1 = REASONING_PARSERS["deepseek_r1"].stream()
+    out = [r1.feed("thinking..."), r1.feed("</think>done")]
+    assert out[0] == ("thinking...", "") and out[1][1] == "done"

@@ -127,14 +127,18 @@ class DPEngine:
                     lora_request=None,
                     parent_req_id: Optional[str] = None) -> None:
         lane = self._pick_lane(parent_req_id)
-        self._lane_of[req_id] = lane
+        # Map only after the lane accepted the request — a validation
+        # error must not leak a lane entry.
         self.cores[lane].add_request(
             req_id, prompt_token_ids, sampling_params, prompt=prompt,
             mm_inputs=mm_inputs, lora_request=lora_request,
             parent_req_id=parent_req_id)
+        self._lane_of[req_id] = lane
 
     def abort_request(self, req_id: str) -> None:
-        lane = self._lane_of.get(req_id)
+        # Aborted requests never re-emerge through step()'s finished
+        # outputs (they stop being scheduled), so drop the mapping here.
+        lane = self._lane_of.pop(req_id, None)
         if lane is not None:
             self.cores[lane].abort_request(req_id)
 

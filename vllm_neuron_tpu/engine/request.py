@@ -58,20 +58,12 @@ class Request:
         self.arrival_time = arrival_time or time.monotonic()
         # Multimodal inputs: {"pixel_values": np.ndarray [T, C, H, W]}.
         self.mm_inputs = mm_inputs
-        # Image-content digest: the KV of every position after (or cross-
-        # attending to) an image depends on the pixels, so the prefix-cache
-        # hash chain must be seeded with the image identity — identical
-        # token ids with a different image must never share blocks.
-        self.mm_hash: Optional[str] = None
-        if mm_inputs:
-            import hashlib
-            h = hashlib.sha1()
-            for key in sorted(mm_inputs):
-                v = mm_inputs[key]
-                h.update(key.encode())
-                h.update(np.ascontiguousarray(v).tobytes()
-                         if hasattr(v, "tobytes") else repr(v).encode())
-            self.mm_hash = h.hexdigest()
+        # Image-content digest (lazy, see mm_hash): the KV of every
+        # position after (or cross-attending to) an image depends on the
+        # pixels, so the prefix-cache hash chain must be seeded with the
+        # image identity — identical token ids with a different image must
+        # never share blocks.
+        self._mm_hash: Optional[str] = None
         # LoRA adapter group id (0 = base model; lora_loader.py).
         self.lora_int_id = lora_int_id
 
@@ -96,6 +88,23 @@ class Request:
         # Metrics.
         self.first_token_time: Optional[float] = None
         self.finish_time: Optional[float] = None
+
+    @property
+    def mm_hash(self) -> Optional[str]:
+        """SHA1 over the image payload, computed on first use (the prefix
+        cache's hash-chain seed — never needed with caching off) and
+        cached. Values hash via their exact buffer bytes: anything
+        non-numpy is converted first (repr() of a large tensor elides
+        interior values and could collide across different images)."""
+        if self._mm_hash is None and self.mm_inputs:
+            import hashlib
+            h = hashlib.sha1()
+            for key in sorted(self.mm_inputs):
+                v = self.mm_inputs[key]
+                h.update(key.encode())
+                h.update(np.ascontiguousarray(np.asarray(v)).tobytes())
+            self._mm_hash = h.hexdigest()
+        return self._mm_hash
 
     @property
     def num_prompt_tokens(self) -> int:

@@ -19,6 +19,8 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+from vllm_neuron_tpu.ops.norm import layer_norm
 import numpy as np
 
 from vllm_neuron_tpu.models.weights import iter_safetensors, transpose
@@ -62,16 +64,6 @@ def _rope_pairs(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     out_e = xe * c - xo * s
     out_o = xe * s + xo * c
     return jnp.stack([out_e, out_o], axis=-1).reshape(x.shape).astype(x.dtype)
-
-
-def _layer_norm(x: jax.Array, w: jax.Array, b: jax.Array,
-                eps: float = 1e-5) -> jax.Array:
-    xf = x.astype(jnp.float32)
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean((xf - mu)**2, axis=-1, keepdims=True)
-    out = (xf - mu) * jax.lax.rsqrt(var + eps)
-    return (out * w.astype(jnp.float32) +
-            b.astype(jnp.float32)).astype(x.dtype)
 
 
 def _pixel_shuffle(x: jax.Array, ratio: float) -> jax.Array:
@@ -188,12 +180,12 @@ class Llama4VisionEncoder:
                                (T, 1, self.hidden_size))
         x = jnp.concatenate([x, cls], axis=1)  # CLS appended LAST
         x = x + params["pos_embed"].astype(x.dtype)
-        x = _layer_norm(x, params["ln_pre_w"], params["ln_pre_b"])
+        x = layer_norm(x, params["ln_pre_w"], params["ln_pre_b"])
 
         P1 = x.shape[1]
         nH, D = self.num_heads, self.head_dim
         for lp in params["layers"]:
-            h = _layer_norm(x, lp["ln1_w"], lp["ln1_b"])
+            h = layer_norm(x, lp["ln1_w"], lp["ln1_b"])
             q = h @ lp["wq"]
             k = h @ lp["wk"]
             v = h @ lp["wv"]
@@ -213,7 +205,7 @@ class Llama4VisionEncoder:
             if lp["bo"] is not None:
                 o = o + lp["bo"]
             x = x + o
-            h = _layer_norm(x, lp["ln2_w"], lp["ln2_b"])
+            h = layer_norm(x, lp["ln2_w"], lp["ln2_b"])
             h1 = h @ lp["fc1_w"]
             if lp["fc1_b"] is not None:
                 h1 = h1 + lp["fc1_b"]
@@ -223,7 +215,7 @@ class Llama4VisionEncoder:
                 h2 = h2 + lp["fc2_b"]
             x = x + h2
 
-        x = _layer_norm(x, params["ln_post_w"], params["ln_post_b"])
+        x = layer_norm(x, params["ln_post_w"], params["ln_post_b"])
         x = x[:, :-1]  # drop CLS
         # Pixel-shuffle adapter: fc1 -> gelu -> fc2 -> gelu (HF MLP2).
         x = _pixel_shuffle(x, self.pixel_shuffle_ratio)

@@ -19,22 +19,14 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+from vllm_neuron_tpu.ops.norm import layer_norm
 import numpy as np
 
 from vllm_neuron_tpu.models.weights import iter_safetensors, transpose
 from vllm_neuron_tpu.utils import init_logger
 
 logger = init_logger(__name__)
-
-
-def _layer_norm(x: jax.Array, w: jax.Array, b: jax.Array,
-                eps: float) -> jax.Array:
-    xf = x.astype(jnp.float32)
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean((xf - mu)**2, axis=-1, keepdims=True)
-    out = (xf - mu) * jax.lax.rsqrt(var + eps)
-    return (out * w.astype(jnp.float32) +
-            b.astype(jnp.float32)).astype(x.dtype)
 
 
 def _quick_gelu(x: jax.Array) -> jax.Array:
@@ -142,14 +134,14 @@ class LlavaVisionEncoder:
                                (B, 1, self.hidden_size)).astype(x.dtype)
         x = jnp.concatenate([cls, x], axis=1)  # CLS FIRST (CLIP layout)
         x = x + params["pos_embed"][None].astype(x.dtype)
-        x = _layer_norm(x, params["ln_pre_w"], params["ln_pre_b"],
+        x = layer_norm(x, params["ln_pre_w"], params["ln_pre_b"],
                         self.norm_eps)
 
         P1 = x.shape[1]
         nH, D = self.num_heads, self.head_dim
         feats = x if self.feature_layer == 0 else None
         for li, lp in enumerate(params["layers"]):
-            h = _layer_norm(x, lp["ln1_w"], lp["ln1_b"], self.norm_eps)
+            h = layer_norm(x, lp["ln1_w"], lp["ln1_b"], self.norm_eps)
             q = (h @ lp["wq"] + lp["bq"]).reshape(B, P1, nH, D)
             k = (h @ lp["wk"] + lp["bk"]).reshape(B, P1, nH, D)
             v = (h @ lp["wv"] + lp["bv"]).reshape(B, P1, nH, D)
@@ -158,7 +150,7 @@ class LlavaVisionEncoder:
             probs = jax.nn.softmax(scores * self.scale, axis=-1)
             attn = jnp.einsum("bhpq,bqhd->bphd", probs.astype(v.dtype), v)
             x = x + (attn.reshape(B, P1, nH * D) @ lp["wo"] + lp["bo"])
-            h = _layer_norm(x, lp["ln2_w"], lp["ln2_b"], self.norm_eps)
+            h = layer_norm(x, lp["ln2_w"], lp["ln2_b"], self.norm_eps)
             h = _quick_gelu(h @ lp["fc1_w"] + lp["fc1_b"])
             x = x + (h @ lp["fc2_w"] + lp["fc2_b"])
             if li + 1 == self.feature_layer:

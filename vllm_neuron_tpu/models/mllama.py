@@ -33,7 +33,7 @@ import numpy as np
 
 from vllm_neuron_tpu.config import ModelConfig
 from vllm_neuron_tpu.models.weights import iter_safetensors, transpose
-from vllm_neuron_tpu.ops.norm import rms_norm
+from vllm_neuron_tpu.ops.norm import layer_norm, rms_norm
 from vllm_neuron_tpu.ops.quant import linear
 from vllm_neuron_tpu.ops.ragged_attention import (RaggedMeta,
                                                   ragged_attention,
@@ -42,15 +42,6 @@ from vllm_neuron_tpu.ops.rope import apply_rope, compute_inv_freq
 from vllm_neuron_tpu.utils import init_logger
 
 logger = init_logger(__name__)
-
-
-def _layer_norm(x, w, b, eps):
-    xf = x.astype(jnp.float32)
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean((xf - mu)**2, axis=-1, keepdims=True)
-    out = (xf - mu) * jax.lax.rsqrt(var + eps)
-    return (out * w.astype(jnp.float32) +
-            b.astype(jnp.float32)).astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -168,7 +159,7 @@ class MllamaVisionEncoder:
                    gated: bool) -> jax.Array:
         B, P, _ = x.shape
         nH, D = self.num_heads, self.head_dim
-        h = _layer_norm(x, lp["ln1_w"], lp["ln1_b"], self.norm_eps)
+        h = layer_norm(x, lp["ln1_w"], lp["ln1_b"], self.norm_eps)
         q = (h @ lp["wq"]).reshape(B, P, nH, D)
         k = (h @ lp["wk"]).reshape(B, P, nH, D)
         v = (h @ lp["wv"]).reshape(B, P, nH, D)
@@ -181,7 +172,7 @@ class MllamaVisionEncoder:
         if gated:
             a = jnp.tanh(lp["gate_attn"]) * a
         x = x + a
-        h = _layer_norm(x, lp["ln2_w"], lp["ln2_b"], self.norm_eps)
+        h = layer_norm(x, lp["ln2_w"], lp["ln2_b"], self.norm_eps)
         h = jax.nn.gelu(h @ lp["fc1_w"] + lp["fc1_b"], approximate=False)
         m = h @ lp["fc2_w"] + lp["fc2_b"]
         if gated:
@@ -221,7 +212,7 @@ class MllamaVisionEncoder:
         tile_pos = params["tile_pos_embed"][ar_ids].reshape(
             B * M, self.max_num_tiles, np_, Hv)[:, :T]
         x = x + (gate * tile_pos).astype(x.dtype)
-        x = _layer_norm(x, params["ln_pre_w"], params["ln_pre_b"],
+        x = layer_norm(x, params["ln_pre_w"], params["ln_pre_b"],
                         self.norm_eps)
 
         # Pad patches to a multiple of 8 (HF kernel-alignment quirk kept
@@ -252,7 +243,7 @@ class MllamaVisionEncoder:
             # (input embedding not included): index i = layer i's output.
             if li in self.intermediate_layers_indices:
                 inter.append(x)
-        x = _layer_norm(x, params["ln_post_w"], params["ln_post_b"],
+        x = layer_norm(x, params["ln_post_w"], params["ln_post_b"],
                         self.norm_eps)
 
         x = x.reshape(B * M, T, pp, Hv)

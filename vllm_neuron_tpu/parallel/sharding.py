@@ -224,9 +224,9 @@ def shard_kv_cache(kv_spec, mesh: Mesh):
         scale_spec = P(*KV_SPEC[:-1])
         scale_sharding = NamedSharding(
             mesh, _divisible(scale_spec, shape[:-1], tp))
-        return jax.jit(
-            lambda: FP8KVCache(jnp.zeros(shape, kv_spec.dtype),
-                               jnp.zeros(shape[:-1], jnp.bfloat16)),
-            out_shardings=FP8KVCache(sharding, scale_sharding))()
-    return jax.jit(lambda: jnp.zeros(shape, kv_spec.dtype),
-                   out_shardings=sharding)()
+        out_shardings = FP8KVCache(sharding, scale_sharding)
+    else:
+        out_shardings = sharding
+    # allocate_shaped is THE pages(+scales) constructor (executor.py).
+    return jax.jit(lambda: kv_spec.allocate_shaped(shape),
+                   out_shardings=out_shardings)()

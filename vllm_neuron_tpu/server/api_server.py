@@ -322,9 +322,11 @@ class OpenAIServer:
                 yield chunk({"content": delta})
             if out.finished:
                 if splitter is not None:
-                    tail = splitter.flush()
-                    if tail:
-                        yield chunk({"reasoning_content": tail})
+                    r_tail, c_tail = splitter.flush()
+                    if r_tail:
+                        yield chunk({"reasoning_content": r_tail})
+                    if c_tail:
+                        yield chunk({"content": c_tail})
                 yield chunk({}, finish=comp.finish_reason)
 
 

@@ -15,11 +15,18 @@ from typing import Optional
 
 
 class ThinkTagParser:
-    """Parses ``<tag>...</tag>`` reasoning blocks, batch and streaming."""
+    """Parses ``<tag>...</tag>`` reasoning blocks, batch and streaming.
 
-    def __init__(self, tag: str = "think"):
+    ``implicit_open``: R1-style chat templates open the block inside the
+    generation prompt, so the streamed output IS reasoning until the close
+    tag even though no open tag appears. Qwen3-style models emit the open
+    tag themselves — a stream that doesn't start with it is plain content
+    (non-thinking mode)."""
+
+    def __init__(self, tag: str = "think", implicit_open: bool = True):
         self.open = f"<{tag}>"
         self.close = f"</{tag}>"
+        self.implicit_open = implicit_open
 
     def parse(self, text: str) -> tuple[Optional[str], str]:
         """Returns (reasoning_content, content) for a complete output."""
@@ -50,12 +57,26 @@ class ThinkTagStream:
         self.p = parser
         self.buf = ""
         self.done_reasoning = False
+        # None = undecided (stream start), True = inside a reasoning
+        # block, False = plain content stream (no block).
+        self._in_reasoning: Optional[bool] = parser.implicit_open or None
         self._emitted = 0  # reasoning chars already handed out
 
     def feed(self, delta: str) -> tuple[str, str]:
         if self.done_reasoning:
             return "", delta
         self.buf += delta
+        if self._in_reasoning is None:
+            # Explicit-open models (Qwen3): decide from the stream head.
+            head = self.buf.lstrip()
+            if not head.startswith(self.p.open):
+                if self.p.open.startswith(head):
+                    return "", ""  # still a prefix of the open tag: hold
+                # No block: the whole stream is content (matches parse()).
+                self.done_reasoning = True
+                out, self.buf = self.buf, ""
+                return "", out
+            self._in_reasoning = True
         close_at = self.buf.find(self.p.close)
         if close_at >= 0:
             head = self.buf[:close_at]
@@ -84,21 +105,25 @@ class ThinkTagStream:
         self._emitted += len(out)
         return out, ""
 
-    def flush(self) -> str:
-        """End of stream: release any reasoning chars held back as a
-        potential partial close tag (unclosed block / max_tokens cut)."""
+    def flush(self) -> tuple[str, str]:
+        """End of stream: release held-back text. Returns (reasoning_delta,
+        content_delta) — an undecided explicit-open stream (buf was a
+        prefix of the open tag) resolves to content; an open reasoning
+        block (max_tokens cut) resolves to reasoning."""
         if self.done_reasoning:
-            return ""
+            return "", ""
         self.done_reasoning = True
+        if self._in_reasoning is None:
+            return "", self.buf
         visible = self.buf
         open_at = visible.find(self.p.open)
         if open_at >= 0:
             visible = (visible[:open_at] +
                        visible[open_at + len(self.p.open):])
-        return visible[self._emitted:]
+        return visible[self._emitted:], ""
 
 
 REASONING_PARSERS = {
-    "deepseek_r1": ThinkTagParser("think"),
-    "qwen3": ThinkTagParser("think"),
+    "deepseek_r1": ThinkTagParser("think", implicit_open=True),
+    "qwen3": ThinkTagParser("think", implicit_open=False),
 }

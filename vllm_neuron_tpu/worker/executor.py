@@ -110,11 +110,17 @@ class KVCacheSpec:
     def allocate(self):
         """Zero-filled cache in this spec's layout (FP8 gets the scaled
         container; see ops/ragged_attention.FP8KVCache)."""
+        return self.allocate_shaped(self.shape)
+
+    def allocate_shaped(self, shape: tuple):
+        """Zero cache of an explicit shape in this spec's dtype layout —
+        THE single constructor for main/draft/sharded caches (one place
+        owns the pages+scales pairing)."""
         if self.is_fp8:
             from vllm_neuron_tpu.ops.ragged_attention import FP8KVCache
-            return FP8KVCache(jnp.zeros(self.shape, self.dtype),
-                              jnp.zeros(self.shape[:-1], jnp.bfloat16))
-        return jnp.zeros(self.shape, self.dtype)
+            return FP8KVCache(jnp.zeros(shape, self.dtype),
+                              jnp.zeros(shape[:-1], jnp.bfloat16))
+        return jnp.zeros(shape, self.dtype)
 
 
 class ModelExecutor:
@@ -273,13 +279,7 @@ class ModelExecutor:
         shape = (draft_model.num_layers, self.kv_spec.num_pages,
                  self.kv_spec.block_size, 2 * draft_model.num_kv_heads,
                  padded_head_dim(draft_model.head_dim))
-        if self.kv_spec.is_fp8:
-            from vllm_neuron_tpu.ops.ragged_attention import FP8KVCache
-            self.kv_draft = FP8KVCache(
-                jnp.zeros(shape, self.kv_spec.dtype),
-                jnp.zeros(shape[:-1], jnp.bfloat16))
-        else:
-            self.kv_draft = jnp.zeros(shape, self.kv_spec.dtype)
+        self.kv_draft = self.kv_spec.allocate_shaped(shape)
         self.spec_hidden = jnp.zeros(
             (self.config.scheduler.max_num_seqs,
              self.model.hidden_size), self.config.model.dtype)
