@@ -34,8 +34,8 @@ from vllm_neuron_tpu.ops.ragged_attention import (RaggedMeta,
 # Llama-3.1-8B decode shapes at the bench config.
 B = int(sys.argv[3]) if len(sys.argv) > 3 else 32
 HQ, HKV, DP = 32, 8, 128
-PS = 32
-NUM_PAGES = 1025
+PS = int(os.environ.get("AB_PAGE_SIZE", "32"))
+NUM_PAGES = 32 * 1024 // PS + 1
 KV_LEN = int(sys.argv[2]) if len(sys.argv) > 2 else 640
 PP_BUCKET = -(-KV_LEN // PS)  # exact page need (bucket rounding separate)
 ITER = 64
