@@ -35,10 +35,22 @@ from vllm_neuron_tpu.ops.ragged_attention import (RaggedMeta,
 B = int(sys.argv[3]) if len(sys.argv) > 3 else 32
 HQ, HKV, DP = 32, 8, 128
 PS = int(os.environ.get("AB_PAGE_SIZE", "32"))
+assert PS > 0 and 32 * 1024 % PS == 0, \
+    f"AB_PAGE_SIZE={PS} must be positive and divide 32768"
 NUM_PAGES = 32 * 1024 // PS + 1
+# NOTE: the default AB_FUSED_CS / AB_ROWBLOCK_RS chunk lists below assume
+# PS=32; with a larger AB_PAGE_SIZE the same C/R values move proportionally
+# more KV per iteration and can blow the ~16MB scoped-VMEM double-buffer
+# limit at compile. Scale them by 32/PS when sweeping other page sizes.
 KV_LEN = int(sys.argv[2]) if len(sys.argv) > 2 else 640
 PP_BUCKET = -(-KV_LEN // PS)  # exact page need (bucket rounding separate)
-ITER = 64
+# AB_SCAN=L: wrap each variant in an in-program fori_loop of L chained
+# calls (one dispatch for L kernel invocations) — measures the IN-PROGRAM
+# per-call cost the step program actually pays per layer. The plain chain
+# of separate dispatches carries a ~0.3-0.4 ms/call tunnel-dispatch floor
+# that masks sub-ms kernel differences.
+SCAN = int(os.environ.get("AB_SCAN", "0"))
+ITER = 8 if SCAN else 64
 SM = 1.0 / np.sqrt(DP)
 
 
@@ -56,6 +68,11 @@ def setup(dtype=jnp.bfloat16):
 
 
 def run(name, fn, q0):
+    if SCAN:
+        import jax.lax as lax
+        inner = fn
+        fn = jax.jit(lambda q: lax.fori_loop(
+            0, SCAN, lambda i, qq: inner(qq), q))
     q = fn(q0)
     q.block_until_ready()  # compile
     # Throwaway timed burst: the FIRST timed loop in a process reads
@@ -68,9 +85,9 @@ def run(name, fn, q0):
     for _ in range(ITER):
         q = fn(q)
     float(q[0, 0, 0])  # one scalar fetch forces the whole chain
-    dt = (time.perf_counter() - t0) / ITER * 1e3
+    dt = (time.perf_counter() - t0) / ITER / max(SCAN, 1) * 1e3
     print(f"{name}: {dt:.3f} ms/call  (B={B} kv_len={KV_LEN} "
-          f"PP={PP_BUCKET} iters={ITER})", flush=True)
+          f"PP={PP_BUCKET} iters={ITER} scan={SCAN})", flush=True)
     return dt
 
 
@@ -120,8 +137,10 @@ def main():
         rs = tuple(int(x) for x in os.environ.get(
             "AB_ROWBLOCK_RS", "1,2").split(","))
         for r in rs:
-            # VMEM double-buffer: 2*R*PP*ps*2Hkv*Dp*2B; R=2 @ 20 pages
-            # of 32 slots = 10.5 MB (fits); R=4 does not.
+            # VMEM double-buffer: 2*R*PP*ps*2Hkv*Dp*2B; R=1 @ 20 pages
+            # of 32 slots = 10.5 MB (fits); R=2 = 21 MB blows the 16 MB
+            # scoped limit (measured: compile OOM at 17.44M) — R>=2 only
+            # fits at kv_len <= ~384.
             rb = jax.jit(lambda q, r=r: decode_paged_attention_rowblock(
                 q, kv, lo, hi, pages, num_kv_heads=HKV, sm_scale=SM,
                 rows_per_block=r).astype(q.dtype))
