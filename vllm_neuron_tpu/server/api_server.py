@@ -242,16 +242,39 @@ class OpenAIServer:
             raise ValueError("`messages` is required")
         tools = body.get("tools")
         tool_choice = body.get("tool_choice", "auto" if tools else "none")
+        forced_name = None
+        if isinstance(tool_choice, dict):
+            # Named tool_choice: {"type": "function", "function":
+            # {"name": X}} — the model sees ONLY tool X and the response
+            # is committed to calling it (reference surface: vLLM OpenAI
+            # server named tool_choice, test/e2e/online/configs.py:118-135).
+            forced_name = (tool_choice.get("function") or {}).get("name")
+            if not forced_name:
+                raise ValueError(
+                    "tool_choice object requires function.name")
+            if not any((t.get("function") or {}).get("name") == forced_name
+                       for t in tools or []):
+                raise ValueError(
+                    f"tool_choice names unknown tool {forced_name!r}")
         use_tools = bool(tools) and tool_choice != "none" and \
-            (self.enable_auto_tools or tool_choice != "auto")
+            (forced_name is not None or self.enable_auto_tools
+             or tool_choice != "auto")
+        tmpl_tools = tools
+        if forced_name is not None:
+            tmpl_tools = [t for t in tools
+                          if (t.get("function") or {}).get("name")
+                          == forced_name]
         token_ids = self._apply_chat_template(
-            messages, tools if use_tools else None)
+            messages, tmpl_tools if use_tools else None)
         sp = sampling_from_body(body, max_tokens_default=1024)
         lora = self._resolve_lora(body)
         chat_id = make_id("chatcmpl")
         if body.get("stream", False):
             return StreamingResponse(
-                self._stream_chat(chat_id, token_ids, sp, lora))
+                self._stream_chat(chat_id, token_ids, sp, lora,
+                                  tools_active=use_tools and
+                                  self.tool_parser is not None,
+                                  forced_name=forced_name))
         out = await self._collect(token_ids, sp, lora)
         comp = out.outputs[0]
         reasoning = None
@@ -261,6 +284,9 @@ class OpenAIServer:
         tool_calls, content = None, raw
         if use_tools and self.tool_parser is not None:
             tool_calls, content = self.tool_parser(raw)
+            if forced_name is not None:
+                tool_calls, content = _force_named_call(
+                    raw, tool_calls, forced_name)
         message: dict = {"role": "assistant", "content": content or None}
         if reasoning:
             message["reasoning_content"] = reasoning
@@ -288,8 +314,10 @@ class OpenAIServer:
             "usage": usage.to_dict(),
         })
 
-    async def _stream_chat(self, chat_id, token_ids, sp,
-                           lora=None) -> AsyncIterator[str]:
+    async def _stream_chat(self, chat_id, token_ids, sp, lora=None,
+                           tools_active: bool = False,
+                           forced_name: Optional[str] = None
+                           ) -> AsyncIterator[str]:
         def chunk(delta: dict, finish: Optional[str] = None) -> str:
             return json.dumps({
                 "id": chat_id,
@@ -307,6 +335,20 @@ class OpenAIServer:
         sent_len = 0
         splitter = (self.reasoning_parser.stream()
                     if self.reasoning_parser is not None else None)
+        tool_stream = None
+        if tools_active:
+            from vllm_neuron_tpu.server.tool_stream import (
+                StreamingToolCallParser)
+            tool_stream = StreamingToolCallParser(forced_name=forced_name)
+
+        def route_content(c_delta: str):
+            # Content deltas optionally pass through the incremental
+            # tool-call parser, which turns llama3_json output into
+            # OpenAI tool_calls deltas as the JSON streams out.
+            if tool_stream is None:
+                return [{"content": c_delta}]
+            return tool_stream.feed(c_delta)
+
         async for out in self.engine.generate(token_ids, sp,
                                               lora_request=lora):
             comp = out.outputs[0]
@@ -317,17 +359,56 @@ class OpenAIServer:
                 if r_delta:
                     yield chunk({"reasoning_content": r_delta})
                 if c_delta:
-                    yield chunk({"content": c_delta})
+                    for ev in route_content(c_delta):
+                        yield chunk(ev)
             elif delta:
-                yield chunk({"content": delta})
+                for ev in route_content(delta):
+                    yield chunk(ev)
             if out.finished:
                 if splitter is not None:
                     r_tail, c_tail = splitter.flush()
                     if r_tail:
                         yield chunk({"reasoning_content": r_tail})
                     if c_tail:
-                        yield chunk({"content": c_tail})
-                yield chunk({}, finish=comp.finish_reason)
+                        for ev in route_content(c_tail):
+                            yield chunk(ev)
+                if tool_stream is not None:
+                    for ev in tool_stream.flush():
+                        yield chunk(ev)
+                finish = comp.finish_reason
+                if tool_stream is not None and tool_stream.saw_tool_calls:
+                    finish = "tool_calls"
+                yield chunk({}, finish=finish)
+
+
+def _force_named_call(raw, tool_calls, forced_name):
+    """Commit a response to the named tool (tool_choice = {"type":
+    "function", ...}). The model was shown only that tool, so output is
+    either a full call object (parsed upstream) or a bare arguments
+    object; either way the response MUST carry a call to ``forced_name``
+    (reference surface: vLLM OpenAI named tool_choice,
+    test/e2e/online/configs.py:118-135)."""
+    from vllm_neuron_tpu.server.tool_parser import (PYTHON_TAG, ToolCall)
+    if tool_calls:
+        # Keep only calls to the forced tool; rename stray names (the
+        # model saw exactly one tool, so a mismatched name is noise).
+        calls = [ToolCall(name=forced_name, arguments=c.arguments, id=c.id)
+                 for c in tool_calls]
+        return calls, ""
+    stripped = raw.strip()
+    if stripped.startswith(PYTHON_TAG):
+        stripped = stripped[len(PYTHON_TAG):].strip()
+    args = "{}"
+    try:
+        obj = json.loads(stripped)
+        if isinstance(obj, dict):
+            args = json.dumps(obj.get("parameters",
+                                      obj.get("arguments", obj)),
+                              ensure_ascii=False)
+    except json.JSONDecodeError:
+        pass
+    return [ToolCall(name=forced_name, arguments=args,
+                     id=make_id("chatcmpl-tool"))], ""
 
 
 def _format_logprobs(comp, tokenizer):

@@ -611,7 +611,17 @@ class ModelRunner:
         (N, token_ids, positions, slot_table, kv_lens, page_indices,
          temperature, top_k, top_p, adapter_ids,
          cross_rows) = self._decode_arrays(states, 1)
-        host_rows = {i for i, s in enumerate(states) if self._needs_host(s)}
+        host_rows = [i for i, s in enumerate(states) if self._needs_host(s)]
+        logits_rows = None
+        if host_rows:
+            # Gather host-sampled rows' logits ON DEVICE: a 2-host-row
+            # batch ships [H~2, V], not [N, V] (~16 MB at V=128k, b32).
+            # H is bucketed to a power of two (pad repeats the first row)
+            # to bound the program count at log2(N) variants.
+            H = 1 << (len(host_rows) - 1).bit_length()
+            H = min(H, N)
+            logits_rows = np.full(H, host_rows[0], np.int32)
+            logits_rows[:len(host_rows)] = host_rows
         dev_tokens, logits = self.executor.run_step(
             token_ids, positions, slot_table[0], kv_lens, page_indices,
             cu_q_lens=np.arange(N + 1, dtype=np.int32),
@@ -619,12 +629,15 @@ class ModelRunner:
             logits_indices=np.arange(N, dtype=np.int32),
             temperature=temperature, top_k=top_k, top_p=top_p,
             return_logits=bool(host_rows), kind="decode",
-            adapter_ids=adapter_ids, cross_rows=cross_rows)
+            adapter_ids=adapter_ids, cross_rows=cross_rows,
+            logits_rows=logits_rows)
+        host_slot = {row: j for j, row in enumerate(host_rows)}
         results = {}
         for i, ((req_id, _), state) in enumerate(zip(items, states)):
             state.num_computed_tokens += 1
-            if i in host_rows:
-                result = sample_token(logits[i], state.sampling_params,
+            if i in host_slot:
+                result = sample_token(logits[host_slot[i]],
+                                      state.sampling_params,
                                       self._sampler_states[req_id])
                 tok, logprobs = result.token_id, result.logprobs
             else:
