@@ -75,6 +75,21 @@ def test_spec_greedy_identical_to_baseline(tiny_llama_dir, tiny_eagle_dir):
     assert any(k[0] == "spec_decode" for k in fns)
     assert any(k[0] == "prefill_spec" for k in fns)
 
+    # Acceptance counters surface through engine metrics (reference
+    # analogue: vLLM spec-decode acceptance metrics; VERDICT r2 next #8).
+    snap = spec.engine.metrics.snapshot()
+    assert snap["spec_decode_rounds"] > 0
+    assert snap["spec_decode_draft_tokens"] >= snap["spec_decode_rounds"]
+    assert 0 <= snap["spec_decode_accepted_tokens"] <= \
+        snap["spec_decode_draft_tokens"]
+    rate = snap["spec_decode_acceptance_rate"]
+    assert rate == snap["spec_decode_accepted_tokens"] / \
+        snap["spec_decode_draft_tokens"]
+    # Sanity on the arithmetic: every accepted draft became an output
+    # token; outputs = rounds (bonus tokens) + accepted + prefill tokens.
+    total_out = sum(len(o.outputs[0].token_ids) for o in spec_out)
+    assert snap["spec_decode_accepted_tokens"] <= total_out
+
 
 def test_spec_non_greedy_keeps_speculating(tiny_llama_dir, tiny_eagle_dir):
     """Sampled requests run through the fused spec path too (rejection

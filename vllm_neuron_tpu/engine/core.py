@@ -47,6 +47,10 @@ class StepMetrics:
         self.queue_depth = 0
         self.running_seqs = 0
         self.kv_usage = 0.0
+        # Speculative decoding acceptance (refreshed from the runner).
+        self.spec_rounds = 0
+        self.spec_drafted = 0
+        self.spec_accepted = 0
 
     def snapshot(self) -> dict:
         elapsed = max(time.monotonic() - self.start_time, 1e-9)
@@ -63,6 +67,12 @@ class StepMetrics:
             "queue_depth": self.queue_depth,
             "running_seqs": self.running_seqs,
             "kv_cache_usage": self.kv_usage,
+            "spec_decode_rounds": self.spec_rounds,
+            "spec_decode_draft_tokens": self.spec_drafted,
+            "spec_decode_accepted_tokens": self.spec_accepted,
+            "spec_decode_acceptance_rate":
+                (self.spec_accepted / self.spec_drafted
+                 if self.spec_drafted else None),
             "ttft_p50_s": self.ttft.percentile(0.5),
             "ttft_p99_s": self.ttft.percentile(0.99),
             "tpot_p50_s": self.tpot.percentile(0.5),
@@ -201,6 +211,11 @@ class EngineCore:
         m.running_seqs = len(self.scheduler.running)
         m.kv_usage = self.scheduler.kv_manager.usage()
         m.num_preemptions = self.scheduler._num_preemptions
+        spec = getattr(self.worker.model_runner, "spec_stats", None)
+        if spec is not None and spec["rounds"]:
+            m.spec_rounds = spec["rounds"]
+            m.spec_drafted = spec["drafted"]
+            m.spec_accepted = spec["accepted"]
         return [self._process_output(o) for o in core_outputs]
 
     def _process_output(self, out: EngineCoreOutput) -> RequestOutput:

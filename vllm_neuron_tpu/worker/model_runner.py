@@ -141,6 +141,11 @@ class ModelRunner:
             else:
                 dparams = draft.load_params(spec.model)
             self.executor.init_speculation(draft, dparams)
+        # Speculation acceptance counters (surfaced via engine /metrics;
+        # reference analogue: vLLM spec-decode acceptance-rate metrics the
+        # plugin inherits through the fused-spec output contract,
+        # model_loader.py:308-334).
+        self.spec_stats = {"rounds": 0, "drafted": 0, "accepted": 0}
 
     def _use_sharded_load(self) -> bool:
         """Lazy per-host sharded loading (models/sharded_weights.py): on for
@@ -486,11 +491,18 @@ class ModelRunner:
             temperature=temperature, top_k=top_k, top_p=top_p,
             adapter_ids=adapter_ids)  # [N, K+1]
         results = {}
+        self.spec_stats["rounds"] += 1
         for i, ((req_id, num_new), state) in enumerate(zip(items, states)):
             toks = [int(t) for t in accepted[i] if t >= 0][:num_new]
             state.num_computed_tokens += len(toks)
             for tok in toks:
                 self._record_token(state, tok)
+            # Each row drafted as many tokens as it had valid draft slots;
+            # one sampled token per round is the target's own (bonus), the
+            # rest are accepted drafts.
+            self.spec_stats["drafted"] += int(
+                (dslot_table[:, i] >= 0).sum())
+            self.spec_stats["accepted"] += max(0, len(toks) - 1)
             results[req_id] = (toks, None)
         return results
 
