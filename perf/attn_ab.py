@@ -49,8 +49,8 @@ PP_BUCKET = -(-KV_LEN // PS)  # exact page need (bucket rounding separate)
 # per-call cost the step program actually pays per layer. The plain chain
 # of separate dispatches carries a ~0.3-0.4 ms/call tunnel-dispatch floor
 # that masks sub-ms kernel differences.
-SCAN = int(os.environ.get("AB_SCAN", "0"))
-ITER = 8 if SCAN else 64
+SCAN = int(os.environ.get("AB_SCAN", "8"))
+ITER = 16 if SCAN else 64
 SM = 1.0 / np.sqrt(DP)
 
 
@@ -67,25 +67,19 @@ def setup(dtype=jnp.bfloat16):
     return q, kv, kv_lens, jnp.asarray(pages)
 
 
+_RTT = None
+
+
 def run(name, fn, q0):
-    if SCAN:
-        import jax.lax as lax
-        inner = fn
-        fn = jax.jit(lambda q: lax.fori_loop(
-            0, SCAN, lambda i, qq: inner(qq), q))
-    q = fn(q0)
-    q.block_until_ready()  # compile
-    # Throwaway timed burst: the FIRST timed loop in a process reads
-    # 10-100x high through the axon tunnel (observed 170 ms for a 1 ms
-    # kernel); a short discarded burst absorbs whatever warms up.
-    for _ in range(8):
-        q = fn(q)
-    float(q[0, 0, 0])
-    t0 = time.perf_counter()
-    for _ in range(ITER):
-        q = fn(q)
-    float(q[0, 0, 0])  # one scalar fetch forces the whole chain
-    dt = (time.perf_counter() - t0) / ITER / max(SCAN, 1) * 1e3
+    """RTT-corrected per-call time via the shared harness (perf/timing.py):
+    SCAN in-program calls per dispatch x ITER dispatches, one fetch."""
+    global _RTT
+    from perf.timing import measure_rtt, time_op
+    if _RTT is None:
+        _RTT = measure_rtt()
+        print(f"rtt: {_RTT*1e3:.1f} ms", flush=True)
+    dt = time_op(fn, q0, scan=max(SCAN, 1), dispatches=ITER,
+                 rtt=_RTT) * 1e3
     print(f"{name}: {dt:.3f} ms/call  (B={B} kv_len={KV_LEN} "
           f"PP={PP_BUCKET} iters={ITER} scan={SCAN})", flush=True)
     return dt

@@ -37,28 +37,29 @@ from vllm_neuron_tpu.ops.quant import (dequant_matmul,
 MODE = sys.argv[1] if len(sys.argv) > 1 else "decode"
 M = int(sys.argv[2]) if len(sys.argv) > 2 else (32 if MODE == "decode"
                                                 else 512)
-ITER = 32
+ITER = 64
 # Llama-3.1-8B projection shapes (wqkv, wo, wgu, wd).
 SHAPES = [(4096, 6144), (4096, 4096), (4096, 28672), (14336, 4096)]
 
 
+from perf.timing import measure_rtt, time_op
+
+_RTT = None
+
+
 def chain(fn, x0, iters=ITER):
-    def step(x, _):
+    def wrapped(x):
         y = fn(x)
         # Feed output back into the input's leading columns to serialize.
-        x = x.at[:, :1].set(y[:, :1].astype(x.dtype) * 1e-3)
-        return x, None
-    run = jax.jit(lambda x: jax.lax.scan(step, x, None, length=iters)[0])
-    run(x0).block_until_ready()  # compile + warm
-    t0 = time.perf_counter()
-    out = run(x0)
-    float(out[0, 0])  # one scalar fetch
-    return (time.perf_counter() - t0) / iters
+        return x.at[:, :1].set(y[:, :1].astype(x.dtype) * 1e-3)
+    return time_op(wrapped, x0, scan=iters, dispatches=16, rtt=_RTT)
 
 
 def main():
+    global _RTT
     rng = np.random.default_rng(0)
-    print(f"mode={MODE} M={M} iters={ITER}")
+    _RTT = measure_rtt()
+    print(f"mode={MODE} M={M} iters={ITER} rtt={_RTT*1e3:.1f}ms")
     for K, N in SHAPES:
         w = (rng.standard_normal((K, N)) * 0.02).astype(np.float32)
         x0 = jnp.asarray(rng.standard_normal((M, K)) * 0.1, jnp.bfloat16)
@@ -76,7 +77,7 @@ def main():
         w4j, s4j = jnp.asarray(w4), jnp.asarray(s4)
         t_i4 = chain(lambda x: dequant_matmul(x, w4j, s4j), x0)
 
-        hbm_bf = K * N * 2 / 819e9 * 1e6
+        hbm_bf = K * N * 2 / 460e9 * 1e6  # measured practical bw
         print(f"[{K:6d}x{N:6d}] bf16 {t_bf*1e6:8.1f}us  "
               f"int8 {t_i8*1e6:8.1f}us  int4 {t_i4*1e6:8.1f}us  "
               f"(bf16 HBM floor ~{hbm_bf:.0f}us; int4 target ~{hbm_bf/4:.0f}us)")

@@ -16,4 +16,8 @@ run int8 --quantization int8
 run fp8  --quantization fp8
 run fp8kv --kv-cache-dtype fp8
 VLLM_TPU_W8A8_MIN_ROWS=256 run w8a8 --quantization int8
+run int4 --quantization int4
+run int4g64 --quantization int4 --int4-group-size 64
+run int4g256 --quantization int4 --int4-group-size 256
+run int4fp8kv --quantization int4 --kv-cache-dtype fp8
 cat $OUT

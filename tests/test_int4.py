@@ -121,7 +121,10 @@ def test_int4_ppl_delta_tinypy():
     int4 = evaluate_ppl(CKPT, toks, window=512, dtype="bfloat16",
                         quantization="int4")
     d_ppl = abs(int4["ppl"] - base["ppl"])
-    assert d_ppl <= 0.35, (base, int4)
+    # Measured +0.050 on this window (docs/ACCURACY.md); 0.1 gives 2x
+    # headroom for numerics drift while catching any real regression
+    # (the old 0.35 bound would have passed a 7x accuracy loss).
+    assert d_ppl <= 0.1, (base, int4)
 
 
 def test_int4_group_size_respected_when_divisible():

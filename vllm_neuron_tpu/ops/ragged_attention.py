@@ -397,8 +397,18 @@ def _decode_kernel_fn():
     variant = os.environ.get("VLLM_TPU_DECODE_KERNEL", "fused")
     # Chunk size (pages per serial kernel iteration): the flat stream is
     # per-iteration-latency bound, so bigger chunks = fewer iterations;
-    # bounded by the 2-slot double-buffer fitting scoped VMEM.
-    cpg = int(os.environ.get("VLLM_TPU_DECODE_CHUNK_PAGES", "2"))
+    # bounded by the 2-slot double-buffer fitting scoped VMEM. Default
+    # "auto" picks the whole row when it fits (RTT-corrected A/B at B=32
+    # kv=640: C2 0.420 ms/call -> C20 0.131, vs the 0.18 ms HBM floor —
+    # round-3 PERF_NOTES).
+    cpg_env = os.environ.get("VLLM_TPU_DECODE_CHUNK_PAGES", "auto")
+
+    def auto_chunk(PP, slot_bytes):
+        if cpg_env != "auto":
+            return int(cpg_env)
+        # Largest chunk whose 2-slot double-buffer stays within ~10 MB of
+        # the 16 MB scoped-VMEM budget (headroom for q/out/score tiles).
+        return max(1, min(PP, (10 * 2**20) // (2 * slot_bytes)))
     if variant == "rowblock":
         # Whole rows per iteration + single-pass softmax; needs the
         # R-row double-buffer to fit scoped VMEM — falls back to the
@@ -417,11 +427,12 @@ def _decode_kernel_fn():
                 assert kv_scales is None, (
                     "scaled-FP8 eligibility must be gated on the VMEM "
                     "bound (_scaled_kernel_eligible)")
+                slot_bytes = ps * two_hkv * dp * kv_pages_l.dtype.itemsize
                 return da.decode_paged_attention_flat(
                     q, kv_pages_l, lo, hi, page_indices,
                     num_kv_heads=num_kv_heads, sm_scale=sm_scale,
-                    pages_per_chunk=cpg, fused_gqa=True,
-                    interpret=interpret)
+                    pages_per_chunk=auto_chunk(PP, slot_bytes),
+                    fused_gqa=True, interpret=interpret)
             return da.decode_paged_attention_rowblock(
                 q, kv_pages_l, lo, hi, page_indices,
                 num_kv_heads=num_kv_heads, sm_scale=sm_scale,
@@ -437,14 +448,19 @@ def _decode_kernel_fn():
             return fn(*args, **kw)
         return wrapped
 
-    if variant == "fused":
-        return _no_scales(functools.partial(
-            da.decode_paged_attention_flat, pages_per_chunk=cpg,
-            fused_gqa=True))
-    return _no_scales(
-        functools.partial(da.decode_paged_attention_flat,
-                          pages_per_chunk=cpg) if variant == "flat"
-        else da.decode_paged_attention)
+    if variant in ("fused", "flat"):
+        def flat_auto(q, kv_pages_l, lo, hi, page_indices, *,
+                      num_kv_heads, sm_scale, interpret=False):
+            PP = page_indices.shape[1]
+            _, ps, two_hkv, dp = kv_pages_l.shape
+            slot_bytes = ps * two_hkv * dp * kv_pages_l.dtype.itemsize
+            return da.decode_paged_attention_flat(
+                q, kv_pages_l, lo, hi, page_indices,
+                num_kv_heads=num_kv_heads, sm_scale=sm_scale,
+                pages_per_chunk=auto_chunk(PP, slot_bytes),
+                fused_gqa=(variant == "fused"), interpret=interpret)
+        return _no_scales(flat_auto)
+    return _no_scales(da.decode_paged_attention)
 
 
 # Mesh for partitioning the in-repo Pallas kernels (GSPMD cannot partition a

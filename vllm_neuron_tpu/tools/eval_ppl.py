@@ -98,6 +98,10 @@ def main():
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--quantization", default=None)
     p.add_argument("--kv-cache-dtype", default="auto")
+    p.add_argument("--int4-group-size", type=int, default=None,
+                   help="int4 quantization group size along K "
+                        "(default 128; smaller = more accurate, more "
+                        "scale traffic)")
     args = p.parse_args()
     if args.tokens:
         toks = np.load(args.tokens)
@@ -109,9 +113,12 @@ def main():
     else:
         raise SystemExit("need --text or --tokens")
     toks = toks[:args.max_tokens]
+    override = ({"int4_group_size": args.int4_group_size}
+                if args.int4_group_size else None)
     out = evaluate_ppl(args.model, toks, window=args.window,
                        dtype=args.dtype, quantization=args.quantization,
-                       kv_cache_dtype=args.kv_cache_dtype)
+                       kv_cache_dtype=args.kv_cache_dtype,
+                       override_tpu_config=override)
     import json
     print(json.dumps(out))
 
