@@ -32,7 +32,10 @@ BLOCK_SIZE = 32
 # was 576.6 at round-1 end).
 PREV_BEST = 797.0
 # Variant knobs (experiments): BENCH_QUANT=int8|fp8, BENCH_KV_DTYPE=fp8,
-# BENCH_DECODE_WINDOW=16, BENCH_MODEL=tinyllama|llama8b.
+# BENCH_DECODE_WINDOW=16, BENCH_MODEL=tinyllama|llama8b|tinypy,
+# BENCH_SPEC=K (tinypy only: Eagle speculation with the trained
+# ckpt_tinypy_eagle draft, K tokens/round — measures spec decode's real
+# e2e value with a draft that actually predicts the target).
 # Default = the BASELINE.json north-star config: Llama-3.1-8B INT8
 # tokens/s/chip (8B does not fit a 16 GB chip unquantized at all).
 QUANT = os.environ.get("BENCH_QUANT") or None
@@ -56,7 +59,29 @@ def build_engine():
                                         SchedulerConfig)
     from vllm_neuron_tpu.engine.core import EngineCore
 
-    global BATCH, MAX_MODEL_LEN, QUANT
+    global BATCH, MAX_MODEL_LEN, PROMPT_LEN, GEN_TOKENS, QUANT
+    if MODEL_VARIANT == "tinypy":
+        # Trained byte-model (real weights -> meaningful speculation).
+        from vllm_neuron_tpu.engine.llm import build_engine_config
+        BATCH = int(os.environ.get("BENCH_BATCH", "16"))
+        PROMPT_LEN, GEN_TOKENS = 256, 64
+        MAX_MODEL_LEN = 512
+        repo = os.path.dirname(os.path.abspath(__file__))
+        spec_k = int(os.environ.get("BENCH_SPEC", "0"))
+        config = build_engine_config(
+            os.path.join(repo, "ckpt_tinypy"), dtype="bfloat16",
+            max_model_len=MAX_MODEL_LEN, max_num_seqs=BATCH,
+            block_size=BLOCK_SIZE, quantization=QUANT,
+            kv_cache_dtype=KV_DTYPE,
+            speculative_config=(
+                {"model": os.path.join(repo, "ckpt_tinypy_eagle"),
+                 "num_speculative_tokens": spec_k, "method": "eagle"}
+                if spec_k else None),
+            override_tpu_config={
+                "context_encoding_buckets": [PROMPT_LEN],
+                "token_generation_buckets": [BATCH],
+                "decode_window": DECODE_WINDOW})
+        return EngineCore(config)
     if MODEL_VARIANT == "llama8b":
         BATCH = int(os.environ.get("BENCH_BATCH", "32"))
         MAX_MODEL_LEN = 1024
@@ -111,8 +136,17 @@ def run_workload(engine, n_requests: int, gen_tokens: int, tag: str):
     rng = np.random.default_rng(0)
     sp = SamplingParams(temperature=0.0, max_tokens=gen_tokens,
                         ignore_eos=True, detokenize=False)
-    for r in range(n_requests):
-        prompt = rng.integers(1, 32000, size=PROMPT_LEN).tolist()
+    if MODEL_VARIANT == "tinypy":
+        # Real text for the trained model (random bytes would make the
+        # speculation variant's acceptance meaningless).
+        val = np.load(os.path.join(os.path.dirname(os.path.abspath(
+            __file__)), "ckpt_tinypy", "val_tokens.npy"))
+        prompts = [val[r * (PROMPT_LEN + 97):][:PROMPT_LEN].tolist()
+                   for r in range(n_requests)]
+    else:
+        prompts = [rng.integers(1, 32000, size=PROMPT_LEN).tolist()
+                   for _ in range(n_requests)]
+    for r, prompt in enumerate(prompts):
         engine.add_request(f"{tag}-{r}", prompt, sp)
     generated = 0
     t0 = time.perf_counter()
@@ -132,11 +166,19 @@ def run_workload(engine, n_requests: int, gen_tokens: int, tag: str):
         # priority scheduler), so the decode phase starts at the last
         # first-token time; decode tok/s is the phase-pure diagnostic.
         "decode_phase_s": elapsed - ttfts[-1] if ttfts else None,
+        # Prompt-processing rate over the prefill phase (batch submit ->
+        # last first-token).
+        "prefill_phase_s": ttfts[-1] if ttfts else None,
     }
     return n_requests * gen_tokens, elapsed, stats
 
 
 def main():
+    if os.environ.get("BENCH_PLATFORM"):
+        # CPU smoke runs (the JAX_PLATFORMS env var is pinned on this
+        # machine — a config update after import is required, CLAUDE.md).
+        import jax
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
     engine = build_engine()
     # Warmup: compile prefill + decode-window programs on a small run.
     run_workload(engine, 2, 16, "warm")
@@ -146,6 +188,12 @@ def main():
     if MODEL_VARIANT == "llama8b":
         name = (f"engine_decode_tokens_per_sec_per_chip_llama3.1-8b_"
                 f"{QUANT}_b{BATCH}_p{PROMPT_LEN}_g{GEN_TOKENS}")
+    elif MODEL_VARIANT == "tinypy":
+        spec_k = int(os.environ.get("BENCH_SPEC", "0"))
+        tag = f"_spec{spec_k}" if spec_k else ""
+        name = ("engine_decode_tokens_per_sec_per_chip_tinypy"
+                f"_{QUANT or 'bf16'}{tag}_b{BATCH}_p{PROMPT_LEN}"
+                f"_g{GEN_TOKENS}")
     else:
         name = ("engine_decode_tokens_per_sec_per_chip_tinyllama1.1b_"
                 f"{QUANT or 'bf16'}_b{BATCH}_p{PROMPT_LEN}_g{GEN_TOKENS}")
@@ -164,6 +212,16 @@ def main():
         # decode phase generates the rest.
         record["decode_phase_tokens_per_sec"] = round(
             (total - BATCH) / stats["decode_phase_s"], 2)
+    if stats.get("prefill_phase_s"):
+        record["prefill_tokens_per_sec"] = round(
+            BATCH * PROMPT_LEN / stats["prefill_phase_s"], 2)
+    snap = engine.metrics.snapshot()
+    if snap.get("spec_decode_rounds"):
+        record["spec_acceptance_rate"] = round(
+            snap["spec_decode_acceptance_rate"], 3)
+        record["spec_accepted_per_round"] = round(
+            snap["spec_decode_accepted_tokens"] /
+            snap["spec_decode_rounds"], 3)
     print(json.dumps(record))
 
 

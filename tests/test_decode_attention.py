@@ -258,6 +258,39 @@ def test_rowblock_fp8_scales():
                                rtol=2e-2, atol=2e-2)
 
 
+def test_flat_fused_fp8_scales():
+    """Scaled-FP8 pages through the flat/fused kernels (round-3: the
+    production default must not fall to the dense path on fp8 caches —
+    the b48+fp8KV bench collapsed to ~196 tok/s through dense). In-kernel
+    chunk dequant must match the kernel run on pre-dequantized pages."""
+    import jax.numpy as jnp
+
+    from vllm_neuron_tpu.ops.decode_attention import (
+        decode_paged_attention_flat)
+
+    q, kv_pages, lens, pages = _setup(B=4, Hq=8, Hkv=2, PP=6)
+    rng = np.random.default_rng(4)
+    scales = jnp.asarray(
+        rng.uniform(0.5, 2.0, size=kv_pages.shape[:3]), jnp.bfloat16)
+    kv8 = kv_pages.astype(jnp.float8_e4m3fn)
+    dequant = (kv8.astype(jnp.float32) *
+               scales.astype(jnp.float32)[..., None]).astype(q.dtype)
+    sm = 0.125
+    lo, hi = visible_range(lens)
+    for fused in (True, False):
+        for C in (2, 6):
+            ref = decode_paged_attention_flat(
+                q, dequant, lo, hi, pages, num_kv_heads=2, sm_scale=sm,
+                pages_per_chunk=C, fused_gqa=fused, interpret=True)
+            got = decode_paged_attention_flat(
+                q, kv8, lo, hi, pages, num_kv_heads=2, sm_scale=sm,
+                pages_per_chunk=C, fused_gqa=fused, interpret=True,
+                kv_scales=scales)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), rtol=2e-2, atol=2e-2,
+                err_msg=f"fused={fused} C={C}")
+
+
 def test_engine_fp8_kv_with_rowblock_kernel(tiny_llama_dir):
     """Engine-level: kv_cache_dtype=fp8 with VLLM_TPU_DECODE_KERNEL=
     rowblock serves and matches the dense-path fp8 output (the round-2

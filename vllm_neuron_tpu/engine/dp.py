@@ -50,8 +50,14 @@ class AggregateMetrics:
                 out[key] = max(got) if got else None  # conservative tail
             elif key == "kv_cache_usage":
                 out[key] = sum(vals) / len(vals)
+            elif key == "spec_decode_acceptance_rate":
+                pass  # recomputed from the summed counters below
             else:
                 out[key] = sum(vals)
+        drafted = out.get("spec_decode_draft_tokens", 0)
+        out["spec_decode_acceptance_rate"] = (
+            out.get("spec_decode_accepted_tokens", 0) / drafted
+            if drafted else None)
         return out
 
     def prometheus(self, prefix: str = "vllm_tpu") -> str:

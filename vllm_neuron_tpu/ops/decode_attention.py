@@ -217,18 +217,22 @@ def decode_paged_attention(q: jax.Array, kv_pages_l: jax.Array,
     )(lo, hi, page_indices, q, kv_pages_l)
 
 
+def _scale_page_shape(n: int) -> tuple[int, int]:
+    """Per-page scales layout [sa, sb]: sb = 128 (lane-aligned page DMA)
+    when the per-page scale count divides; otherwise the flat fallback
+    (tiny test geometries — interpret mode doesn't enforce tiling)."""
+    return (n // 128, 128) if n % 128 == 0 else (1, n)
+
+
 def _flat_kernel(
     # scalar prefetch
     p0_ref, p1_ref, lo_ref, hi_ref, crow_ref, clocal_ref, total_ref,
     page_indices_ref,
-    # inputs
+    # inputs (+ s_hbm_ref when has_scales), outputs, scratch
     q_ref, kv_hbm_ref,
-    # outputs
-    o_ref,
-    # scratch
-    kv_buf, sem,
-    *, page_size: int, pages_per_chunk: int, num_kv_heads: int,
-    sm_scale: float, fused_gqa: bool = False,
+    *rest,
+    page_size: int, pages_per_chunk: int, num_kv_heads: int,
+    sm_scale: float, fused_gqa: bool = False, has_scales: bool = False,
 ):
     """Flat-stream variant: ONE grid instance walks the concatenated
     (row, chunk) stream of every sequence with a single globally
@@ -245,7 +249,19 @@ def _flat_kernel(
     selected with a mask-and-sum. 16x the MXU FLOPs of the true
     computation, but the MXU is pipeline-fill-bound at these shapes, not
     FLOP-bound — step-ablation showed the 16-small-dots inner loop left
-    decode attention ~4x over its HBM floor."""
+    decode attention ~4x over its HBM floor.
+
+    has_scales: scaled-FP8 cache — a parallel scales page array rides its
+    own DMA stream and the chunk is dequantized in VMEM right before the
+    matmuls, so HBM KV traffic stays fp8 + 1/Dp of scales. The wrapper
+    flattens scales to [pages, ps*2Hkv]: a page slice of the natural
+    [pages, ps, 2Hkv] layout has a 16-wide minor dim, which Mosaic cannot
+    DMA (slices must be 128-lane aligned)."""
+    if has_scales:
+        s_hbm_ref, o_ref, kv_buf, s_buf, sem, sem_s = rest
+    else:
+        o_ref, kv_buf, sem = rest
+        s_hbm_ref = s_buf = sem_s = None
     ps = page_size
     C = pages_per_chunk
     cs = C * ps
@@ -261,6 +277,11 @@ def _flat_kernel(
         # slots; scratch VMEM can hold NaN bit patterns, and 0*NaN=NaN.
         # One zero-fill per launch makes every stale slot finite.
         kv_buf[...] = jnp.zeros(kv_buf.shape, kv_buf.dtype)
+    if has_scales:
+        s_buf[...] = jnp.zeros(s_buf.shape, s_buf.dtype)
+        if not fused_gqa:
+            kv_buf[...] = jnp.zeros(kv_buf.shape, kv_buf.dtype)
+    if fused_gqa:
         # Row i's K slot is 2*(i//G), its V slot 2*(i//G)+1. Built directly
         # in 3-D: Mosaic can't add a minor dim to an i1 vector via reshape
         # ("insertion of minor dim ... only supported for 32-bit types").
@@ -282,6 +303,12 @@ def _flat_kernel(
                     kv_buf.at[slot, j],
                     sem.at[slot, j],
                 ).start()
+                if has_scales:
+                    pltpu.make_async_copy(
+                        s_hbm_ref.at[page],
+                        s_buf.at[slot, j],
+                        sem_s.at[slot, j],
+                    ).start()
 
     def wait_chunk(t, slot):
         r = crow_ref[t]
@@ -292,6 +319,11 @@ def _flat_kernel(
                 pltpu.make_async_copy(
                     kv_hbm_ref.at[0], kv_buf.at[slot, j], sem.at[slot, j],
                 ).wait()
+                if has_scales:
+                    pltpu.make_async_copy(
+                        s_hbm_ref.at[0], s_buf.at[slot, j],
+                        sem_s.at[slot, j],
+                    ).wait()
 
     @pl.when(T > 0)
     def _():
@@ -319,7 +351,22 @@ def _flat_kernel(
         # preferred_element_type); upcasting K/V to f32 first costs VPU
         # conversion passes plus f32 VMEM buffers and bought nothing.
         q = (q_ref[r].astype(jnp.float32) * sm_scale).astype(q_ref.dtype)
-        kv = kv_buf[slot].reshape(cs, 2 * Hkv, Dp)
+        if has_scales:
+            # Scaled FP8: dequantize the chunk in VMEM (fp8 value x bf16
+            # per-slot/head scale), overlapped with the next chunk's DMA.
+            # Mosaic-legal ops only: every reshape keeps the minor dim
+            # (or collapses INTO it), the broadcast is an f32 insert-
+            # minor. s_buf is [C, sa, sb] with sa*sb == ps*2Hkv — the
+            # wrapper picks sb=128 so page slices are lane-aligned.
+            sa, sb = s_buf.shape[-2], s_buf.shape[-1]
+            s32 = s_buf[slot].astype(jnp.float32)        # [C, sa, sb]
+            kv_deq = (kv_buf[slot].reshape(C, sa, sb, Dp)
+                      .astype(jnp.float32) *
+                      s32[..., None]).astype(q_ref.dtype)
+            kv = kv_deq.reshape(cs, 2 * Hkv, Dp)
+        else:
+            kv_deq = None
+            kv = kv_buf[slot].reshape(cs, 2 * Hkv, Dp)
 
         base = (p0_ref[r] + cl * C) * ps
         kpos = base + jax.lax.broadcasted_iota(jnp.int32, (1, cs), 1)
@@ -328,7 +375,8 @@ def _flat_kernel(
         if fused_gqa:
             q_exp = (q[:, None, :] *
                      mask_k.astype(q.dtype)).reshape(Hq, 2 * Hkv * Dp)
-            kvf = kv_buf[slot].reshape(cs, 2 * Hkv * Dp)
+            kvf = (kv.reshape(cs, 2 * Hkv * Dp) if has_scales
+                   else kv_buf[slot].reshape(cs, 2 * Hkv * Dp))
             s = jax.lax.dot_general(
                 q_exp, kvf,
                 dimension_numbers=(((1,), (1,)), ((), ())),
@@ -351,7 +399,7 @@ def _flat_kernel(
         alpha = jnp.exp(m_prev - m_next)
         p = jnp.exp(s - m_next[..., None])
         l_next = alpha * l_prev + jnp.sum(p, axis=-1)
-        p_lo = p.astype(kv_buf.dtype)
+        p_lo = p.astype(kv.dtype)  # == cache dtype, or bf16 post-dequant
         if fused_gqa:
             # Invisible positions have p exactly 0 (exp(_MASK - m) == 0),
             # and the launch-time zero-fill keeps stale slots finite, so no
@@ -368,7 +416,7 @@ def _flat_kernel(
             o_heads = []
             for h in range(Hkv):
                 v_h = jnp.where(vis_col, kv[:, 2 * h + 1, :],
-                                jnp.zeros((), kv_buf.dtype))
+                                jnp.zeros((), kv.dtype))
                 o_h = jax.lax.dot_general(
                     p_lo[h], v_h,
                     dimension_numbers=(((1,), (0,)), ((), ())),
@@ -404,9 +452,11 @@ def decode_paged_attention_flat(q: jax.Array, kv_pages_l: jax.Array,
                                 num_kv_heads: int, sm_scale: float,
                                 pages_per_chunk: int = 4,
                                 fused_gqa: bool = False,
-                                interpret: bool = False) -> jax.Array:
+                                interpret: bool = False,
+                                kv_scales: jax.Array = None) -> jax.Array:
     """Flat-stream decode attention (see _flat_kernel). Same contract as
-    decode_paged_attention."""
+    decode_paged_attention. kv_scales: optional [pages, ps, 2Hkv]
+    per-slot/per-head dequant scales (scaled-FP8 cache)."""
     B, Hq, Dp = q.shape
     _, ps, two_hkv, Dp2 = kv_pages_l.shape
     assert Dp == Dp2 and two_hkv == 2 * num_kv_heads
@@ -414,6 +464,7 @@ def decode_paged_attention_flat(q: jax.Array, kv_pages_l: jax.Array,
     C = min(pages_per_chunk, PP)
     max_cpr = (PP + C - 1) // C
     MAXC = B * max_cpr
+    has_scales = kv_scales is not None
 
     # Chunk tables, computed in-graph (tiny XLA ops on [B]-sized arrays).
     active = hi > 0
@@ -429,22 +480,37 @@ def decode_paged_attention_flat(q: jax.Array, kv_pages_l: jax.Array,
     crow = jnp.minimum(crow, B - 1).astype(jnp.int32)
     clocal = (t - cu[crow]).astype(jnp.int32)
 
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # q (full)
+        pl.BlockSpec(memory_space=pl.ANY),       # kv pages stay in HBM
+    ]
+    scratch = [pltpu.VMEM((2, C, ps, two_hkv, Dp), kv_pages_l.dtype)]
+    if has_scales:
+        # Lane-aligned page slices: [pages, sa, 128] when divisible (a
+        # leading-dim slice is tiling-free; a 2-D [pages, K] layout hits
+        # the sublane-8 constraint on dim 0).
+        sa, sb = _scale_page_shape(ps * two_hkv)
+        kv_scales = kv_scales.reshape(kv_scales.shape[0], sa, sb)
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # scales (HBM)
+        scratch.append(pltpu.VMEM((2, C, sa, sb), kv_scales.dtype))
+    scratch.append(pltpu.SemaphoreType.DMA((2, C)))
+    if has_scales:
+        scratch.append(pltpu.SemaphoreType.DMA((2, C)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=8,
         grid=(1,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # q (full)
-            pl.BlockSpec(memory_space=pl.ANY),       # kv pages stay in HBM
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, C, ps, two_hkv, Dp), kv_pages_l.dtype),
-            pltpu.SemaphoreType.DMA((2, C)),
-        ],
+        scratch_shapes=scratch,
     )
     kernel = functools.partial(
         _flat_kernel, page_size=ps, pages_per_chunk=C,
-        num_kv_heads=num_kv_heads, sm_scale=sm_scale, fused_gqa=fused_gqa)
+        num_kv_heads=num_kv_heads, sm_scale=sm_scale, fused_gqa=fused_gqa,
+        has_scales=has_scales)
+    args = (p0, p1, lo.astype(jnp.int32), hi.astype(jnp.int32), crow,
+            clocal, total, page_indices, q, kv_pages_l)
+    if has_scales:
+        args = args + (kv_scales,)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -453,8 +519,7 @@ def decode_paged_attention_flat(q: jax.Array, kv_pages_l: jax.Array,
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(p0, p1, lo.astype(jnp.int32), hi.astype(jnp.int32), crow, clocal,
-      total, page_indices, q, kv_pages_l)
+    )(*args)
 
 
 def _rowblock_kernel(
@@ -592,11 +657,14 @@ def _rowblock_kernel(
 
         if has_scales:
             # Dequantize in VMEM (fp8 value * bf16 per-slot/head scale),
-            # overlapped with the next iteration's DMA.
-            kvf = (kv_buf[slot].reshape(R * cs, 2 * Hkv, Dp)
+            # overlapped with the next iteration's DMA. Mosaic-legal ops
+            # only (see _flat_kernel): non-minor reshapes + f32 insert-
+            # minor broadcast of the [R, P, sa, sb] scales buffer.
+            sa, sb = s_buf.shape[-2], s_buf.shape[-1]
+            s32 = s_buf[slot].astype(jnp.float32)
+            kvf = (kv_buf[slot].reshape(R, P, sa, sb, Dp)
                    .astype(jnp.float32) *
-                   s_buf[slot].reshape(R * cs, 2 * Hkv, 1)
-                   .astype(jnp.float32)).astype(q_ref.dtype)
+                   s32[..., None]).astype(q_ref.dtype)
             kvf = kvf.reshape(R * cs, 2 * Hkv * Dp)
         else:
             kvf = kv_buf[slot].reshape(R * cs, 2 * Hkv * Dp)
@@ -665,9 +733,11 @@ def decode_paged_attention_rowblock(q: jax.Array, kv_pages_l: jax.Array,
         pltpu.VMEM((2, R, PP, ps, two_hkv, Dp), kv_pages_l.dtype),
     ]
     if has_scales:
+        # Lane-aligned DMA layout (see decode_paged_attention_flat).
+        sa, sb = _scale_page_shape(ps * two_hkv)
+        kv_scales = kv_scales.reshape(kv_scales.shape[0], sa, sb)
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # scales (HBM)
-        scratch.append(pltpu.VMEM((2, R, PP, ps, two_hkv),
-                                  kv_scales.dtype))
+        scratch.append(pltpu.VMEM((2, R, PP, sa, sb), kv_scales.dtype))
     scratch.append(pltpu.SemaphoreType.DMA((2, R, PP)))
     if has_scales:
         scratch.append(pltpu.SemaphoreType.DMA((2, R, PP)))

@@ -424,15 +424,15 @@ def _decode_kernel_fn():
             if not da.rowblock_vmem_fits(R, PP, ps, two_hkv, dp,
                                          kv_pages_l.dtype.itemsize,
                                          has_scales=kv_scales is not None):
-                assert kv_scales is None, (
-                    "scaled-FP8 eligibility must be gated on the VMEM "
-                    "bound (_scaled_kernel_eligible)")
-                slot_bytes = ps * two_hkv * dp * kv_pages_l.dtype.itemsize
+                slot_bytes = ps * two_hkv * (
+                    dp * kv_pages_l.dtype.itemsize +
+                    (2 if kv_scales is not None else 0))
                 return da.decode_paged_attention_flat(
                     q, kv_pages_l, lo, hi, page_indices,
                     num_kv_heads=num_kv_heads, sm_scale=sm_scale,
                     pages_per_chunk=auto_chunk(PP, slot_bytes),
-                    fused_gqa=True, interpret=interpret)
+                    fused_gqa=True, interpret=interpret,
+                    kv_scales=kv_scales)
             return da.decode_paged_attention_rowblock(
                 q, kv_pages_l, lo, hi, page_indices,
                 num_kv_heads=num_kv_heads, sm_scale=sm_scale,
@@ -444,22 +444,26 @@ def _decode_kernel_fn():
     def _no_scales(fn):
         def wrapped(*args, kv_scales=None, **kw):
             assert kv_scales is None, (
-                "only the rowblock kernel reads FP8 scales")
+                "the per-row grid kernel does not read FP8 scales")
             return fn(*args, **kw)
         return wrapped
 
     if variant in ("fused", "flat"):
         def flat_auto(q, kv_pages_l, lo, hi, page_indices, *,
-                      num_kv_heads, sm_scale, interpret=False):
+                      num_kv_heads, sm_scale, interpret=False,
+                      kv_scales=None):
             PP = page_indices.shape[1]
             _, ps, two_hkv, dp = kv_pages_l.shape
-            slot_bytes = ps * two_hkv * dp * kv_pages_l.dtype.itemsize
+            slot_bytes = ps * two_hkv * (
+                dp * kv_pages_l.dtype.itemsize +
+                (2 if kv_scales is not None else 0))
             return da.decode_paged_attention_flat(
                 q, kv_pages_l, lo, hi, page_indices,
                 num_kv_heads=num_kv_heads, sm_scale=sm_scale,
                 pages_per_chunk=auto_chunk(PP, slot_bytes),
-                fused_gqa=(variant == "fused"), interpret=interpret)
-        return _no_scales(flat_auto)
+                fused_gqa=(variant == "fused"), interpret=interpret,
+                kv_scales=kv_scales)
+        return flat_auto
     return _no_scales(da.decode_paged_attention)
 
 
@@ -515,20 +519,14 @@ def _pallas_decode_sharded(q, kv_pages_l, lo, hi, page_indices, *,
 
 
 def _scaled_kernel_eligible(pages, page_indices) -> bool:
-    """Scaled-FP8 pages can take the kernel path only when the ROWBLOCK
-    variant is selected AND its double-buffer fits scoped VMEM (the flat
-    fallback inside rowblock_or_flat cannot read scales). Same bound as
-    the dispatcher: decode_attention.rowblock_vmem_fits."""
+    """Scaled-FP8 pages take the kernel path for the flat/fused variants
+    (they DMA the scales page array alongside and dequantize in VMEM) and
+    for rowblock, whose internal fallback is the scale-capable fused flat
+    stream. Only the legacy per-row grid kernel cannot read scales."""
     import os
 
-    from vllm_neuron_tpu.ops.decode_attention import rowblock_vmem_fits
-    if os.environ.get("VLLM_TPU_DECODE_KERNEL", "fused") != "rowblock":
-        return False
-    R = int(os.environ.get("VLLM_TPU_DECODE_ROWS", "2"))
-    _, ps, two_hkv, dp = pages.shape
-    PP = page_indices.shape[1]
-    return rowblock_vmem_fits(R, PP, ps, two_hkv, dp,
-                              pages.dtype.itemsize, has_scales=True)
+    return os.environ.get("VLLM_TPU_DECODE_KERNEL", "fused") in (
+        "fused", "flat", "rowblock")
 
 
 def _can_shard_decode(q, kv_pages_l) -> bool:
@@ -577,10 +575,10 @@ def ragged_attention(q: jax.Array, kv_pages_l: jax.Array, meta: RaggedMeta,
     if D < Dp:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, Dp - D)))
     if kind == "decode":
-        # FP8-with-scales pages run the ROWBLOCK kernel (it DMAs the
-        # scales page array alongside and dequantizes in VMEM); the other
-        # kernel variants stream raw pages only, so scaled caches fall to
-        # the dense path there (dequant fuses into its gather).
+        # FP8-with-scales pages run the in-repo kernels too: flat/fused
+        # and rowblock DMA the scales page array alongside the pages and
+        # dequantize in VMEM (HBM KV traffic stays fp8 + 1/Dp of scales).
+        # Only the legacy per-row grid kernel falls to the dense path.
         pages = kv_pages_l.pages if isinstance(kv_pages_l,
                                                FP8KVCache) else kv_pages_l
         scales = (kv_pages_l.scales if isinstance(kv_pages_l, FP8KVCache)
