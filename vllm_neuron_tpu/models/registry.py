@@ -48,6 +48,15 @@ MODEL_REGISTRY["MllamaForCausalLM"] = _mllama  # text-only checkpoints
 
 
 def _llava_vision(hf_config, dtype):
+    # Llava composites carry either a CLIP tower or (Pixtral checkpoints) a
+    # Mistral ViT with 2-D RoPE; dispatch on the nested vision model_type.
+    # The reference gates the Pixtral class off entirely
+    # (neuronx_distributed_model_loader.py:672-674); here it is served.
+    vc = getattr(hf_config, "vision_config", None)
+    if vc is not None and getattr(vc, "model_type", "") == "pixtral":
+        from vllm_neuron_tpu.models.pixtral_vision import \
+            PixtralVisionEncoder
+        return PixtralVisionEncoder(hf_config, dtype)
     from vllm_neuron_tpu.models.llava_vision import LlavaVisionEncoder
     return LlavaVisionEncoder(hf_config, dtype)
 
