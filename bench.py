@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -84,7 +85,10 @@ def build_engine():
         return EngineCore(config)
     if MODEL_VARIANT == "llama8b":
         BATCH = int(os.environ.get("BENCH_BATCH", "32"))
-        MAX_MODEL_LEN = 1024
+        # The workload peaks at 512+128=640 tokens/seq; 1024 leaves slack.
+        # Larger batches shrink it (b64 bf16 KV only fits 16 GB at <=768)
+        # to amortize the dominant int8 weight stream over more rows.
+        MAX_MODEL_LEN = int(os.environ.get("BENCH_MAX_LEN", "1024"))
         QUANT = QUANT or "int8"
         hf = LlamaConfig(max_position_embeddings=MAX_MODEL_LEN,
                          tie_word_embeddings=False, **LLAMA8B)
@@ -130,10 +134,11 @@ def build_engine():
     return EngineCore(config)
 
 
-def run_workload(engine, n_requests: int, gen_tokens: int, tag: str):
+def run_workload(engine, n_requests: int, gen_tokens: int, tag: str,
+                 seed: int = 0):
     from vllm_neuron_tpu.sampling.params import SamplingParams
 
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(seed)
     sp = SamplingParams(temperature=0.0, max_tokens=gen_tokens,
                         ignore_eos=True, detokenize=False)
     if MODEL_VARIANT == "tinypy":
@@ -182,8 +187,24 @@ def main():
     engine = build_engine()
     # Warmup: compile prefill + decode-window programs on a small run.
     run_workload(engine, 2, 16, "warm")
-    total, elapsed, stats = run_workload(engine, BATCH, GEN_TOKENS, "bench")
-    tokens_per_sec = total / elapsed
+    # Median of N serial runs (fresh prompts each -> no prefix-cache skew):
+    # single runs through the shared tunnel see one-sided interference
+    # (compile-service bursts, host contention) that only ever slows them
+    # down; the median is the reproducible figure (docs/PERF_NOTES.md).
+    n_runs = int(os.environ.get("BENCH_RUNS", "3"))
+    runs = []
+    for r in range(n_runs):
+        total, elapsed, stats = run_workload(
+            engine, BATCH, GEN_TOKENS, f"bench{r}", seed=r)
+        runs.append((total / elapsed, stats))
+        dp = (total - BATCH) / stats["decode_phase_s"] \
+            if stats.get("decode_phase_s") else 0.0
+        print(f"run {r}: {total / elapsed:.1f} tok/s  decode-phase "
+              f"{dp:.1f}  ttft_p50 {1e3 * (stats['ttft_p50_s'] or 0):.0f} "
+              f"ms", flush=True, file=sys.stderr)
+    runs.sort(key=lambda t: t[0])
+    tokens_per_sec, stats = runs[len(runs) // 2]
+    total = BATCH * GEN_TOKENS
     vs = tokens_per_sec / PREV_BEST if PREV_BEST else 1.0
     if MODEL_VARIANT == "llama8b":
         name = (f"engine_decode_tokens_per_sec_per_chip_llama3.1-8b_"
@@ -202,6 +223,7 @@ def main():
         "value": round(tokens_per_sec, 2),
         "unit": "tokens/s",
         "vs_baseline": round(vs, 3),
+        "runs": [round(v, 1) for v, _ in runs],
     }
     # Second north-star metric (BASELINE.md): p50 time-to-first-token from
     # batch submit, plus the phase-pure decode rate as a diagnostic.

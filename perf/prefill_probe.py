@@ -34,11 +34,17 @@ def main():
     from vllm_neuron_tpu.sampling.params import SamplingParams
 
     rng = np.random.default_rng(0)
-    sp = SamplingParams(temperature=0.0, max_tokens=4, ignore_eos=True,
+    # PROBE_GEN: match bench.py's max_tokens (128) to replicate its TTFT
+    # accounting exactly; default 4 keeps the probe fast.
+    gen = int(os.environ.get("PROBE_GEN", "4"))
+    sp = SamplingParams(temperature=0.0, max_tokens=gen, ignore_eos=True,
                         detokenize=False)
-    # Warmup: compile prefill + decode programs.
-    engine.add_request("warm-0", rng.integers(1, 32000, size=512).tolist(),
-                       sp)
+    # Warmup: compile prefill + decode programs (same shape as bench.py).
+    for w in range(2):
+        engine.add_request(f"warm-{w}",
+                           rng.integers(1, 32000, size=512).tolist(),
+                           SamplingParams(temperature=0.0, max_tokens=16,
+                                          ignore_eos=True, detokenize=False))
     while engine.has_unfinished_requests():
         engine.step()
 
