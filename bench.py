@@ -84,11 +84,14 @@ def build_engine():
                 "decode_window": DECODE_WINDOW})
         return EngineCore(config)
     if MODEL_VARIANT == "llama8b":
-        BATCH = int(os.environ.get("BENCH_BATCH", "32"))
-        # The workload peaks at 512+128=640 tokens/seq; 1024 leaves slack.
-        # Larger batches shrink it (b64 bf16 KV only fits 16 GB at <=768)
-        # to amortize the dominant int8 weight stream over more rows.
-        MAX_MODEL_LEN = int(os.environ.get("BENCH_MAX_LEN", "1024"))
+        # b64 is the measured-best batch (quiet-machine median-of-3:
+        # b32 ~930 / b48 1199 / b64 1298 tok/s e2e — the int8 weight
+        # stream dominates the decode step and amortizes over rows).
+        BATCH = int(os.environ.get("BENCH_BATCH", "64"))
+        # The workload peaks at 512+128=640 tokens/seq; b64 bf16 KV only
+        # fits the 16 GB chip at max_model_len <= 768 (24 blocks/seq).
+        MAX_MODEL_LEN = int(os.environ.get(
+            "BENCH_MAX_LEN", "768" if BATCH > 48 else "1024"))
         QUANT = QUANT or "int8"
         hf = LlamaConfig(max_position_embeddings=MAX_MODEL_LEN,
                          tie_word_embeddings=False, **LLAMA8B)

@@ -56,7 +56,7 @@ SM = 1.0 / np.sqrt(DP)
 
 def setup(dtype=jnp.bfloat16):
     rng = np.random.default_rng(0)
-    q = jnp.asarray(rng.standard_normal((B, HQ, DP)), dtype)
+    q = jnp.asarray(rng.standard_normal((B, HQ, DP)), jnp.bfloat16)
     kv = jnp.asarray(rng.standard_normal((NUM_PAGES, PS, 2 * HKV, DP)),
                      dtype)
     kv_lens = jnp.full((B,), KV_LEN, jnp.int32)
@@ -65,6 +65,18 @@ def setup(dtype=jnp.bfloat16):
         pages[b] = rng.choice(np.arange(1, NUM_PAGES), PP_BUCKET,
                               replace=False)
     return q, kv, kv_lens, jnp.asarray(pages)
+
+
+# AB_KV=fp8: scaled-FP8 cache — pages in e4m3 + [pages, ps, 2Hkv] bf16
+# scales threaded to the kernels (isolates the b48+fp8 bench collapse:
+# scatter measured clean, so the suspect is the scaled read path).
+KV_MODE = os.environ.get("AB_KV", "bf16")
+
+
+def setup_scales():
+    rng = np.random.default_rng(1)
+    return jnp.asarray(
+        rng.uniform(0.01, 0.05, (NUM_PAGES, PS, 2 * HKV)), jnp.bfloat16)
 
 
 _RTT = None
@@ -87,16 +99,25 @@ def run(name, fn, q0):
 
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
-    q, kv, kv_lens, pages = setup()
+    if KV_MODE == "fp8":
+        q, kv, kv_lens, pages = setup(jnp.float8_e4m3fn)
+        scales = setup_scales()
+        sc = {"kv_scales": scales}
+        print("kv: scaled fp8 (e4m3 pages + bf16 scales)", flush=True)
+    else:
+        q, kv, kv_lens, pages = setup()
+        sc = {}
 
     if which in ("dense", "both"):
+        from vllm_neuron_tpu.ops.ragged_attention import FP8KVCache
         meta = RaggedMeta(
             slot_mapping=jnp.full((B,), -1, jnp.int32),
             kv_lens=kv_lens, page_indices=pages,
             cu_q_lens=jnp.arange(B + 1, dtype=jnp.int32),
             num_seqs=jnp.asarray([B], jnp.int32))
+        kvd = FP8KVCache(kv, sc["kv_scales"]) if sc else kv
         dense = jax.jit(lambda q: _decode_attention_dense(
-            q, kv, meta, SM, None).astype(q.dtype))
+            q, kvd, meta, SM, None).astype(q.dtype))
         run("dense ", dense, q)
 
     if which in ("pallas", "both"):
@@ -113,7 +134,7 @@ def main():
             # alone hits the 16MB scoped-VMEM limit
             fl = jax.jit(lambda q, c=c: decode_paged_attention_flat(
                 q, kv, lo, hi, pages, num_kv_heads=HKV, sm_scale=SM,
-                pages_per_chunk=c).astype(q.dtype))
+                pages_per_chunk=c, **sc).astype(q.dtype))
             run(f"flatC{c}", fl, q)
 
     if which in ("fused", "both"):
@@ -123,7 +144,7 @@ def main():
         for c in cs:
             fu = jax.jit(lambda q, c=c: decode_paged_attention_flat(
                 q, kv, lo, hi, pages, num_kv_heads=HKV, sm_scale=SM,
-                pages_per_chunk=c, fused_gqa=True).astype(q.dtype))
+                pages_per_chunk=c, fused_gqa=True, **sc).astype(q.dtype))
             run(f"fusedC{c}", fu, q)
 
     if which in ("rowblock", "both"):
@@ -137,7 +158,7 @@ def main():
             # fits at kv_len <= ~384.
             rb = jax.jit(lambda q, r=r: decode_paged_attention_rowblock(
                 q, kv, lo, hi, pages, num_kv_heads=HKV, sm_scale=SM,
-                rows_per_block=r).astype(q.dtype))
+                rows_per_block=r, **sc).astype(q.dtype))
             run(f"rowblockR{r}", rb, q)
 
 
