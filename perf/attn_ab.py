@@ -74,9 +74,11 @@ KV_MODE = os.environ.get("AB_KV", "bf16")
 
 
 def setup_scales():
+    from vllm_neuron_tpu.ops.ragged_attention import SCALE_LANES
     rng = np.random.default_rng(1)
-    return jnp.asarray(
-        rng.uniform(0.01, 0.05, (NUM_PAGES, PS, 2 * HKV)), jnp.bfloat16)
+    s = rng.uniform(0.01, 0.05, (NUM_PAGES, PS, 1))
+    return jnp.asarray(np.broadcast_to(s, (NUM_PAGES, PS, SCALE_LANES)),
+                       jnp.bfloat16)
 
 
 _RTT = None

@@ -78,10 +78,11 @@ def main():
           lambda: jnp.zeros((NUM_PAGES, PS, 2 * HKV, DP),
                             jnp.float8_e4m3fn),
           lambda c, kk: write_kv_pages(c, kk, v, slots))
+    from vllm_neuron_tpu.ops.ragged_attention import SCALE_LANES
     bench("fp8 scaled",
           lambda: FP8KVCache(
               jnp.zeros((NUM_PAGES, PS, 2 * HKV, DP), jnp.float8_e4m3fn),
-              jnp.zeros((NUM_PAGES, PS, 2 * HKV), jnp.bfloat16)),
+              jnp.zeros((NUM_PAGES, PS, SCALE_LANES), jnp.bfloat16)),
           lambda c, kk: write_kv_pages(c, kk, v, slots))
 
     # int32-packed: scatter [B, 2Hkv, DP/4] i32 rows built by bitcasting the
@@ -98,6 +99,35 @@ def main():
     bench("i32 packed",
           lambda: jnp.zeros((NUM_PAGES, PS, 2 * HKV, DP // 4), jnp.int32),
           scatter_packed)
+
+    # Discriminators for the scaled-fp8 slowness (pages+scales = 4.6 ms at
+    # 49184 pages while pages alone = 0.08): is it the [slots, 2Hkv]
+    # bf16 minor-dim-16 scales array, or the two-leaf carry?
+    def scatter_scales_only(c, kk):
+        absmax = jnp.max(jnp.abs(kk.astype(jnp.float32)), axis=-1)
+        scale = jnp.concatenate([absmax, absmax], axis=-1)  # [B, 2Hkv]
+        flat = c.reshape(NUM_PAGES * PS, 2 * HKV)
+        return flat.at[slots].set(
+            scale.astype(c.dtype), mode="drop",
+            unique_indices=True).reshape(c.shape)
+
+    bench("scales m16",
+          lambda: jnp.zeros((NUM_PAGES, PS, 2 * HKV), jnp.bfloat16),
+          scatter_scales_only)
+
+    def scatter_scales_128(c, kk):
+        absmax = jnp.max(jnp.abs(kk.astype(jnp.float32)), axis=-1)
+        scale = jnp.concatenate([absmax] * 16, axis=-1)  # [B, 128]
+        flat = c.reshape(NUM_PAGES * PS, 128)
+        return flat.at[slots].set(
+            scale.astype(c.dtype), mode="drop",
+            unique_indices=True).reshape(c.shape)
+
+    # Lane-padded layout: one 128-wide row per slot (scales stored 8x
+    # redundant / padded to the lane width).
+    bench("scales m128",
+          lambda: jnp.zeros((NUM_PAGES, PS, 128), jnp.bfloat16),
+          scatter_scales_128)
 
 
 if __name__ == "__main__":

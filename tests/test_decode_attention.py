@@ -231,7 +231,7 @@ def test_rowblock_sliding_window():
 
 def test_rowblock_fp8_scales():
     """Scaled-FP8 pages through the rowblock kernel: the in-kernel
-    dequant (fp8 value * per-slot/head scale, DMA'd alongside) must
+    dequant (fp8 value * per-slot scale, DMA'd alongside) must
     match the flat kernel run on the pre-dequantized pages."""
     import jax.numpy as jnp
 
@@ -240,12 +240,16 @@ def test_rowblock_fp8_scales():
 
     q, kv_pages, lens, pages = _setup(B=4, Hq=8, Hkv=2, PP=6)
     rng = np.random.default_rng(4)
-    # Per-slot/per-head scales (the FP8KVCache layout): [pages, ps, 2Hkv].
+    # Per-slot scales, lane-replicated (the FP8KVCache layout):
+    # [pages, ps, SCALE_LANES].
+    from vllm_neuron_tpu.ops.ragged_attention import SCALE_LANES
+    s_slot = rng.uniform(0.5, 2.0, size=kv_pages.shape[:2])
     scales = jnp.asarray(
-        rng.uniform(0.5, 2.0, size=kv_pages.shape[:3]), jnp.bfloat16)
+        np.broadcast_to(s_slot[..., None],
+                        kv_pages.shape[:2] + (SCALE_LANES,)), jnp.bfloat16)
     kv8 = kv_pages.astype(jnp.float8_e4m3fn)
     dequant = (kv8.astype(jnp.float32) *
-               scales.astype(jnp.float32)[..., None]).astype(q.dtype)
+               scales.astype(jnp.float32)[..., :1, None]).astype(q.dtype)
     sm = 0.125
     lo, hi = visible_range(lens)
     ref = decode_paged_attention_flat(q, dequant, lo, hi, pages,
@@ -270,11 +274,14 @@ def test_flat_fused_fp8_scales():
 
     q, kv_pages, lens, pages = _setup(B=4, Hq=8, Hkv=2, PP=6)
     rng = np.random.default_rng(4)
+    from vllm_neuron_tpu.ops.ragged_attention import SCALE_LANES
+    s_slot = rng.uniform(0.5, 2.0, size=kv_pages.shape[:2])
     scales = jnp.asarray(
-        rng.uniform(0.5, 2.0, size=kv_pages.shape[:3]), jnp.bfloat16)
+        np.broadcast_to(s_slot[..., None],
+                        kv_pages.shape[:2] + (SCALE_LANES,)), jnp.bfloat16)
     kv8 = kv_pages.astype(jnp.float8_e4m3fn)
     dequant = (kv8.astype(jnp.float32) *
-               scales.astype(jnp.float32)[..., None]).astype(q.dtype)
+               scales.astype(jnp.float32)[..., :1, None]).astype(q.dtype)
     sm = 0.125
     lo, hi = visible_range(lens)
     for fused in (True, False):

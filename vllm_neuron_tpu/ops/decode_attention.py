@@ -217,13 +217,6 @@ def decode_paged_attention(q: jax.Array, kv_pages_l: jax.Array,
     )(lo, hi, page_indices, q, kv_pages_l)
 
 
-def _scale_page_shape(n: int) -> tuple[int, int]:
-    """Per-page scales layout [sa, sb]: sb = 128 (lane-aligned page DMA)
-    when the per-page scale count divides; otherwise the flat fallback
-    (tiny test geometries — interpret mode doesn't enforce tiling)."""
-    return (n // 128, 128) if n % 128 == 0 else (1, n)
-
-
 def _flat_kernel(
     # scalar prefetch
     p0_ref, p1_ref, lo_ref, hi_ref, crow_ref, clocal_ref, total_ref,
@@ -253,10 +246,10 @@ def _flat_kernel(
 
     has_scales: scaled-FP8 cache — a parallel scales page array rides its
     own DMA stream and the chunk is dequantized in VMEM right before the
-    matmuls, so HBM KV traffic stays fp8 + 1/Dp of scales. The wrapper
-    flattens scales to [pages, ps*2Hkv]: a page slice of the natural
-    [pages, ps, 2Hkv] layout has a 16-wide minor dim, which Mosaic cannot
-    DMA (slices must be 128-lane aligned)."""
+    matmuls, so HBM KV traffic stays fp8 + scales. Scales are per-SLOT,
+    lane-replicated [pages, ps, SCALE_LANES] (ragged_attention.py): page
+    slices are full 128-lane rows (Mosaic DMA needs lane alignment) and
+    the dequant is a lane-reduce + sublane-broadcast multiply."""
     if has_scales:
         s_hbm_ref, o_ref, kv_buf, s_buf, sem, sem_s = rest
     else:
@@ -353,16 +346,15 @@ def _flat_kernel(
         q = (q_ref[r].astype(jnp.float32) * sm_scale).astype(q_ref.dtype)
         if has_scales:
             # Scaled FP8: dequantize the chunk in VMEM (fp8 value x bf16
-            # per-slot/head scale), overlapped with the next chunk's DMA.
-            # Mosaic-legal ops only: every reshape keeps the minor dim
-            # (or collapses INTO it), the broadcast is an f32 insert-
-            # minor. s_buf is [C, sa, sb] with sa*sb == ps*2Hkv — the
-            # wrapper picks sb=128 so page slices are lane-aligned.
-            sa, sb = s_buf.shape[-2], s_buf.shape[-1]
-            s32 = s_buf[slot].astype(jnp.float32)        # [C, sa, sb]
-            kv_deq = (kv_buf[slot].reshape(C, sa, sb, Dp)
-                      .astype(jnp.float32) *
-                      s32[..., None]).astype(q_ref.dtype)
+            # per-SLOT scale), overlapped with the next chunk's DMA.
+            # Scales are lane-replicated [C, ps, SCALE_LANES]; a lane
+            # reduce recovers the scalar and the multiply is one sublane
+            # broadcast over the [2Hkv, Dp] tile — no relayout, no
+            # per-head reshape (the per-head layout measured 4.2x slower
+            # end to end; perf notes round 3).
+            s32 = jnp.max(s_buf[slot].astype(jnp.float32), axis=-1)
+            kv_deq = (kv_buf[slot].astype(jnp.float32) *
+                      s32[..., None, None]).astype(q_ref.dtype)
             kv = kv_deq.reshape(cs, 2 * Hkv, Dp)
         else:
             kv_deq = None
@@ -455,8 +447,8 @@ def decode_paged_attention_flat(q: jax.Array, kv_pages_l: jax.Array,
                                 interpret: bool = False,
                                 kv_scales: jax.Array = None) -> jax.Array:
     """Flat-stream decode attention (see _flat_kernel). Same contract as
-    decode_paged_attention. kv_scales: optional [pages, ps, 2Hkv]
-    per-slot/per-head dequant scales (scaled-FP8 cache)."""
+    decode_paged_attention. kv_scales: optional [pages, ps, SCALE_LANES]
+    per-slot lane-replicated dequant scales (scaled-FP8 cache)."""
     B, Hq, Dp = q.shape
     _, ps, two_hkv, Dp2 = kv_pages_l.shape
     assert Dp == Dp2 and two_hkv == 2 * num_kv_heads
@@ -486,13 +478,14 @@ def decode_paged_attention_flat(q: jax.Array, kv_pages_l: jax.Array,
     ]
     scratch = [pltpu.VMEM((2, C, ps, two_hkv, Dp), kv_pages_l.dtype)]
     if has_scales:
-        # Lane-aligned page slices: [pages, sa, 128] when divisible (a
-        # leading-dim slice is tiling-free; a 2-D [pages, K] layout hits
-        # the sublane-8 constraint on dim 0).
-        sa, sb = _scale_page_shape(ps * two_hkv)
-        kv_scales = kv_scales.reshape(kv_scales.shape[0], sa, sb)
+        # Per-slot lane-replicated scales [pages, ps, SCALE_LANES]: page
+        # slices are full 128-lane rows (lane-aligned DMA) and the kernel
+        # dequant is one sublane broadcast.
+        assert kv_scales.shape == (kv_pages_l.shape[0], ps,
+                                   kv_scales.shape[-1]), kv_scales.shape
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # scales (HBM)
-        scratch.append(pltpu.VMEM((2, C, sa, sb), kv_scales.dtype))
+        scratch.append(pltpu.VMEM((2, C, ps, kv_scales.shape[-1]),
+                                  kv_scales.dtype))
     scratch.append(pltpu.SemaphoreType.DMA((2, C)))
     if has_scales:
         scratch.append(pltpu.SemaphoreType.DMA((2, C)))
@@ -656,15 +649,13 @@ def _rowblock_kernel(
                  mask_k.astype(q_all.dtype)).reshape(R * Hq, 2 * Hkv * Dp)
 
         if has_scales:
-            # Dequantize in VMEM (fp8 value * bf16 per-slot/head scale),
-            # overlapped with the next iteration's DMA. Mosaic-legal ops
-            # only (see _flat_kernel): non-minor reshapes + f32 insert-
-            # minor broadcast of the [R, P, sa, sb] scales buffer.
-            sa, sb = s_buf.shape[-2], s_buf.shape[-1]
-            s32 = s_buf[slot].astype(jnp.float32)
-            kvf = (kv_buf[slot].reshape(R, P, sa, sb, Dp)
-                   .astype(jnp.float32) *
-                   s32[..., None]).astype(q_ref.dtype)
+            # Dequantize in VMEM (fp8 value * bf16 per-SLOT scale),
+            # overlapped with the next iteration's DMA. Scales are
+            # lane-replicated [R, P, ps, SCALE_LANES]; lane-reduce to the
+            # scalar, sublane-broadcast multiply (see _flat_kernel).
+            s32 = jnp.max(s_buf[slot].astype(jnp.float32), axis=-1)
+            kvf = (kv_buf[slot].astype(jnp.float32) *
+                   s32[..., None, None]).astype(q_ref.dtype)
             kvf = kvf.reshape(R * cs, 2 * Hkv * Dp)
         else:
             kvf = kv_buf[slot].reshape(R * cs, 2 * Hkv * Dp)
@@ -711,8 +702,9 @@ def decode_paged_attention_rowblock(q: jax.Array, kv_pages_l: jax.Array,
                                     kv_scales: jax.Array = None
                                     ) -> jax.Array:
     """Row-block decode attention (see _rowblock_kernel). Same contract as
-    decode_paged_attention. kv_scales: optional [pages, ps, 2Hkv] per-slot/
-    per-head dequant scales (FP8 cache) — DMA'd alongside the pages."""
+    decode_paged_attention. kv_scales: optional [pages, ps, SCALE_LANES]
+    per-slot lane-replicated dequant scales (FP8 cache) — DMA'd alongside
+    the pages."""
     B, Hq, Dp = q.shape
     _, ps, two_hkv, Dp2 = kv_pages_l.shape
     assert Dp == Dp2 and two_hkv == 2 * num_kv_heads
@@ -733,11 +725,12 @@ def decode_paged_attention_rowblock(q: jax.Array, kv_pages_l: jax.Array,
         pltpu.VMEM((2, R, PP, ps, two_hkv, Dp), kv_pages_l.dtype),
     ]
     if has_scales:
-        # Lane-aligned DMA layout (see decode_paged_attention_flat).
-        sa, sb = _scale_page_shape(ps * two_hkv)
-        kv_scales = kv_scales.reshape(kv_scales.shape[0], sa, sb)
+        # Per-slot lane-replicated layout (see decode_paged_attention_flat).
+        assert kv_scales.shape == (kv_pages_l.shape[0], ps,
+                                   kv_scales.shape[-1]), kv_scales.shape
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # scales (HBM)
-        scratch.append(pltpu.VMEM((2, R, PP, sa, sb), kv_scales.dtype))
+        scratch.append(pltpu.VMEM((2, R, PP, ps, kv_scales.shape[-1]),
+                                  kv_scales.dtype))
     scratch.append(pltpu.SemaphoreType.DMA((2, R, PP)))
     if has_scales:
         scratch.append(pltpu.SemaphoreType.DMA((2, R, PP)))
@@ -775,7 +768,9 @@ def rowblock_vmem_fits(rows_per_block: int, num_pages_bucket: int,
     scaled-FP8 caches) fits scoped VMEM. THE single eligibility bound —
     shared by the dispatcher's kernel selection and the scaled-FP8 gate
     (ragged_attention.py) so they cannot drift."""
-    per_slot = head_dim * kv_itemsize + (2 if has_scales else 0)
+    per_slot = head_dim * kv_itemsize + (
+        2 * 128 // two_hkv if has_scales else 0)  # scales: bf16 x
+    # SCALE_LANES per slot, amortized over the 2Hkv rows of that slot
     buf = (2 * rows_per_block * num_pages_bucket * page_size * two_hkv *
            per_slot)
     return buf <= 12 * 2**20

@@ -69,25 +69,37 @@ def padded_head_dim(head_dim: int) -> int:
 _FP8_MAX = 448.0  # e4m3fn finite max
 
 
+#: Lane width of the scales tensor: one bf16 scale per SLOT, replicated
+#: across a full 128-lane row. Measured on v5e (perf/fp8_scatter_ab.py,
+#: 49184 pages): scattering [slots, 2Hkv]-minor-16 rows costs 4.62 ms/call
+#: (TPU relayouts the partial-tile rows) vs 0.079 ms for full 128-lane
+#: rows — the entire round-2 b48+fp8 bench collapse. Lane-replication
+#: also lets the decode kernels dequantize with ONE sublane-broadcast
+#: multiply instead of a per-head reshape dance.
+SCALE_LANES = 128
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclass(frozen=True)
 class FP8KVCache:
-    """FP8 paged KV storage WITH per-slot/per-head scales.
+    """FP8 paged KV storage WITH per-token (per-slot) scales.
 
-    A raw e4m3 cast loses the magnitude spread across heads and tokens
-    (round 1 measured a throughput+accuracy regression); the reference's
-    FP8 checkpoint convention also carries scales
+    A raw e4m3 cast loses the magnitude spread across tokens (round 1
+    measured a throughput+accuracy regression); the reference's FP8
+    checkpoint convention also carries scales
     (test/utils/server/server.py:32-67). Here scales are DYNAMIC: each
-    written token's K and V get a per-head scale absmax/448 stored beside
-    the page (scales add 1/head_dim of the pages' bytes). Quantize fuses
-    into the KV scatter, dequantize into the page gather.
+    written token gets one scale absmax/448 over its K+V heads, stored
+    lane-replicated beside the page ([..., page_size, SCALE_LANES]; see
+    SCALE_LANES for why not per-head). Quantize fuses into the KV
+    scatter, dequantize into the page gather / kernel DMA. Granularity is
+    strictly finer than vLLM's per-tensor fp8 KV scale.
 
     Mirrors enough of the jax.Array surface (shape/dtype/reshape) that
     model forwards treat it exactly like the plain page array; the scales
-    tensor always has shape == pages.shape[:-1].
+    tensor always has shape == pages.shape[:-2] + (SCALE_LANES,).
     """
-    pages: jax.Array    # [..., 2*Hkv, Dp] float8_e4m3fn
-    scales: jax.Array   # [..., 2*Hkv]     bfloat16
+    pages: jax.Array    # [..., 2*Hkv, Dp]    float8_e4m3fn
+    scales: jax.Array   # [..., SCALE_LANES]  bfloat16 (per-slot, replicated)
 
     @property
     def shape(self) -> tuple:
@@ -101,7 +113,7 @@ class FP8KVCache:
         if len(shape) == 1 and isinstance(shape[0], (tuple, list)):
             shape = tuple(shape[0])
         return FP8KVCache(self.pages.reshape(*shape),
-                          self.scales.reshape(*shape[:-1]))
+                          self.scales.reshape(*shape[:-2], SCALE_LANES))
 
     def tree_flatten(self):
         return (self.pages, self.scales), None
@@ -134,20 +146,24 @@ def write_kv_pages(kv_pages_l: jax.Array, k: jax.Array, v: jax.Array,
     oob = num_slots + jnp.arange(N, dtype=jnp.int32)
     slots = jnp.where(slot_mapping < 0, oob, slot_mapping)
     if isinstance(kv_pages_l, FP8KVCache):
-        # Quantize fused into the scatter: per-token, per-head scale.
-        absmax = jnp.max(jnp.abs(kv_new.astype(jnp.float32)), axis=-1)
-        scale = jnp.maximum(absmax / _FP8_MAX, 1e-8)     # [N, 2Hkv]
-        q8 = (kv_new / scale[..., None]).astype(kv_pages_l.pages.dtype)
+        # Quantize fused into the scatter: ONE scale per written token
+        # (max |K,V| across heads and dim), stored as a full 128-lane
+        # replicated row — see SCALE_LANES for the measured reasons.
+        absmax = jnp.max(jnp.abs(kv_new.astype(jnp.float32)),
+                         axis=(-2, -1))                  # [N]
+        scale = jnp.maximum(absmax / _FP8_MAX, 1e-8)
+        q8 = (kv_new / scale[:, None, None]).astype(kv_pages_l.pages.dtype)
         if D < Dp:
             q8 = jnp.pad(q8, ((0, 0), (0, 0), (0, Dp - D)))
         pflat = kv_pages_l.pages.reshape(num_slots, two_hkv, Dp)
-        sflat = kv_pages_l.scales.reshape(num_slots, two_hkv)
+        sflat = kv_pages_l.scales.reshape(num_slots, SCALE_LANES)
         pflat = pflat.at[slots].set(q8, mode="drop", unique_indices=True)
-        sflat = sflat.at[slots].set(
-            scale.astype(sflat.dtype), mode="drop", unique_indices=True)
+        srows = jnp.broadcast_to(scale.astype(sflat.dtype)[:, None],
+                                 (N, SCALE_LANES))
+        sflat = sflat.at[slots].set(srows, mode="drop", unique_indices=True)
         return FP8KVCache(
             pflat.reshape(num_pages, page_size, two_hkv, Dp),
-            sflat.reshape(num_pages, page_size, two_hkv))
+            sflat.reshape(num_pages, page_size, SCALE_LANES))
     kv_new = kv_new.astype(kv_pages_l.dtype)
     if D < Dp:
         kv_new = jnp.pad(kv_new, ((0, 0), (0, 0), (0, Dp - D)))
@@ -176,7 +192,8 @@ def _gather_ctx(kv_pages_l: jax.Array, page_indices: jax.Array
     _, ps, two_hkv, D = kv_pages_l.shape
     if isinstance(kv_pages_l, FP8KVCache):
         ctx = kv_pages_l.pages[page_indices].astype(jnp.bfloat16)
-        sc = kv_pages_l.scales[page_indices].astype(jnp.bfloat16)
+        # Per-slot scale (lane-replicated storage; lane 0 suffices here).
+        sc = kv_pages_l.scales[page_indices][..., :1].astype(jnp.bfloat16)
         ctx = ctx * sc[..., None]  # dequant fused into the gather
     else:
         ctx = kv_pages_l[page_indices]  # [B, PP, ps, 2Hkv, D]
@@ -424,9 +441,9 @@ def _decode_kernel_fn():
             if not da.rowblock_vmem_fits(R, PP, ps, two_hkv, dp,
                                          kv_pages_l.dtype.itemsize,
                                          has_scales=kv_scales is not None):
-                slot_bytes = ps * two_hkv * (
-                    dp * kv_pages_l.dtype.itemsize +
-                    (2 if kv_scales is not None else 0))
+                slot_bytes = ps * (
+                    two_hkv * dp * kv_pages_l.dtype.itemsize +
+                    (2 * SCALE_LANES if kv_scales is not None else 0))
                 return da.decode_paged_attention_flat(
                     q, kv_pages_l, lo, hi, page_indices,
                     num_kv_heads=num_kv_heads, sm_scale=sm_scale,
@@ -454,9 +471,9 @@ def _decode_kernel_fn():
                       kv_scales=None):
             PP = page_indices.shape[1]
             _, ps, two_hkv, dp = kv_pages_l.shape
-            slot_bytes = ps * two_hkv * (
-                dp * kv_pages_l.dtype.itemsize +
-                (2 if kv_scales is not None else 0))
+            slot_bytes = ps * (
+                two_hkv * dp * kv_pages_l.dtype.itemsize +
+                (2 * SCALE_LANES if kv_scales is not None else 0))
             return da.decode_paged_attention_flat(
                 q, kv_pages_l, lo, hi, page_indices,
                 num_kv_heads=num_kv_heads, sm_scale=sm_scale,
@@ -501,7 +518,9 @@ def _pallas_decode_sharded(q, kv_pages_l, lo, hi, page_indices, *,
              P(), P(), P()]                    # lo, hi, page_indices
     args = [q, kv_pages_l, lo, hi, page_indices]
     if kv_scales is not None:
-        specs.append(P(None, None, MODEL_AXIS))  # scales [pages, ps, 2Hkv]
+        # Per-slot scales [pages, ps, SCALE_LANES]: no head axis, identical
+        # on every shard -> replicated.
+        specs.append(P(None, None, None))
         args.append(kv_scales)
 
     def body(q, kv, lo, hi, pi, *sc):

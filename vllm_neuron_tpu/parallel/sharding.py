@@ -221,9 +221,9 @@ def shard_kv_cache(kv_spec, mesh: Mesh):
     sharding = NamedSharding(mesh, _divisible(KV_SPEC, shape, tp))
     if getattr(kv_spec, "is_fp8", False):
         from vllm_neuron_tpu.ops.ragged_attention import FP8KVCache
-        scale_spec = P(*KV_SPEC[:-1])
-        scale_sharding = NamedSharding(
-            mesh, _divisible(scale_spec, shape[:-1], tp))
+        # Per-slot scales [..., ps, SCALE_LANES] carry no head axis —
+        # replicate them (identical on every model shard).
+        scale_sharding = NamedSharding(mesh, P())
         out_shardings = FP8KVCache(sharding, scale_sharding)
     else:
         out_shardings = sharding

@@ -103,8 +103,9 @@ class KVCacheSpec:
 
     def bytes_total(self) -> int:
         n = int(np.prod(self.shape)) * jnp.dtype(self.dtype).itemsize
-        if self.is_fp8:  # per-slot/per-head bf16 scales beside the pages
-            n += int(np.prod(self.shape[:-1])) * 2
+        if self.is_fp8:  # per-slot bf16 scales, lane-replicated (x128)
+            from vllm_neuron_tpu.ops.ragged_attention import SCALE_LANES
+            n += int(np.prod(self.shape[:-2])) * SCALE_LANES * 2
         return n
 
     def allocate(self):
@@ -117,9 +118,11 @@ class KVCacheSpec:
         THE single constructor for main/draft/sharded caches (one place
         owns the pages+scales pairing)."""
         if self.is_fp8:
-            from vllm_neuron_tpu.ops.ragged_attention import FP8KVCache
-            return FP8KVCache(jnp.zeros(shape, self.dtype),
-                              jnp.zeros(shape[:-1], jnp.bfloat16))
+            from vllm_neuron_tpu.ops.ragged_attention import (FP8KVCache,
+                                                              SCALE_LANES)
+            return FP8KVCache(
+                jnp.zeros(shape, self.dtype),
+                jnp.zeros(shape[:-2] + (SCALE_LANES,), jnp.bfloat16))
         return jnp.zeros(shape, self.dtype)
 
 
