@@ -251,10 +251,15 @@ def _flat_kernel(
     slices are full 128-lane rows (Mosaic DMA needs lane alignment) and
     the dequant is a lane-reduce + sublane-broadcast multiply."""
     if has_scales:
-        s_hbm_ref, o_ref, kv_buf, s_buf, sem, sem_s = rest
+        # sc_ref: [B, NCH, cs] f32 VMEM INPUT — per-slot scales pre-gathered
+        # by ONE XLA gather in the wrapper and pre-chunked to the kernel's
+        # (row, chunk) layout. The previous design DMA'd a scales page
+        # alongside every KV page: at b48/PP20 that is ~960 extra DMA
+        # issues per call, measured as ~0.9 ms of the 4.2x fp8 overhead.
+        sc_ref, o_ref, kv_buf, sem = rest
     else:
         o_ref, kv_buf, sem = rest
-        s_hbm_ref = s_buf = sem_s = None
+        sc_ref = None
     ps = page_size
     C = pages_per_chunk
     cs = C * ps
@@ -270,10 +275,8 @@ def _flat_kernel(
         # slots; scratch VMEM can hold NaN bit patterns, and 0*NaN=NaN.
         # One zero-fill per launch makes every stale slot finite.
         kv_buf[...] = jnp.zeros(kv_buf.shape, kv_buf.dtype)
-    if has_scales:
-        s_buf[...] = jnp.zeros(s_buf.shape, s_buf.dtype)
-        if not fused_gqa:
-            kv_buf[...] = jnp.zeros(kv_buf.shape, kv_buf.dtype)
+    if has_scales and not fused_gqa:
+        kv_buf[...] = jnp.zeros(kv_buf.shape, kv_buf.dtype)
     if fused_gqa:
         # Row i's K slot is 2*(i//G), its V slot 2*(i//G)+1. Built directly
         # in 3-D: Mosaic can't add a minor dim to an i1 vector via reshape
@@ -296,12 +299,6 @@ def _flat_kernel(
                     kv_buf.at[slot, j],
                     sem.at[slot, j],
                 ).start()
-                if has_scales:
-                    pltpu.make_async_copy(
-                        s_hbm_ref.at[page],
-                        s_buf.at[slot, j],
-                        sem_s.at[slot, j],
-                    ).start()
 
     def wait_chunk(t, slot):
         r = crow_ref[t]
@@ -312,11 +309,6 @@ def _flat_kernel(
                 pltpu.make_async_copy(
                     kv_hbm_ref.at[0], kv_buf.at[slot, j], sem.at[slot, j],
                 ).wait()
-                if has_scales:
-                    pltpu.make_async_copy(
-                        s_hbm_ref.at[0], s_buf.at[slot, j],
-                        sem_s.at[slot, j],
-                    ).wait()
 
     @pl.when(T > 0)
     def _():
@@ -345,19 +337,20 @@ def _flat_kernel(
         # conversion passes plus f32 VMEM buffers and bought nothing.
         q = (q_ref[r].astype(jnp.float32) * sm_scale).astype(q_ref.dtype)
         if has_scales:
-            # Scaled FP8: dequantize the chunk in VMEM (fp8 value x bf16
-            # per-SLOT scale), overlapped with the next chunk's DMA.
-            # Scales are lane-replicated [C, ps, SCALE_LANES]; a lane
-            # reduce recovers the scalar and the multiply is one sublane
-            # broadcast over the [2Hkv, Dp] tile — no relayout, no
-            # per-head reshape (the per-head layout measured 4.2x slower
-            # end to end; perf notes round 3).
-            s32 = jnp.max(s_buf[slot].astype(jnp.float32), axis=-1)
-            kv_deq = (kv_buf[slot].astype(jnp.float32) *
-                      s32[..., None, None]).astype(q_ref.dtype)
-            kv = kv_deq.reshape(cs, 2 * Hkv, Dp)
+            # Scaled FP8: NO dequant pass. Scores fold the per-slot scale
+            # per COLUMN (s_true = (q . k8) * sc) and the PV side folds it
+            # into p (sum p . v8 . sc == sum (p*sc) . v8) — both are
+            # natural [1, cs] lane broadcasts from the pre-gathered VMEM
+            # scales, so the only per-chunk cost over bf16 is the fp8->
+            # dtype conversion for dot-operand uniformity.
+            sc = sc_ref[r, cl].reshape(1, cs).astype(jnp.float32)
+            # No conversion pass either: fp8->bf16 is a cross-sublane
+            # relayout of the whole chunk (measured ~0.8 ms/call at b48 —
+            # the dominant fp8 overhead). The MXU consumes the fp8 operand
+            # directly against bf16 q / p (f32 accumulate).
+            kv = kv_buf[slot].reshape(cs, 2 * Hkv, Dp)
         else:
-            kv_deq = None
+            sc = None
             kv = kv_buf[slot].reshape(cs, 2 * Hkv, Dp)
 
         base = (p0_ref[r] + cl * C) * ps
@@ -373,6 +366,8 @@ def _flat_kernel(
                 q_exp, kvf,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)       # [Hq, cs]
+            if has_scales:
+                s = s * sc                                # K-side dequant
             s = jnp.where(vis, s, _MASK).reshape(Hkv, G, cs)
         else:
             qg = q.reshape(Hkv, G, Dp)
@@ -382,6 +377,8 @@ def _flat_kernel(
                     qg[h], kv[:, 2 * h, :],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)   # [G, cs]
+                if has_scales:
+                    s_h = s_h * sc                        # K-side dequant
                 s_heads.append(s_h)
             s = jnp.stack(s_heads)                        # [Hkv, G, cs]
             s = jnp.where(vis[None], s, _MASK)
@@ -391,7 +388,11 @@ def _flat_kernel(
         alpha = jnp.exp(m_prev - m_next)
         p = jnp.exp(s - m_next[..., None])
         l_next = alpha * l_prev + jnp.sum(p, axis=-1)
-        p_lo = p.astype(kv.dtype)  # == cache dtype, or bf16 post-dequant
+        if has_scales:
+            p = p * (sc if fused_gqa else sc[None])       # V-side dequant
+            p_lo = p.astype(jnp.bfloat16)  # mixed bf16 x fp8 PV dot
+        else:
+            p_lo = p.astype(kv.dtype)
         if fused_gqa:
             # Invisible positions have p exactly 0 (exp(_MASK - m) == 0),
             # and the launch-time zero-fill keeps stale slots finite, so no
@@ -478,17 +479,19 @@ def decode_paged_attention_flat(q: jax.Array, kv_pages_l: jax.Array,
     ]
     scratch = [pltpu.VMEM((2, C, ps, two_hkv, Dp), kv_pages_l.dtype)]
     if has_scales:
-        # Per-slot lane-replicated scales [pages, ps, SCALE_LANES]: page
-        # slices are full 128-lane rows (lane-aligned DMA) and the kernel
-        # dequant is one sublane broadcast.
+        # Per-slot lane-replicated scales [pages, ps, SCALE_LANES]
+        # (ragged_attention.py). ONE XLA gather + chunk-reshape feeds the
+        # kernel a small [B, NCH, cs] f32 VMEM input — per-page scale
+        # DMAs cost ~0.9 ms/call at b48 (960 extra DMA issues).
         assert kv_scales.shape == (kv_pages_l.shape[0], ps,
                                    kv_scales.shape[-1]), kv_scales.shape
-        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # scales (HBM)
-        scratch.append(pltpu.VMEM((2, C, ps, kv_scales.shape[-1]),
-                                  kv_scales.dtype))
+        sc = kv_scales[..., 0].astype(jnp.float32)[page_indices]
+        pad_pp = max_cpr * C - PP
+        if pad_pp:
+            sc = jnp.pad(sc, ((0, 0), (0, pad_pp), (0, 0)))
+        kv_scales = sc.reshape(B, max_cpr, C * ps)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     scratch.append(pltpu.SemaphoreType.DMA((2, C)))
-    if has_scales:
-        scratch.append(pltpu.SemaphoreType.DMA((2, C)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=8,
         grid=(1,),
@@ -539,13 +542,14 @@ def _rowblock_kernel(
     attention. VMEM bounds R * PP (wrapper falls back to the flat kernel
     when the double-buffer would not fit scoped VMEM)."""
     if has_scales:
-        # FP8 cache with per-slot/per-head scales: the scales page array
-        # rides a parallel DMA stream and dequant happens in VMEM right
-        # before the matmuls (HBM traffic stays fp8 + 1/Dp of scales).
-        s_hbm_ref, o_ref, kv_buf, s_buf, sem, sem_s = rest
+        # sc_ref: [B, cs] f32 VMEM INPUT — per-slot scales pre-gathered by
+        # ONE XLA gather in the wrapper (whole visible rows, matching this
+        # kernel's whole-row iteration). See _flat_kernel for why scales
+        # never ride their own DMA stream.
+        sc_ref, o_ref, kv_buf, sem = rest
     else:
         o_ref, kv_buf, sem = rest
-        s_hbm_ref = s_buf = sem_s = None
+        sc_ref = None
     ps = page_size
     R = rows_per_block
     P = page_indices_ref.shape[1]
@@ -559,8 +563,6 @@ def _rowblock_kernel(
     # Stale buffer slots can hold NaN bit patterns; 0 * NaN = NaN in the
     # PV full product. One zero-fill per launch keeps every slot finite.
     kv_buf[...] = jnp.zeros(kv_buf.shape, kv_buf.dtype)
-    if has_scales:
-        s_buf[...] = jnp.zeros(s_buf.shape, s_buf.dtype)
 
     # Head-slot masks (fused-GQA trick): q row m (= block k*Hq + h) has its
     # K slot at 2*(h//G), its V slot at 2*(h//G)+1.
@@ -591,12 +593,6 @@ def _rowblock_kernel(
                         kv_buf.at[slot, k, j],
                         sem.at[slot, k, j],
                     ).start()
-                    if has_scales:
-                        pltpu.make_async_copy(
-                            s_hbm_ref.at[page],
-                            s_buf.at[slot, k, j],
-                            sem_s.at[slot, k, j],
-                        ).start()
 
     def wait_rows(t, slot):
         r0 = t * R
@@ -610,11 +606,6 @@ def _rowblock_kernel(
                         kv_hbm_ref.at[0], kv_buf.at[slot, k, j],
                         sem.at[slot, k, j],
                     ).wait()
-                    if has_scales:
-                        pltpu.make_async_copy(
-                            s_hbm_ref.at[0], s_buf.at[slot, k, j],
-                            sem_s.at[slot, k, j],
-                        ).wait()
 
     @pl.when(NB > 0)
     def _():
@@ -633,6 +624,7 @@ def _rowblock_kernel(
         # q_exp: R rows' queries expanded into their K slots.
         q_rows = []
         vis_rows = []
+        sc_rows = []
         for k in range(R):
             r = jnp.minimum(r0 + k, B - 1)
             qk = (q_ref[r].astype(jnp.float32) * sm_scale).astype(
@@ -643,33 +635,40 @@ def _rowblock_kernel(
             visk = (kpos >= lo_ref[r]) & (kpos < hi_ref[r])
             visk = jnp.logical_and(visk, r0 + k < B)
             vis_rows.append(visk)
+            if has_scales:
+                sc_rows.append(sc_ref[r].reshape(1, cs))
         q_all = jnp.concatenate(q_rows, axis=0)           # [R*Hq, Dp]
         vis = jnp.concatenate(vis_rows, axis=1)           # [1, R*cs]
         q_exp = (q_all[:, None, :] *
                  mask_k.astype(q_all.dtype)).reshape(R * Hq, 2 * Hkv * Dp)
 
         if has_scales:
-            # Dequantize in VMEM (fp8 value * bf16 per-SLOT scale),
-            # overlapped with the next iteration's DMA. Scales are
-            # lane-replicated [R, P, ps, SCALE_LANES]; lane-reduce to the
-            # scalar, sublane-broadcast multiply (see _flat_kernel).
-            s32 = jnp.max(s_buf[slot].astype(jnp.float32), axis=-1)
-            kvf = (kv_buf[slot].astype(jnp.float32) *
-                   s32[..., None, None]).astype(q_ref.dtype)
-            kvf = kvf.reshape(R * cs, 2 * Hkv * Dp)
+            # Scaled FP8: no conversion, no dequant pass; the per-slot
+            # scale folds into the scores (K side) and into p (V side) as
+            # [1, R*cs] lane broadcasts, and the MXU consumes fp8 directly
+            # (see _flat_kernel).
+            sc = jnp.concatenate(sc_rows, axis=1)         # [1, R*cs]
+            kvf = kv_buf[slot].reshape(R * cs, 2 * Hkv * Dp)
         else:
+            sc = None
             kvf = kv_buf[slot].reshape(R * cs, 2 * Hkv * Dp)
         s = jax.lax.dot_general(
             q_exp, kvf,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)           # [R*Hq, R*cs]
+        if has_scales:
+            s = s * sc                                    # K-side dequant
         s = jnp.where(jnp.logical_and(same_row, vis), s, _MASK)
 
         # Single-pass softmax: the whole row is resident, no carry.
         m = jnp.max(s, axis=-1, keepdims=True)            # [R*Hq, 1]
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
-        p_lo = p.astype(kvf.dtype)
+        if has_scales:
+            p = p * sc                                    # V-side dequant
+            p_lo = p.astype(jnp.bfloat16)  # mixed bf16 x fp8 PV dot
+        else:
+            p_lo = p.astype(kvf.dtype)
         o16 = jax.lax.dot_general(
             p_lo, kvf,
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -725,15 +724,15 @@ def decode_paged_attention_rowblock(q: jax.Array, kv_pages_l: jax.Array,
         pltpu.VMEM((2, R, PP, ps, two_hkv, Dp), kv_pages_l.dtype),
     ]
     if has_scales:
-        # Per-slot lane-replicated layout (see decode_paged_attention_flat).
+        # Per-slot lane-replicated layout; ONE XLA gather feeds the kernel
+        # a [B, PP*ps] f32 VMEM input of whole visible rows (see
+        # decode_paged_attention_flat).
         assert kv_scales.shape == (kv_pages_l.shape[0], ps,
                                    kv_scales.shape[-1]), kv_scales.shape
-        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # scales (HBM)
-        scratch.append(pltpu.VMEM((2, R, PP, ps, kv_scales.shape[-1]),
-                                  kv_scales.dtype))
+        kv_scales = kv_scales[..., 0].astype(
+            jnp.float32)[page_indices].reshape(B, PP * ps)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     scratch.append(pltpu.SemaphoreType.DMA((2, R, PP)))
-    if has_scales:
-        scratch.append(pltpu.SemaphoreType.DMA((2, R, PP)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
@@ -768,9 +767,11 @@ def rowblock_vmem_fits(rows_per_block: int, num_pages_bucket: int,
     scaled-FP8 caches) fits scoped VMEM. THE single eligibility bound —
     shared by the dispatcher's kernel selection and the scaled-FP8 gate
     (ragged_attention.py) so they cannot drift."""
-    per_slot = head_dim * kv_itemsize + (
-        2 * 128 // two_hkv if has_scales else 0)  # scales: bf16 x
-    # SCALE_LANES per slot, amortized over the 2Hkv rows of that slot
+    # Scales no longer occupy kernel scratch (they arrive as one small
+    # pre-gathered [B, cs] f32 VMEM input), so the bound is the KV
+    # double-buffer alone.
+    del has_scales
+    per_slot = head_dim * kv_itemsize
     buf = (2 * rows_per_block * num_pages_bucket * page_size * two_hkv *
            per_slot)
     return buf <= 12 * 2**20

@@ -441,9 +441,9 @@ def _decode_kernel_fn():
             if not da.rowblock_vmem_fits(R, PP, ps, two_hkv, dp,
                                          kv_pages_l.dtype.itemsize,
                                          has_scales=kv_scales is not None):
-                slot_bytes = ps * (
-                    two_hkv * dp * kv_pages_l.dtype.itemsize +
-                    (2 * SCALE_LANES if kv_scales is not None else 0))
+                # Scales ride a pre-gathered VMEM input, not the
+                # per-chunk scratch; only KV bytes bound the chunk.
+                slot_bytes = ps * two_hkv * dp * kv_pages_l.dtype.itemsize
                 return da.decode_paged_attention_flat(
                     q, kv_pages_l, lo, hi, page_indices,
                     num_kv_heads=num_kv_heads, sm_scale=sm_scale,
@@ -471,9 +471,9 @@ def _decode_kernel_fn():
                       kv_scales=None):
             PP = page_indices.shape[1]
             _, ps, two_hkv, dp = kv_pages_l.shape
-            slot_bytes = ps * (
-                two_hkv * dp * kv_pages_l.dtype.itemsize +
-                (2 * SCALE_LANES if kv_scales is not None else 0))
+            # Scales ride a pre-gathered VMEM input, not the
+            # per-chunk scratch; only KV bytes bound the chunk.
+            slot_bytes = ps * two_hkv * dp * kv_pages_l.dtype.itemsize
             return da.decode_paged_attention_flat(
                 q, kv_pages_l, lo, hi, page_indices,
                 num_kv_heads=num_kv_heads, sm_scale=sm_scale,
