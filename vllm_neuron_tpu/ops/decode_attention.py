@@ -485,7 +485,10 @@ def decode_paged_attention_flat(q: jax.Array, kv_pages_l: jax.Array,
         # DMAs cost ~0.9 ms/call at b48 (960 extra DMA issues).
         assert kv_scales.shape == (kv_pages_l.shape[0], ps,
                                    kv_scales.shape[-1]), kv_scales.shape
-        sc = kv_scales[..., 0].astype(jnp.float32)[page_indices]
+        # Gather FIRST, slice lane 0 after: slicing the full scales
+        # array first materializes a pass over ALL pages (~0.9 ms/layer
+        # at 49k pages); the gather touches only the indexed pages.
+        sc = kv_scales[page_indices][..., 0].astype(jnp.float32)
         pad_pp = max_cpr * C - PP
         if pad_pp:
             sc = jnp.pad(sc, ((0, 0), (0, pad_pp), (0, 0)))
@@ -729,8 +732,8 @@ def decode_paged_attention_rowblock(q: jax.Array, kv_pages_l: jax.Array,
         # decode_paged_attention_flat).
         assert kv_scales.shape == (kv_pages_l.shape[0], ps,
                                    kv_scales.shape[-1]), kv_scales.shape
-        kv_scales = kv_scales[..., 0].astype(
-            jnp.float32)[page_indices].reshape(B, PP * ps)
+        kv_scales = kv_scales[page_indices][..., 0].astype(
+            jnp.float32).reshape(B, PP * ps)  # gather first (see flat)
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     scratch.append(pltpu.SemaphoreType.DMA((2, R, PP)))
 
