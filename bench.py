@@ -5,7 +5,7 @@ Drives the REAL serving stack — continuous-batching scheduler, paged block-KV
 cache, pipelined multi-step decode windows, on-device sampling — on the
 BASELINE.json north-star config by default: a Llama-3.1-8B-architecture
 model with INT8 weights (8B does not fit one 16 GB chip unquantized at all),
-16 concurrent requests, 512-token prompts, 128 generated tokens each,
+64 concurrent requests, 512-token prompts, 128 generated tokens each,
 greedy. BENCH_MODEL=tinyllama selects the small CPU-runnable config
 (BASELINE config 1 class).
 
@@ -28,11 +28,11 @@ PROMPT_LEN = 512
 GEN_TOKENS = 128
 MAX_MODEL_LEN = 2048
 BLOCK_SIZE = 32
-# Best previously recorded value on the 8B INT8 b32 p512 g128 config:
-# 797.0 tok/s e2e (fused-GQA decode kernel, docs/PERF_NOTES.md; BENCH_r01
-# was 576.6 at round-1 end).
-PREV_BEST = 797.0
-# Variant knobs (experiments): BENCH_QUANT=int8|fp8, BENCH_KV_DTYPE=fp8,
+# Best previously recorded value on the 8B INT8 b64 p512 g128 config:
+# 1333.4 tok/s e2e (BENCH_r03.json median-of-3; BENCH_r01 was 576.6,
+# BENCH_r02 701.6).
+PREV_BEST = 1333.4
+# Variant knobs (experiments): BENCH_QUANT=int8|fp8|int4, BENCH_KV_DTYPE=fp8,
 # BENCH_DECODE_WINDOW=16, BENCH_MODEL=tinyllama|llama8b|tinypy,
 # BENCH_SPEC=K (tinypy only: Eagle speculation with the trained
 # ckpt_tinypy_eagle draft, K tokens/round — measures spec decode's real
@@ -118,7 +118,7 @@ def build_engine():
         scheduler=SchedulerConfig(
             max_num_seqs=BATCH, decode_window=DECODE_WINDOW,
             async_decode=bool(int(os.environ.get("BENCH_ASYNC_DECODE",
-                                                 "0")))),
+                                                 "1")))),
         bucketing=BucketingConfig(
             context_encoding_buckets=[b for b in (512, 1024, 2048)
                                       if b <= MAX_MODEL_LEN],

@@ -25,6 +25,36 @@ import pytest  # noqa: E402
 
 
 @pytest.fixture(scope="session")
+def tiny_eagle_dir(tmp_path_factory, tiny_llama_dir):
+    """Eagle-style draft checkpoint matching the tiny target's dims:
+    fc [H, 2H] + one Llama decoder layer."""
+    import torch
+    from safetensors.torch import save_file
+    from transformers import AutoConfig, LlamaConfig, LlamaForCausalLM
+
+    target_cfg = AutoConfig.from_pretrained(tiny_llama_dir)
+    cfg = LlamaConfig(
+        vocab_size=target_cfg.vocab_size,
+        hidden_size=target_cfg.hidden_size,
+        intermediate_size=target_cfg.intermediate_size,
+        num_hidden_layers=1,
+        num_attention_heads=target_cfg.num_attention_heads,
+        num_key_value_heads=target_cfg.num_key_value_heads,
+        max_position_embeddings=target_cfg.max_position_embeddings,
+    )
+    torch.manual_seed(3)
+    model = LlamaForCausalLM(cfg)
+    sd = {k: v for k, v in model.state_dict().items()
+          if k.startswith("model.layers.0.") and "rotary" not in k}
+    H = cfg.hidden_size
+    sd["fc.weight"] = torch.randn(H, 2 * H) * 0.02
+    path = tmp_path_factory.mktemp("tiny_eagle")
+    save_file(sd, str(path / "model.safetensors"))
+    cfg.save_pretrained(path)
+    return str(path)
+
+
+@pytest.fixture(scope="session")
 def tiny_llama_dir(tmp_path_factory):
     """Tiny random HF Llama checkpoint (float32, GQA) saved to disk."""
     import torch

@@ -44,6 +44,10 @@ class ServerProc:
              "--device", "cpu", "--dtype", "float32",
              "--max-model-len", "128", "--max-num-seqs", "4",
              "--block-size", "16", "--host", "127.0.0.1",
+             # CI speed: skip the full-variant warmup (covered by
+             # test_warmup_coverage.py); mirrors the reference's tests all
+             # passing skip_warmup.
+             "--skip-warmup",
              "--port", str(self.port), *extra_args],
             cwd=REPO, env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT)

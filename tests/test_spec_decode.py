@@ -12,36 +12,6 @@ from tests.conftest import hf_greedy
 from vllm_neuron_tpu import LLM, SamplingParams
 
 
-@pytest.fixture(scope="module")
-def tiny_eagle_dir(tmp_path_factory, tiny_llama_dir):
-    """Eagle-style draft checkpoint matching the tiny target's dims:
-    fc [H, 2H] + one Llama decoder layer."""
-    import torch
-    from safetensors.torch import save_file
-    from transformers import AutoConfig, LlamaConfig, LlamaForCausalLM
-
-    target_cfg = AutoConfig.from_pretrained(tiny_llama_dir)
-    cfg = LlamaConfig(
-        vocab_size=target_cfg.vocab_size,
-        hidden_size=target_cfg.hidden_size,
-        intermediate_size=target_cfg.intermediate_size,
-        num_hidden_layers=1,
-        num_attention_heads=target_cfg.num_attention_heads,
-        num_key_value_heads=target_cfg.num_key_value_heads,
-        max_position_embeddings=target_cfg.max_position_embeddings,
-    )
-    torch.manual_seed(3)
-    model = LlamaForCausalLM(cfg)
-    sd = {k: v for k, v in model.state_dict().items()
-          if k.startswith("model.layers.0.") and "rotary" not in k}
-    H = cfg.hidden_size
-    sd["fc.weight"] = torch.randn(H, 2 * H) * 0.02
-    path = tmp_path_factory.mktemp("tiny_eagle")
-    save_file(sd, str(path / "model.safetensors"))
-    cfg.save_pretrained(path)
-    return str(path)
-
-
 def test_spec_greedy_identical_to_baseline(tiny_llama_dir, tiny_eagle_dir):
     prompts = [
         [5, 77, 301, 44, 12, 99, 8],

@@ -211,10 +211,11 @@ class SchedulerConfig:
     # stopped/finished/preempted, or a prefill intervened) discard the
     # speculative window; correctness is unaffected because its KV writes
     # land strictly above every accepted position and are rewritten by the
-    # real window. Off by default: on the tunneled bench chip the extra
-    # staging traffic measured slower (1178 -> 1022 tok/s); expected to win
-    # on directly-attached hosts.
-    async_decode: bool = False
+    # real window. Default ON since the round-4 A/B: +5.7% decode-phase on
+    # the 8B INT8 b64 bench (2116 vs 2001 tok/s; docs/PERF_NOTES.md round-4
+    # table) — the earlier loss (1178 -> 1022) predated vectorized input
+    # prep and the fused window dispatch.
+    async_decode: bool = True
 
     def finalize(self, model_config: ModelConfig) -> None:
         if self.max_num_batched_tokens < model_config.max_model_len and \

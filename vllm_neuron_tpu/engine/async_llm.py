@@ -39,6 +39,10 @@ class AsyncEngine:
         self._thread: Optional[threading.Thread] = None
         self._req_counter = itertools.count()
 
+    def warmup(self) -> None:
+        """Pre-compile all reachable program variants (call before start())."""
+        self.engine.warmup()
+
     # ------------------------------------------------------------------
 
     def start(self, loop: Optional[asyncio.AbstractEventLoop] = None) -> None:

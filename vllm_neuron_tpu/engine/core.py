@@ -157,6 +157,13 @@ class EngineCore:
         self.metrics = StepMetrics()
         self._eos_token_id = self._resolve_eos()
 
+    def warmup(self) -> None:
+        """Pre-compile every program variant reachable from this config
+        (reference analogue: NxDI warmup unless skip_warmup). Optional:
+        without it programs compile lazily on first use and load from the
+        persistent cache on every later run of the same config."""
+        self.worker.compile_or_warm_up_model()
+
     def _resolve_eos(self) -> Optional[int]:
         if self.tokenizer is not None and \
                 getattr(self.tokenizer, "eos_token_id", None) is not None:

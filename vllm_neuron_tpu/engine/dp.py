@@ -116,6 +116,10 @@ class DPEngine:
                                         thread_name_prefix="dp-lane")
         self.metrics = AggregateMetrics([c.metrics for c in self.cores])
 
+    def warmup(self) -> None:
+        for core in self.cores:
+            core.warmup()
+
     # ------------------------------------------------------------------
 
     def _pick_lane(self, parent_req_id: Optional[str]) -> int:

@@ -487,6 +487,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lora-modules", nargs="*", default=None,
                    help="LoRA adapters to serve, as name=path pairs "
                         "(requests select one via the `model` field)")
+    p.add_argument("--skip-warmup", action="store_true",
+                   help="skip pre-compiling all reachable program variants "
+                        "at startup (reference analogue: skip_warmup); "
+                        "programs then compile lazily on first use")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--device", default="auto", choices=["auto", "cpu"],
                    help="'cpu' pins jax to the host backend (tests/CI; "
@@ -562,6 +566,12 @@ async def run_server(args) -> None:
         with open(args.chat_template) as f:
             chat_template = f.read()
     engine = AsyncEngine(config, tokenizer=tokenizer)
+    if not args.skip_warmup:
+        # Serve-time default: pre-compile every reachable program variant
+        # so no request (logprobs, seeds, speculation, long prompts) hits
+        # a cold compile mid-serving. Executables persist in the compile
+        # cache, so a redeploy of the same config warms from disk.
+        engine.warmup()
     engine.start(asyncio.get_running_loop())
     server = OpenAIServer(
         engine,

@@ -45,10 +45,34 @@ logger = init_logger(__name__)
 @functools.cache
 def _packed_h2d() -> bool:
     # Pack the decode window's ~10 small host arrays into ONE [R, N] i32
-    # transfer + one jitted unpack (the axon tunnel charges per transfer —
-    # PERF_NOTES "h2d small-array transfers: ~3 ms for ~10 arrays").
-    # Opt-in pending on-chip A/B (perf/tpu_sweep.sh).
+    # transfer + one jitted unpack. Measured on-chip (round-4 A/B,
+    # docs/PERF_NOTES.md): LOSES ~7% e2e sync and is unstable under async
+    # decode — the pack's host work + the unpack program cost more than the
+    # per-transfer issue overhead saved. Stays opt-in for direct-attached
+    # hosts with different transfer economics.
     return os.environ.get("VLLM_TPU_PACKED_H2D") == "1"
+
+
+def host_gather_bucket(num_host_rows: int, N: int) -> int:
+    """Bucket the host-sampled row count H to powers of FOUR (1, 4, 16, ...),
+    clamped to the step's token bucket N. The gathered-logits program is
+    specialized on H, so coarse buckets bound the variant count at ~log4(N)
+    per (N, PP) pair — the extra padded rows cost ~H*V*4 bytes through the
+    fetch, negligible next to the 20-55 ms tunnel RTT they ride."""
+    H = 1
+    while H < num_host_rows:
+        H *= 4
+    return min(H, N)
+
+
+def host_gather_buckets(N: int) -> list[int]:
+    """All H buckets reachable at token bucket N (for warmup enumeration)."""
+    out, H = [], 1
+    while H < N:
+        out.append(H)
+        H *= 4
+    out.append(N)
+    return out
 
 
 def _unpack_window(rows, *, K: int):
@@ -370,7 +394,11 @@ class ModelExecutor:
             adapter_ids=adapter_ids, cross_rows=cross_rows))
         K, N = slot_table.shape
         cross = cross_rows is not None and self.cross_kv is not None
-        key = ("step", "decode", N, page_indices.shape, False, cross)
+        # Same key format as run_step: the window's per-step program IS the
+        # plain decode step (same builder, same traced shapes), so window
+        # and single-step dispatch share one compiled program.
+        key = ("step", "decode", N, page_indices.shape, False, False, cross,
+               None)
         fn = self._get_fn(
             key, lambda: self._build_step("decode", False, cross=cross))
         if _packed_h2d():
@@ -788,7 +816,14 @@ class ModelExecutor:
                         if logits is not None else None)
 
     def _dummy_step(self, kind: str, N: int, S_step: int, PP: int,
-                    return_logits: bool) -> None:
+                    return_logits: bool, gather_h: Optional[int] = None,
+                    mm: bool = False) -> None:
+        mm_kwargs = {}
+        if mm:
+            mm_kwargs = dict(
+                embeds_override=np.zeros(
+                    (N, self.config.model.hidden_size), np.float32),
+                override_mask=np.zeros(N, bool))
         self.run_step(
             token_ids=np.zeros(N, np.int32),
             positions=np.zeros(N, np.int32),
@@ -803,32 +838,116 @@ class ModelExecutor:
             top_p=np.ones(S_step, np.float32),
             return_logits=return_logits,
             kind=kind,
+            logits_rows=(np.zeros(gather_h, np.int32)
+                         if gather_h is not None else None),
             # Match the real programs' pytree structure when LoRA is on.
             adapter_ids=(np.zeros(N, np.int32)
                          if "lora" in self.params else None),
             # Cross-attention families always thread the row cache.
             cross_rows=(np.zeros(N, np.int32)
                         if self.cross_kv is not None else None),
+            **mm_kwargs,
         )
 
-    def warmup(self) -> None:
-        """Pre-compile the step programs the engine will hit (reference
-        analogue: NxDI bucket warmup unless skip_warmup)."""
-        bucketing = self.config.bucketing
-        for B in bucketing.token_generation_buckets:
-            N = bucketing.token_bucket(B)
-            for PP in bucketing.page_buckets:
+    def _dummy_spec_prefill(self, N: int, PP: int) -> None:
+        self.run_prefill_spec(
+            token_ids=np.zeros(N, np.int32),
+            positions=np.zeros(N, np.int32),
+            slot_mapping=np.full(N, -1, np.int32),
+            kv_len=0, page_indices=np.zeros((1, PP), np.int32),
+            num_new=1, row=0,
+            temperature=np.zeros(1, np.float32),
+            top_k=np.full(1, -1, np.int32), top_p=np.ones(1, np.float32),
+            adapter_ids=(np.zeros(N, np.int32)
+                         if "lora" in self.params else None))
+
+    def _dummy_spec_decode(self, N: int, PP: int, K: int) -> None:
+        lora = "lora" in self.params
+        self.run_spec_decode(
+            row_ids=np.zeros(N, np.int32),
+            first_tokens=np.zeros(N, np.int32),
+            positions0=np.zeros(N, np.int32),
+            slot_table=np.full((K + 1, N), -1, np.int32),
+            dslot_table=np.full((K, N), -1, np.int32),
+            kv_lens0=np.zeros(N, np.int32),
+            page_indices=np.zeros((N, PP), np.int32),
+            num_seqs=0,
+            adapter_ids=np.zeros(N, np.int32) if lora else None)
+
+    def _decode_token_buckets(self) -> list[int]:
+        """Token buckets a decode step can land on: every bucket <= the
+        seq budget, plus the bucket the full budget pads to (the runner
+        buckets N = token_bucket(#decode items), items <= max_num_seqs)."""
+        b = self.config.bucketing
+        S = self.config.scheduler.max_num_seqs
+        ns = {t for t in b.token_buckets if t <= S}
+        ns.add(b.token_bucket(S))
+        return sorted(ns)
+
+    def _prefill_page_buckets(self, N: int) -> list[int]:
+        """Page buckets reachable from a prefill dispatch at token bucket N.
+        The runner picks PP = page_bucket(cdiv(end, block_size)); without
+        prefix caching or chunking, end == num_new in (prev_bucket, N], so
+        only the buckets covering that page range are reachable. Cache hits
+        and chunked continuations make end range up to max_model_len."""
+        b = self.config.bucketing
+        if (self.config.cache.enable_prefix_caching
+                or self.config.scheduler.enable_chunked_prefill):
+            return list(b.page_buckets)
+        bs = self.config.cache.block_size
+        prev = max((t for t in b.token_buckets if t < N), default=0)
+        lo = b.page_bucket(max(cdiv(prev + 1, bs), 1))
+        hi = b.page_bucket(min(cdiv(N, bs), self.kv_spec.max_blocks_per_seq))
+        return [pp for pp in b.page_buckets if lo <= pp <= hi]
+
+    def warmup(self, mm: bool = False) -> None:
+        """Pre-compile EVERY program variant reachable from this engine
+        config (reference analogue: NxDI bucket warmup unless skip_warmup),
+        so no serve-time request — logprobs/seeded/penalized (host-sampling
+        gather variants), speculation rounds, chunked continuations,
+        image-bearing prompts (``mm``) — hits a cold XLA compile. The
+        compiled executables land in the persistent cache (keyed by the
+        engine-config hash), so a redeploy of the same config warms from
+        disk. ``mm=True`` additionally warms the embeds-override prefill
+        variants (embedding-merge vision families)."""
+        b = self.config.bucketing
+        spec_on = self.draft_model is not None
+        spec_k = self.config.speculative.num_speculative_tokens
+        n_before = len(self._fns)
+        for N in self._decode_token_buckets():
+            for PP in b.page_buckets:
                 self._dummy_step("decode", N, N, PP, False)
-        for N in bucketing.context_encoding_buckets:
-            # _dispatch_prefill picks PP = page_bucket(cdiv(end, bs)) per
-            # prompt; warm the pair each context bucket actually reaches
-            # (a short prompt must not cold-compile at serve time). The
-            # largest page bucket is warmed too: prefix-cache hits and
-            # chunked continuations land there with end >> num_new.
-            pp_n = bucketing.page_bucket(
-                cdiv(N, self.config.cache.block_size))
-            for PP in {pp_n, bucketing.page_buckets[-1]}:
+                # Host-sampling rows fetch device-gathered logits; the
+                # program is specialized on the H bucket.
+                for H in host_gather_buckets(N):
+                    self._dummy_step("decode", N, N, PP, True, gather_h=H)
+                if spec_on and spec_k >= 1:
+                    self._dummy_spec_decode(N, PP, spec_k)
+        for N in b.token_buckets:
+            for PP in self._prefill_page_buckets(N):
                 self._dummy_step("prefill", N, 1, PP, False)
+                # Host-sampling prefill ships the row's full logits.
+                self._dummy_step("prefill", N, 1, PP, True)
+                if mm:
+                    self._dummy_step("prefill", N, 1, PP, False, mm=True)
+                    self._dummy_step("prefill", N, 1, PP, True, mm=True)
+                if spec_on:
+                    self._dummy_spec_prefill(N, PP)
+        if _packed_h2d():
+            # Window unpack programs are keyed on (K, N, PP); K is the
+            # window's step count (2..decode_window — K=1 takes the
+            # single-step path).
+            W = self.config.scheduler.decode_window
+            for N in self._decode_token_buckets():
+                for PP in b.page_buckets:
+                    for K in range(2, W + 1):
+                        unpack = self._get_fn(
+                            ("unpack_window", K, N, PP),
+                            lambda: jax.jit(_unpack_window,
+                                            static_argnames=("K",)))
+                        jax.block_until_ready(unpack(
+                            jnp.zeros((7 + K + PP, N), jnp.int32), K=K))
+        logger.info("warmup compiled %d programs", len(self._fns) - n_before)
 
     def memory_stats(self) -> dict:
         """Device memory introspection (reference analogue:

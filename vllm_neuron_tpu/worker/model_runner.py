@@ -170,7 +170,9 @@ class ModelRunner:
                 or os.environ.get("VLLM_TPU_SHARDED_LOAD") == "1")
 
     def warmup(self) -> None:
-        self.executor.warmup()
+        mm = (self.vision is not None
+              and getattr(self.vision, "merge", "embeds") != "cross")
+        self.executor.warmup(mm=mm)
 
     # ------------------------------------------------------------------
     # Persistent-batch sync (reference: _update_states, :381-510)
@@ -444,10 +446,18 @@ class ModelRunner:
             # speculating: acceptance is rejection sampling, which both
             # preserves the target distribution and degenerates to exact
             # prefix-match for greedy rows (sampling/spec.py).
-            if self.config.speculative.enabled:
-                K = max(n for _, n in items) - 1
-                if K >= 1:
-                    return self._run_spec(items, states, K)
+            if self.config.speculative.enabled and \
+                    max(n for _, n in items) > 1:
+                # Fixed K = the configured speculation length, whatever the
+                # rows' remaining budgets: ONE compiled spec program per
+                # (N, PP) instead of one per residual-K. Rows with fewer
+                # scheduled tokens truncate their accepted prefix; slots
+                # past block capacity are -1 (KV write skipped), and
+                # positions written above an accepted token are rewritten
+                # by the round that actually consumes them.
+                return self._run_spec(
+                    items, states,
+                    self.config.speculative.num_speculative_tokens)
             K = max(n for _, n in items)
             if K > 1:
                 return self._run_decode_window(items, states, K)
@@ -628,10 +638,10 @@ class ModelRunner:
         if host_rows:
             # Gather host-sampled rows' logits ON DEVICE: a 2-host-row
             # batch ships [H~2, V], not [N, V] (~16 MB at V=128k, b32).
-            # H is bucketed to a power of two (pad repeats the first row)
-            # to bound the program count at log2(N) variants.
-            H = 1 << (len(host_rows) - 1).bit_length()
-            H = min(H, N)
+            # H is bucketed (powers of 4, pad repeats the first row) to
+            # bound the warmable program-variant count (executor.warmup).
+            from vllm_neuron_tpu.worker.executor import host_gather_bucket
+            H = host_gather_bucket(len(host_rows), N)
             logits_rows = np.full(H, host_rows[0], np.int32)
             logits_rows[:len(host_rows)] = host_rows
         dev_tokens, logits = self.executor.run_step(
