@@ -43,6 +43,11 @@ QUANT = os.environ.get("BENCH_QUANT") or None
 KV_DTYPE = os.environ.get("BENCH_KV_DTYPE", "auto")
 DECODE_WINDOW = int(os.environ.get("BENCH_DECODE_WINDOW", "8"))
 MODEL_VARIANT = os.environ.get("BENCH_MODEL", "llama8b")
+# Long-context variants: BENCH_PROMPT_LEN=4096 (+ BENCH_MAX_LEN and a
+# smaller BENCH_BATCH to fit KV), BENCH_CHUNKED=1 enables chunked prefill
+# (chunk size BENCH_CHUNK_SIZE, default 2048).
+CHUNKED = bool(int(os.environ.get("BENCH_CHUNKED", "0")))
+CHUNK_SIZE = int(os.environ.get("BENCH_CHUNK_SIZE", "2048"))
 
 # Llama-3.1-8B architecture (BASELINE north star: INT8 tokens/s/chip). Only
 # fits the 16 GB chip quantized; the variant shrinks batch/context to leave
@@ -88,10 +93,12 @@ def build_engine():
         # b32 ~930 / b48 1199 / b64 1298 tok/s e2e — the int8 weight
         # stream dominates the decode step and amortizes over rows).
         BATCH = int(os.environ.get("BENCH_BATCH", "64"))
+        PROMPT_LEN = int(os.environ.get("BENCH_PROMPT_LEN", "512"))
         # The workload peaks at 512+128=640 tokens/seq; b64 bf16 KV only
         # fits the 16 GB chip at max_model_len <= 768 (24 blocks/seq).
+        need = ((PROMPT_LEN + GEN_TOKENS + 255) // 256) * 256
         MAX_MODEL_LEN = int(os.environ.get(
-            "BENCH_MAX_LEN", "768" if BATCH > 48 else "1024"))
+            "BENCH_MAX_LEN", str(max(768 if BATCH > 48 else 1024, need))))
         QUANT = QUANT or "int8"
         hf = LlamaConfig(max_position_embeddings=MAX_MODEL_LEN,
                          tie_word_embeddings=False, **LLAMA8B)
@@ -117,6 +124,7 @@ def build_engine():
                           kv_cache_dtype=KV_DTYPE),
         scheduler=SchedulerConfig(
             max_num_seqs=BATCH, decode_window=DECODE_WINDOW,
+            enable_chunked_prefill=CHUNKED, chunk_size=CHUNK_SIZE,
             async_decode=bool(int(os.environ.get("BENCH_ASYNC_DECODE",
                                                  "1")))),
         bucketing=BucketingConfig(
@@ -211,7 +219,8 @@ def main():
     vs = tokens_per_sec / PREV_BEST if PREV_BEST else 1.0
     if MODEL_VARIANT == "llama8b":
         name = (f"engine_decode_tokens_per_sec_per_chip_llama3.1-8b_"
-                f"{QUANT}_b{BATCH}_p{PROMPT_LEN}_g{GEN_TOKENS}")
+                f"{QUANT}_b{BATCH}_p{PROMPT_LEN}_g{GEN_TOKENS}"
+                f"{'_chunked' if CHUNKED else ''}")
     elif MODEL_VARIANT == "tinypy":
         spec_k = int(os.environ.get("BENCH_SPEC", "0"))
         tag = f"_spec{spec_k}" if spec_k else ""

@@ -75,11 +75,18 @@ def main():
 
         w4, s4 = quantize_int4_grouped(w, 128)
         w4j, s4j = jnp.asarray(w4), jnp.asarray(s4)
-        t_i4 = chain(lambda x: dequant_matmul(x, w4j, s4j), x0)
+        from vllm_neuron_tpu.ops.quant import _dequant_matmul_int4_pallas
+        t4 = {}
+        for variant in ("v1", "v2", "v3"):
+            t4[variant] = chain(
+                lambda x, v=variant: _dequant_matmul_int4_pallas(
+                    x, w4j, s4j, out_dtype=x.dtype, variant=v), x0)
 
         hbm_bf = K * N * 2 / 460e9 * 1e6  # measured practical bw
         print(f"[{K:6d}x{N:6d}] bf16 {t_bf*1e6:8.1f}us  "
-              f"int8 {t_i8*1e6:8.1f}us  int4 {t_i4*1e6:8.1f}us  "
+              f"int8 {t_i8*1e6:8.1f}us  "
+              f"int4 v1 {t4['v1']*1e6:8.1f} v2 {t4['v2']*1e6:8.1f} "
+              f"v3 {t4['v3']*1e6:8.1f}us  "
               f"(bf16 HBM floor ~{hbm_bf:.0f}us; int4 target ~{hbm_bf/4:.0f}us)")
 
 

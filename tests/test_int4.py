@@ -61,10 +61,12 @@ def test_int4_linear_fallback_exact():
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
 
 
-def test_int4_pallas_kernel_interpret():
-    """The Mosaic kernel (interpret mode) matches the XLA fallback — the
-    unpack/scale/dot chain inside the kernel is the production decode
-    path on chip."""
+@pytest.mark.parametrize("variant", ["v1", "v2", "v3"])
+def test_int4_pallas_kernel_interpret(variant):
+    """Every Mosaic kernel variant (interpret mode) matches the XLA
+    fallback — v1 = in-VMEM f32 grouped dequant, v2 = per-group dots with
+    post-dot f32 scales (exact reassociation), v3 = bf16 scale-fold (the
+    scale rounds to bf16, same order as the int4 quantization error)."""
     import jax.numpy as jnp
 
     from vllm_neuron_tpu.ops.quant import (_dequant_matmul_int4_jnp,
@@ -80,11 +82,12 @@ def test_int4_pallas_kernel_interpret():
     got = _dequant_matmul_int4_pallas(xj, jnp.asarray(packed),
                                       jnp.asarray(scale),
                                       out_dtype=jnp.float32,
-                                      interpret=True)
+                                      interpret=True, variant=variant)
     want = _dequant_matmul_int4_jnp(xj, jnp.asarray(packed),
                                     jnp.asarray(scale), jnp.float32)
+    tol = 4e-2 if variant == "v3" else 2e-2
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=2e-2, atol=2e-2)
+                               rtol=tol, atol=tol)
 
 
 def test_int4_engine_generate(tiny_llama_dir):

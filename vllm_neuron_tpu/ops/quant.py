@@ -208,9 +208,10 @@ def _dequant_matmul_int4_kernel(x_ref, w_ref, s_ref, o_ref):
                        ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("out_dtype", "interpret", "variant"))
 def _dequant_matmul_int4_pallas(x, packed, scale, *, out_dtype,
-                                interpret=False):
+                                interpret=False, variant=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -221,7 +222,7 @@ def _dequant_matmul_int4_pallas(x, packed, scale, *, out_dtype,
     TN = _pick_tile(N, 256)
     grid = (M // TM, N // TN)
     return pl.pallas_call(
-        _dequant_matmul_int4_kernel,
+        _INT4_KERNELS[variant or _int4_kernel_variant()],
         grid_spec=pl.GridSpec(
             grid=grid,
             in_specs=[
@@ -245,6 +246,64 @@ def _dequant_matmul_int4_pallas(x, packed, scale, *, out_dtype,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x, packed, scale)
+
+
+def _dequant_matmul_int4_kernel_v2(x_ref, w_ref, s_ref, o_ref):
+    # Round-4 rework: the v1 kernel was VPU-bound (unpack + f32 grouped
+    # scale multiply + reshapes ~5-8 passes over K*N swamped the halved
+    # DMA; measured int4 e2e LOST to int8, docs/PERF_NOTES.md). Here the
+    # scale never touches K*N elements: per-group dots on the UNSCALED
+    # int4 values (exact in bf16), scales applied post-dot over the
+    # [Kg, TM, TN] partials in f32 — mathematically identical to v1
+    # (sum_k x_k q_kn) * s_gn, with strictly less rounding (the dot sees
+    # exact +-7 values).
+    w32 = w_ref[:].astype(jnp.int32)
+    lo = jnp.right_shift(jnp.left_shift(w32, 28), 28)
+    hi = jnp.right_shift(w32, 4)
+    q = jnp.concatenate([lo, hi], axis=0).astype(jnp.bfloat16)  # [K, TN]
+    x = x_ref[:].astype(jnp.bfloat16)
+    Kg, TN = s_ref.shape
+    K = q.shape[0]
+    gs = K // Kg
+    acc = jnp.zeros(o_ref.shape, jnp.float32)
+    for g in range(Kg):
+        part = jnp.dot(x[:, g * gs:(g + 1) * gs],
+                       q[g * gs:(g + 1) * gs, :],
+                       preferred_element_type=jnp.float32)
+        acc = acc + part * s_ref[g][None, :]
+    o_ref[:] = acc.astype(o_ref.dtype)
+
+
+def _dequant_matmul_int4_kernel_v3(x_ref, w_ref, s_ref, o_ref):
+    # One big MXU dot: unpack, convert to bf16, fold the per-group scale in
+    # with a single bf16 multiply (the (Kg, gs, TN) reshape splits the
+    # sublane dim in place), then [TM, K] @ [K, TN]. One fewer VPU pass
+    # than v1 and full-size MXU work; the scale is rounded to bf16 (~2^-8
+    # relative), the same order as the int4 quantization error itself.
+    w32 = w_ref[:].astype(jnp.int32)
+    lo = jnp.right_shift(jnp.left_shift(w32, 28), 28)
+    hi = jnp.right_shift(w32, 4)
+    q = jnp.concatenate([lo, hi], axis=0).astype(jnp.bfloat16)  # [K, TN]
+    Kg, TN = s_ref.shape
+    K = q.shape[0]
+    s = s_ref[:].astype(jnp.bfloat16)
+    wf = (q.reshape(Kg, K // Kg, TN) * s[:, None, :]).reshape(K, TN)
+    o_ref[:] = jnp.dot(x_ref[:].astype(jnp.bfloat16), wf,
+                       preferred_element_type=jnp.float32
+                       ).astype(o_ref.dtype)
+
+
+_INT4_KERNELS = {
+    "v1": _dequant_matmul_int4_kernel,
+    "v2": _dequant_matmul_int4_kernel_v2,
+    "v3": _dequant_matmul_int4_kernel_v3,
+}
+
+
+@functools.cache
+def _int4_kernel_variant() -> str:
+    import os
+    return os.environ.get("VLLM_TPU_INT4_KERNEL", "v1")
 
 
 def _dequant_matmul_int4_jnp(x2, packed, scale, out_dtype):

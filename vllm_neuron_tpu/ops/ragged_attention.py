@@ -290,6 +290,29 @@ def _prefill_attention_dense(q: jax.Array, kv_pages_l: jax.Array,
     return out[0]
 
 
+def _prefill_batch_attention_dense(q: jax.Array, kv_pages_l: jax.Array,
+                                   meta: RaggedMeta, sm_scale: float,
+                                   sliding_window: Optional[int],
+                                   chunk_size: Optional[int] = None
+                                   ) -> jax.Array:
+    """Grouped context encoding: S sequences at a FIXED stride T = N/S (each
+    padded to the shared context bucket), so one program prefills a whole
+    admission batch (the reference compiles one-prompt CE graphs and pays a
+    dispatch per prompt; grouping amortizes the per-program cost). Sequence
+    i's q_len comes from cu_q_lens diffs (a length carrier here, not packed
+    offsets); its new tokens sit at the end of kv_lens[i] total context."""
+    S = meta.kv_lens.shape[0]
+    T = q.shape[0] // S
+    k, v = _gather_ctx(kv_pages_l, meta.page_indices)  # [S, ctx, ...]
+    t = jnp.arange(T, dtype=jnp.int32)
+    q_lens = meta.cu_q_lens[1:] - meta.cu_q_lens[:-1]  # [S]
+    q_pos = meta.kv_lens[:, None] - q_lens[:, None] + t[None]  # [S, T]
+    out = _dense_attention(q.reshape(S, T, *q.shape[1:]), k, v, q_pos,
+                           meta.kv_lens, sm_scale, sliding_window,
+                           chunk_size)
+    return out.reshape(S * T, *q.shape[1:])
+
+
 # ---------------------------------------------------------------------------
 # jnp fallback backend
 # ---------------------------------------------------------------------------
@@ -623,8 +646,13 @@ def ragged_attention(q: jax.Array, kv_pages_l: jax.Array, meta: RaggedMeta,
             out = _decode_attention_dense(q, kv_pages_l, meta, sm_scale,
                                           sliding_window, chunk_size)
     elif kind == "prefill":
-        out = _prefill_attention_dense(q, kv_pages_l, meta, sm_scale,
-                                       sliding_window, chunk_size)
+        if meta.kv_lens.shape[0] > 1:
+            out = _prefill_batch_attention_dense(q, kv_pages_l, meta,
+                                                 sm_scale, sliding_window,
+                                                 chunk_size)
+        else:
+            out = _prefill_attention_dense(q, kv_pages_l, meta, sm_scale,
+                                           sliding_window, chunk_size)
     elif kind == "spec_verify":
         out = _spec_verify_attention_dense(q, kv_pages_l, meta, sm_scale,
                                            sliding_window, chunk_size)

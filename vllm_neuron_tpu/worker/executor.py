@@ -9,8 +9,10 @@ token-generation graphs per bucket, every serving phase here is ONE program
 family parameterized only by the padded token count N: the unified ragged
 step (ops/ragged_attention.py). Each (N_bucket, return_logits) pair is one
 XLA program, compiled on first use and cached on disk via the JAX persistent
-compilation cache under the engine-config hash (reference analogue: md5-keyed
-neuron-compiled-artifacts dir, model_loader.py:180-212).
+compilation cache — content-addressed by HLO hash in one shared store
+(reference analogue: md5-keyed neuron-compiled-artifacts dir,
+model_loader.py:180-212; see _setup_compilation_cache for why the per-config
+namespace was dropped).
 
 The step fuses: embedding -> L decoder layers (KV scatter + ragged paged
 attention) -> final norm -> logits for each sequence's last scheduled token
@@ -314,9 +316,16 @@ class ModelExecutor:
     def _setup_compilation_cache(self):
         cache_dir = self.config.compiled_artifacts_dir
         if cache_dir is None:
+            # ONE shared store, unlike the reference's md5(config)-keyed
+            # artifact dirs (model_loader.py:180-212): JAX's persistent
+            # cache is content-addressed by HLO+flags hash internally, so
+            # a per-config namespace only manufactures misses when a
+            # config knob changes without changing any program (measured:
+            # a scheduler-policy field addition recompiled every 8B
+            # program, minutes each through the compile service).
             cache_dir = os.path.join(
                 os.path.expanduser("~"), ".cache", "vllm_neuron_tpu",
-                "compiled", self.config.config_hash())
+                "compiled")
         try:
             os.makedirs(cache_dir, exist_ok=True)
             jax.config.update("jax_compilation_cache_dir", cache_dir)
@@ -914,6 +923,20 @@ class ModelExecutor:
         spec_on = self.draft_model is not None
         spec_k = self.config.speculative.num_speculative_tokens
         n_before = len(self._fns)
+        # Grouped-prefill variants (runner _form_prefill_groups eligibility
+        # mirrored here): power-of-2 group sizes up to the config cap and
+        # the per-step admission limit.
+        sched = self.config.scheduler
+        group_sizes = []
+        if (sched.prefill_group_size > 1 and not spec_on
+                and self.cross_kv is None and not mm):
+            gmax = min(sched.prefill_group_size,
+                       sched.max_num_seqs if sched.enable_chunked_prefill
+                       else sched.max_prompt_batch_size)
+            g = 2
+            while g <= gmax:
+                group_sizes.append(g)
+                g *= 2
         for N in self._decode_token_buckets():
             for PP in b.page_buckets:
                 self._dummy_step("decode", N, N, PP, False)
@@ -933,6 +956,8 @@ class ModelExecutor:
                     self._dummy_step("prefill", N, 1, PP, True, mm=True)
                 if spec_on:
                     self._dummy_spec_prefill(N, PP)
+                for G in group_sizes:
+                    self._dummy_step("prefill", G * N, G, PP, False)
         if _packed_h2d():
             # Window unpack programs are keyed on (K, N, PP); K is the
             # window's step count (2..decode_window — K=1 takes the

@@ -54,6 +54,15 @@ class CachedRequestState:
         return (self.prompt_token_ids[idx]
                 if idx < np_ else self.output_token_ids[idx - np_])
 
+    def tokens_range(self, start: int, end: int) -> list[int]:
+        """token_at over [start, end) as two list slices (prefill input
+        prep is on the TTFT-critical path; a per-token loop is not)."""
+        np_ = self.num_prompt_tokens
+        out = self.prompt_token_ids[start:min(end, np_)]
+        if end > np_:
+            out = out + self.output_token_ids[max(start - np_, 0):end - np_]
+        return out
+
 
 class InputBatch:
     """Fixed-capacity row-slotted batch state, mirrored in numpy for O(1)

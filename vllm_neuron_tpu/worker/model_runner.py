@@ -255,15 +255,26 @@ class ModelRunner:
         results: dict[str, tuple[list[int], object]] = {}
         # Prefills dispatch back-to-back (async); ONE sync covers them all —
         # M prompts cost M device times + 1 round trip, not M round trips.
+        # Same-bucket eligible prompts additionally fuse into grouped
+        # programs (one dispatch per group; see _form_prefill_groups).
+        groups, singles = self._form_prefill_groups(prefill_items)
+        gpending = [(group, self._dispatch_prefill_group(group))
+                    for group in groups]
         pending = [(req_id, num_new, self._dispatch_prefill(req_id, num_new))
-                   for req_id, num_new in prefill_items]
-        if pending:
+                   for req_id, num_new in singles]
+        if pending or gpending:
             import jax
-            fetched = jax.device_get([(h[0], h[1]) for _, _, h in pending])
-            for (req_id, num_new, handle), (toks, logits) in zip(pending,
-                                                                 fetched):
+            fetched = jax.device_get(
+                [(h[0], h[1]) for _, _, h in pending] +
+                [h for _, h in gpending])
+            for (req_id, num_new, handle), (toks, logits) in zip(
+                    pending, fetched[:len(pending)]):
                 results[req_id] = self._finalize_prefill(
                     req_id, num_new, (toks, logits, handle[2]))
+            for (group, _), toks in zip(gpending, fetched[len(pending):]):
+                for i, (req_id, num_new) in enumerate(group):
+                    results[req_id] = self._finalize_prefill(
+                        req_id, num_new, (toks[i:i + 1], None, False))
         if decode_items:
             results.update(self._run_decode(decode_items))
 
@@ -294,6 +305,94 @@ class ModelRunner:
         state.output_token_ids.append(tok)
         self.input_batch.last_tokens[state.row] = tok
 
+    def _groupable_prefills(self) -> bool:
+        """Grouped prefill covers the common dense-text device-sampled case;
+        speculative, cross-attention (Mllama), and embedding-merge vision
+        engines keep per-prompt dispatch (their prefill programs thread
+        extra state)."""
+        return (self.config.scheduler.prefill_group_size > 1
+                and not self.config.speculative.enabled
+                and getattr(self.executor, "cross_kv", None) is None
+                and self.vision is None)
+
+    def _form_prefill_groups(self, items: list[tuple[str, int]]):
+        """Split the step's prefill items into same-bucket groups (power-of-2
+        sizes up to prefill_group_size) + singles. Host-sampling and
+        image-bearing requests always dispatch singly."""
+        if not self._groupable_prefills():
+            return [], items
+        ib = self.input_batch
+        by_bucket: dict[int, list[tuple[str, int]]] = {}
+        singles: list[tuple[str, int]] = []
+        for req_id, num_new in items:
+            state = ib.requests[req_id]
+            if self._needs_host(state) or state.mm_inputs:
+                singles.append((req_id, num_new))
+            else:
+                bucket = self.config.bucketing.token_bucket(num_new)
+                by_bucket.setdefault(bucket, []).append((req_id, num_new))
+        groups = []
+        cap = self.config.scheduler.prefill_group_size
+        for bucket, members in by_bucket.items():
+            i = 0
+            while len(members) - i >= 2:
+                g = min(cap, 1 << (len(members) - i).bit_length() - 1)
+                groups.append(members[i:i + g])
+                i += g
+            singles.extend(members[i:])
+        return groups, singles
+
+    def _dispatch_prefill_group(self, group: list[tuple[str, int]]):
+        """ONE ragged program for S same-bucket prompts at fixed stride
+        b = the shared token bucket (ops/ragged_attention
+        _prefill_batch_attention_dense). Returns the device tokens [S]."""
+        ib = self.input_batch
+        S = len(group)
+        b = self.config.bucketing.token_bucket(group[0][1])
+        N = S * b
+        token_ids = np.zeros(N, np.int32)
+        positions = np.zeros(N, np.int32)
+        slot_mapping = np.full(N, -1, np.int32)
+        kv_lens = np.zeros(S, np.int32)
+        cu_q = np.zeros(S + 1, np.int32)
+        logits_indices = np.zeros(S, np.int32)
+        temperature = np.zeros(S, np.float32)
+        top_k = np.full(S, -1, np.int32)
+        top_p = np.ones(S, np.float32)
+        adapter_ids = (np.zeros(N, np.int32)
+                       if self.lora_set is not None else None)
+        ends = []
+        for i, (req_id, num_new) in enumerate(group):
+            state = ib.requests[req_id]
+            nct = state.num_computed_tokens
+            end = nct + num_new
+            ends.append(end)
+            o = i * b
+            token_ids[o:o + num_new] = state.tokens_range(nct, end)
+            positions[o:o + num_new] = np.arange(nct, end)
+            slot_mapping[o:o + num_new] = self._slot_mapping_for_range(
+                state.block_ids, nct, end)
+            kv_lens[i] = end
+            cu_q[i + 1] = cu_q[i] + num_new
+            logits_indices[i] = o + num_new - 1
+            self._sampling_row(state, (temperature, top_k, top_p), i)
+            if adapter_ids is not None:
+                adapter_ids[o:o + num_new] = state.lora_int_id
+        PP = self.config.bucketing.page_bucket(
+            cdiv(max(ends), self.block_size))
+        page_indices = np.zeros((S, PP), np.int32)
+        for i, (req_id, _) in enumerate(group):
+            bids = ib.requests[req_id].block_ids
+            nb = min(len(bids), PP)
+            page_indices[i, :nb] = bids[:nb]
+        dev_tokens, _ = self.executor.run_step(
+            token_ids, positions, slot_mapping, kv_lens=kv_lens,
+            page_indices=page_indices, cu_q_lens=cu_q, num_seqs=S,
+            logits_indices=logits_indices, temperature=temperature,
+            top_k=top_k, top_p=top_p, return_logits=False, kind="prefill",
+            keep_device=True, adapter_ids=adapter_ids)
+        return dev_tokens
+
     def _dispatch_prefill(self, req_id: str, num_new: int):
         """Enqueue one sequence's (possibly partial/chunked, possibly
         prefix-cached) prompt processing; returns device handles."""
@@ -304,7 +403,7 @@ class ModelRunner:
         PP = self.config.bucketing.page_bucket(cdiv(end, self.block_size))
 
         token_ids = np.zeros(N, np.int32)
-        token_ids[:num_new] = [state.token_at(t) for t in range(nct, end)]
+        token_ids[:num_new] = state.tokens_range(nct, end)
         positions = np.zeros(N, np.int32)
         positions[:num_new] = np.arange(nct, end)
         slot_mapping = np.full(N, -1, np.int32)
