@@ -82,11 +82,38 @@ def main():
                 lambda x, v=variant: _dequant_matmul_int4_pallas(
                     x, w4j, s4j, out_dtype=x.dtype, variant=v), x0)
 
+        # E2E context replica: the model slices layer weights out of a
+        # stacked [L, K, N] array INSIDE the layer scan. A Pallas custom
+        # call cannot fuse that dynamic-slice (XLA materializes a copy
+        # first — extra write+read of the whole weight); the XLA int8 dot
+        # fuses it. Timed with a 4-layer stack, cycling slices.
+        L = 4
+        w4s = jnp.asarray(np.stack([w4] * L))
+        s4s = jnp.asarray(np.stack([s4] * L))
+        w8s = jnp.asarray(np.stack([w8] * L))
+        s8s = jnp.asarray(np.stack([s8] * L))
+
+        def sliced(fn, ws, ss):
+            def call(x):
+                i = (x[0, :1].astype(jnp.int32)[0] & 0x7FFF) % L
+                return fn(x, jax.lax.dynamic_index_in_dim(ws, i, 0,
+                                                          keepdims=False),
+                          jax.lax.dynamic_index_in_dim(ss, i, 0,
+                                                       keepdims=False))
+            return call
+
+        t_i8s = chain(sliced(lambda x, wi, si: dequant_matmul(x, wi, si),
+                             w8s, s8s), x0)
+        t_i4s = chain(sliced(
+            lambda x, wi, si: _dequant_matmul_int4_pallas(
+                x, wi, si, out_dtype=x.dtype, variant="v1"), w4s, s4s), x0)
+
         hbm_bf = K * N * 2 / 460e9 * 1e6  # measured practical bw
         print(f"[{K:6d}x{N:6d}] bf16 {t_bf*1e6:8.1f}us  "
               f"int8 {t_i8*1e6:8.1f}us  "
               f"int4 v1 {t4['v1']*1e6:8.1f} v2 {t4['v2']*1e6:8.1f} "
               f"v3 {t4['v3']*1e6:8.1f}us  "
+              f"sliced: int8 {t_i8s*1e6:8.1f} int4 {t_i4s*1e6:8.1f}us  "
               f"(bf16 HBM floor ~{hbm_bf:.0f}us; int4 target ~{hbm_bf/4:.0f}us)")
 
 

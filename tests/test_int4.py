@@ -213,3 +213,33 @@ def test_expert_skip_list_is_all_or_nothing(tiny_llama_dir):
                            SamplingParams(temperature=0.0, max_tokens=6,
                                           ignore_eos=True))[0]
         assert len(out.outputs[0].token_ids) == 6
+
+
+def test_int4_stacked_kernel_interpret():
+    """The layer-indexed stacked kernel (copy-free scan path) matches the
+    per-layer sliced fallback for every layer index."""
+    import jax.numpy as jnp
+
+    from vllm_neuron_tpu.ops.quant import (_dequant_matmul_int4_jnp,
+                                           _dequant_matmul_int4_stacked_pallas,
+                                           quantize_int4_grouped)
+
+    rng = np.random.default_rng(5)
+    L, K, N, M = 3, 512, 256, 16
+    packed, scales = [], []
+    ws = []
+    for l in range(L):
+        w = rng.normal(size=(K, N)).astype(np.float32)
+        pk, sc = quantize_int4_grouped(w, group_size=128)
+        ws.append(w)
+        packed.append(pk)
+        scales.append(sc)
+    pk = jnp.asarray(np.stack(packed))
+    sc = jnp.asarray(np.stack(scales))
+    x = jnp.asarray((rng.normal(size=(M, K)) * 0.1), jnp.bfloat16)
+    for l in range(L):
+        got = _dequant_matmul_int4_stacked_pallas(
+            x, pk, sc, l, out_dtype=jnp.float32, interpret=True)
+        want = _dequant_matmul_int4_jnp(x, pk[l], sc[l], jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-2, atol=2e-2)

@@ -363,9 +363,36 @@ class LlamaForCausalLM:
             return out + lora_delta(inp, ll[name]["a"], ll[name]["b"],
                                     lora_ctx)
 
+        # Grouped-int4 projections take the copy-free STACKED kernel: their
+        # weights stay out of the scan xs (a scan-sliced operand to a
+        # Pallas call forces a full materialized copy per layer; see
+        # ops/quant.dequant_matmul_int4_stacked) and the layer body injects
+        # a StackedInt4 marker carrying the traced layer index instead.
+        # Under a mesh the jnp chain is GSPMD-partitioned, so slicing stays.
+        from vllm_neuron_tpu.ops.quant import StackedInt4
+        from vllm_neuron_tpu.ops.ragged_attention import get_attention_mesh
+        layers_xs = params["layers"]
+        stacked_i4 = {}
+        if get_attention_mesh() is None:
+            stacked_i4 = {
+                k: (layers_xs[k], layers_xs[k + "_scale"])
+                for k, v in layers_xs.items()
+                if (k + "_scale") in layers_xs
+                and getattr(layers_xs[k + "_scale"], "ndim", 0) == 3
+                and layers_xs[k + "_scale"].shape[1] > 1
+            }
+            if stacked_i4:
+                layers_xs = {k: v for k, v in layers_xs.items()
+                             if k not in stacked_i4
+                             and k.removesuffix("_scale") not in stacked_i4}
+
         def layer(carry, xs):
             x, kv_flat = carry
             lp, ll, l = xs
+            if stacked_i4:
+                lp = dict(lp)
+                for k, (pk, sc) in stacked_i4.items():
+                    lp[k] = StackedInt4(pk, sc, l)
             h = rms_norm(x, lp["attn_norm"], self.rms_eps)
             if "wqkv" in lp:
                 qkv = linear(h, lp, "wqkv")
@@ -413,7 +440,7 @@ class LlamaForCausalLM:
 
         (x, kv_flat), _ = jax.lax.scan(
             layer, (x, kv_flat),
-            (params["layers"], lora["layers"] if lora is not None else None,
+            (layers_xs, lora["layers"] if lora is not None else None,
              layer_ids))
         return x, kv_flat.reshape(L, pages, page_size, combined, Dp)
 

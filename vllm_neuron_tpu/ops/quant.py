@@ -306,6 +306,83 @@ def _int4_kernel_variant() -> str:
     return os.environ.get("VLLM_TPU_INT4_KERNEL", "v1")
 
 
+def _int4_stacked_kernel(l_ref, x_ref, w_ref, s_ref, o_ref):
+    _dequant_matmul_int4_kernel(x_ref, w_ref.at[0], s_ref.at[0], o_ref)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("out_dtype", "interpret"))
+def _dequant_matmul_int4_stacked_pallas(x, packed, scale, layer, *,
+                                        out_dtype, interpret=False):
+    """Layer-indexed fused dequant-GEMM over STACKED weights.
+
+    packed: [L, K/2, N] int8 nibbles; scale: [L, Kg, N] f32; layer: traced
+    scalar. Inside the model's layer scan, a plain dynamic-slice of the
+    stacked weights cannot fuse into a Pallas custom call — XLA
+    materializes a full copy of the layer's packed weights first (write +
+    read of the whole array per layer per step, measured +23%..3x on the
+    slice-in-scan microbench, perf/dequant_ab.py "sliced"). Here the layer
+    index rides scalar prefetch and the kernel's BlockSpec index map DMAs
+    tiles straight out of the stacked array — zero copies, the int4 HBM
+    floor preserved."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, K = x.shape
+    N = packed.shape[-1]
+    Kg = scale.shape[-2]
+    TM = _pick_tile(M, 128)
+    TN = _pick_tile(N, 256)
+    grid = (M // TM, N // TN)
+    return pl.pallas_call(
+        _int4_stacked_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((TM, K), lambda i, j, lr: (i, 0)),
+                pl.BlockSpec((1, K // 2, TN), lambda i, j, lr: (lr[0], 0, j)),
+                pl.BlockSpec((1, Kg, TN), lambda i, j, lr: (lr[0], 0, j)),
+            ],
+            out_specs=pl.BlockSpec((TM, TN), lambda i, j, lr: (i, j)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), x, packed, scale)
+
+
+class StackedInt4:
+    """Marker placed in a layer's param dict by the model's layer scan:
+    the UNSLICED stacked int4 weights + the traced layer index, so
+    ``linear`` can dispatch the copy-free stacked kernel."""
+
+    __slots__ = ("packed", "scale", "layer")
+
+    def __init__(self, packed, scale, layer):
+        self.packed = packed
+        self.scale = scale
+        self.layer = layer
+
+
+def dequant_matmul_stacked_int4(x: jax.Array, ref: StackedInt4
+                                ) -> jax.Array:
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    N = ref.packed.shape[-1]
+    x2 = x.reshape(-1, K)
+    M = x2.shape[0]
+    if (jax.default_backend() != "cpu"
+            and M % 8 == 0 and K % 256 == 0 and N % 128 == 0):
+        out = _dequant_matmul_int4_stacked_pallas(
+            x2, ref.packed, ref.scale, ref.layer, out_dtype=x.dtype)
+    else:
+        out = _dequant_matmul_int4_jnp(
+            x2, ref.packed[ref.layer], ref.scale[ref.layer], x.dtype)
+    return out.reshape(*lead, N)
+
+
 def _dequant_matmul_int4_jnp(x2, packed, scale, out_dtype):
     """XLA fallback (CPU tests / kernel-ineligible shapes). Materializes
     the dequantized block — on TPU this path loses the bandwidth win, so
@@ -403,8 +480,12 @@ def dequant_matmul(x: jax.Array, wq: jax.Array, scale: jax.Array,
 
 def linear(x: jax.Array, params: dict, name: str) -> jax.Array:
     """Apply the (possibly quantized) projection ``name`` from a param dict:
-    quantized weights live as ``name`` (int8/fp8) + ``name + '_scale'``."""
+    quantized weights live as ``name`` (int8/fp8) + ``name + '_scale'``.
+    A ``StackedInt4`` entry dispatches the layer-indexed copy-free kernel."""
+    w = params[name]
+    if isinstance(w, StackedInt4):
+        return dequant_matmul_stacked_int4(x, w)
     scale = params.get(name + "_scale")
     if scale is None:
-        return x @ params[name]
-    return dequant_matmul(x, params[name], scale)
+        return x @ w
+    return dequant_matmul(x, w, scale)

@@ -515,6 +515,18 @@ def _decode_kernel_fn():
 _ATTENTION_MESH_TLS = threading.local()
 
 
+@functools.cache
+def _flash_prefill_min_t() -> int:
+    """Token-bucket threshold above which single-seq prefill takes the
+    flash kernel. Measured per-layer on chip (perf/prefill_flash_ab.py,
+    8B geometry, q_len=ctx): flash/dense 0.91/1.15 ms @1k, 0.86/1.99 @2k,
+    2.97/8.53 @4k, 9.89/unrunnable @8k — flash wins from 1024 up, hence
+    the default. Override: VLLM_TPU_PREFILL_FLASH_MIN_T (0 forces flash
+    everywhere, huge disables)."""
+    import os
+    return int(os.environ.get("VLLM_TPU_PREFILL_FLASH_MIN_T", "1024"))
+
+
 def set_attention_mesh(mesh) -> None:
     _ATTENTION_MESH_TLS.mesh = mesh
 
@@ -650,6 +662,21 @@ def ragged_attention(q: jax.Array, kv_pages_l: jax.Array, meta: RaggedMeta,
             out = _prefill_batch_attention_dense(q, kv_pages_l, meta,
                                                  sm_scale, sliding_window,
                                                  chunk_size)
+        elif (backend == "pallas" and sliding_window is None
+              and chunk_size is None and get_attention_mesh() is None
+              and q.shape[0] >= _flash_prefill_min_t()):
+            # Long-context CE: the dense path materializes [T, C] scores
+            # (~2 GB f32/head-group at T=C=4k on 8B); the flash kernel
+            # streams kv tiles with an online-softmax carry instead
+            # (reference analogue: the NKI CE kernel, kv tile 4096 —
+            # SURVEY N2). Pages are XLA-gathered densely once (the same
+            # traffic the dense path pays).
+            from vllm_neuron_tpu.ops.prefill_attention import flash_prefill
+            k, v = _gather_ctx(kv_pages_l, meta.page_indices[:1])
+            q_len = meta.cu_q_lens[1]
+            out = flash_prefill(q, k[0], v[0],
+                                meta.kv_lens[0] - q_len, meta.kv_lens[0],
+                                sm_scale=sm_scale)
         else:
             out = _prefill_attention_dense(q, kv_pages_l, meta, sm_scale,
                                            sliding_window, chunk_size)
