@@ -133,10 +133,11 @@ def build_engine():
             token_generation_buckets=[BATCH]),
         quant=QuantConfig(
             quantization=QUANT,
-            # W8A8 dynamic per-token activations on prefill-sized programs
-            # (the standard vLLM w8a8 recipe): +6% e2e at p512/g128.
+            # W8A8/W4A8 dynamic per-token activations on prefill-sized
+            # programs (the standard vLLM w8a8 recipe; int4 takes the
+            # stacked W4A8 kernel): +6% e2e at p512/g128 on int8.
             w8a8_min_rows=int(os.environ.get("BENCH_W8A8_MIN_ROWS", "256"))
-            if QUANT == "int8" else 0,
+            if QUANT in ("int8", "int4") else 0,
             # int8 head: halves ~1 GB/step of head HBM traffic at 8B;
             # measured Δppl vs BF16 +0.0001 (docs/ACCURACY.md).
             quantize_lm_head=bool(int(os.environ.get(

@@ -83,3 +83,35 @@ def test_flash_agrees_with_dense_prefill_path():
                                      interpret=True))
     np.testing.assert_allclose(flash[:q_len], dense[:q_len],
                                rtol=2e-5, atol=2e-5)
+
+
+def test_flash_sharded_matches_unsharded():
+    """shard_map over the model axis (heads split) returns the same output
+    as the single-device kernel — the TP path for long-context CE."""
+    import jax
+    from vllm_neuron_tpu.ops.ragged_attention import (_flash_prefill_sharded,
+                                                      set_attention_mesh)
+    from vllm_neuron_tpu.parallel.mesh import MODEL_AXIS
+
+    devs = jax.devices()[:4]
+    mesh = jax.sharding.Mesh(np.array(devs).reshape(1, 1, 4),
+                             ("data", "expert", MODEL_AXIS))
+    rng = np.random.default_rng(7)
+    T, C, Hq, Hkv, D = 128, 256, 8, 4, 128
+    q = jnp.asarray((rng.standard_normal((T, Hq, D)) * 0.3)
+                    .astype(np.float32))
+    k = jnp.asarray((rng.standard_normal((C, Hkv, D)) * 0.3)
+                    .astype(np.float32))
+    v = jnp.asarray((rng.standard_normal((C, Hkv, D)) * 0.3)
+                    .astype(np.float32))
+    want = np.asarray(flash_prefill(q, k, v, 0, 200, sm_scale=D**-0.5,
+                                    interpret=True))
+    set_attention_mesh(mesh)
+    try:
+        # Partial-manual shard_map (auto data/expert axes) requires a jit
+        # context — exactly how the executor always runs it.
+        got = np.asarray(jax.jit(lambda *a: _flash_prefill_sharded(
+            *a, sm_scale=D**-0.5, interpret=True))(q, k, v, 0, 200))
+    finally:
+        set_attention_mesh(None)
+    np.testing.assert_allclose(got[:200], want[:200], rtol=2e-5, atol=2e-5)

@@ -243,3 +243,49 @@ def test_int4_stacked_kernel_interpret():
         want = _dequant_matmul_int4_jnp(x, pk[l], sc[l], jnp.float32)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-2, atol=2e-2)
+
+
+def test_int4_w4a8_stacked_kernel_interpret():
+    """W4A8 stacked kernel (prefill path): int8 activations x unpacked
+    int4 weights with post-dot (row x group) scales matches the w4a16
+    reference within activation-quant tolerance."""
+    import jax.numpy as jnp
+
+    from vllm_neuron_tpu.ops.quant import (_dequant_matmul_int4_jnp,
+                                           _dequant_matmul_int4_w4a8_stacked,
+                                           quantize_int4_grouped)
+
+    rng = np.random.default_rng(9)
+    L, K, N, M = 2, 512, 256, 32
+    packed, scales = [], []
+    for l in range(L):
+        w = rng.normal(size=(K, N)).astype(np.float32)
+        pk, sc = quantize_int4_grouped(w, group_size=128)
+        packed.append(pk)
+        scales.append(sc)
+    pk = jnp.asarray(np.stack(packed))
+    sc = jnp.asarray(np.stack(scales))
+    x = jnp.asarray((rng.normal(size=(M, K)) * 0.1), jnp.float32)
+    from vllm_neuron_tpu.ops.quant import unpack_int4
+    for l in range(L):
+        got = _dequant_matmul_int4_w4a8_stacked(
+            x, pk, sc, l, out_dtype=jnp.float32, interpret=True)
+        # Exact emulation of the kernel's arithmetic: per-row int8
+        # activation quant, int32 dots per group, post-dot scales.
+        xf = np.asarray(x, np.float32)
+        xs = np.maximum(np.abs(xf).max(-1, keepdims=True) / 127.0, 1e-12)
+        xi = np.clip(np.round(xf / xs), -127, 127).astype(np.int32)
+        q = np.asarray(unpack_int4(pk[l]), np.int32)  # [K, N]
+        Kg = sc.shape[-2]
+        gs = K // Kg
+        acc = np.zeros((M, N), np.float32)
+        for g in range(Kg):
+            part = xi[:, g * gs:(g + 1) * gs] @ q[g * gs:(g + 1) * gs, :]
+            acc += part.astype(np.float32) * np.asarray(sc[l])[g][None, :]
+        want = acc * xs
+        np.testing.assert_allclose(np.asarray(got), want,
+                                   rtol=2e-4, atol=2e-4)
+        # ... and within activation-quant noise of the w4a16 reference.
+        ref16 = np.asarray(_dequant_matmul_int4_jnp(x, pk[l], sc[l],
+                                                    jnp.float32))
+        assert np.abs(np.asarray(got) - ref16).max() < 0.15

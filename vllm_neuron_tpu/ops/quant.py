@@ -353,6 +353,74 @@ def _dequant_matmul_int4_stacked_pallas(x, packed, scale, layer, *,
     )(jnp.asarray(layer, jnp.int32).reshape(1), x, packed, scale)
 
 
+def _int4_w4a8_stacked_kernel(l_ref, x_ref, xs_ref, w_ref, s_ref, o_ref):
+    # W4A8 for compute-bound (prefill-sized) steps: activations arrive
+    # pre-quantized int8 (per-row symmetric), nibbles unpack to int8, the
+    # MXU runs s8 x s8 -> s32 at 2x the bf16 rate, and each group's int32
+    # partial is scaled post-dot by (row_scale x group_scale) in f32 —
+    # the int4 analogue of _w8a8_matmul.
+    w32 = w_ref[0].astype(jnp.int32)
+    lo = jnp.right_shift(jnp.left_shift(w32, 28), 28)
+    hi = jnp.right_shift(w32, 4)
+    q = jnp.concatenate([lo, hi], axis=0).astype(jnp.int8)  # [K, TN]
+    x = x_ref[:]  # [TM, K] int8
+    xs = xs_ref[:, :1]  # [TM, 1] f32 row scales
+    s = s_ref[0]  # [Kg, TN] f32 group scales
+    Kg = s.shape[0]
+    K = q.shape[0]
+    gs = K // Kg
+    acc = jnp.zeros(o_ref.shape, jnp.float32)
+    for g in range(Kg):
+        part = jax.lax.dot_general(
+            x[:, g * gs:(g + 1) * gs], q[g * gs:(g + 1) * gs, :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        acc = acc + part.astype(jnp.float32) * s[g][None, :]
+    o_ref[:] = (acc * xs).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("out_dtype", "interpret"))
+def _dequant_matmul_int4_w4a8_stacked(x, packed, scale, layer, *,
+                                      out_dtype, interpret=False):
+    """W4A8 layer-indexed stacked GEMM (prefill path for int4 configs):
+    per-token symmetric int8 activation quant outside the kernel, int8
+    nibble-unpack + per-group s8xs8->s32 dots + post-dot f32 scales
+    inside. packed: [L, K/2, N]; scale: [L, Kg, N]."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, K = x.shape
+    N = packed.shape[-1]
+    Kg = scale.shape[-2]
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    xs = jnp.maximum(absmax / INT8_MAX, 1e-12)  # [M, 1]
+    xi = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+    xs_rep = jnp.broadcast_to(xs, (M, 128)).astype(jnp.float32)
+    TM = _pick_tile(M, 128)
+    TN = _pick_tile(N, 256)
+    grid = (M // TM, N // TN)
+    return pl.pallas_call(
+        _int4_w4a8_stacked_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((TM, K), lambda i, j, lr: (i, 0)),
+                pl.BlockSpec((TM, 128), lambda i, j, lr: (i, 0)),
+                pl.BlockSpec((1, K // 2, TN), lambda i, j, lr: (lr[0], 0, j)),
+                pl.BlockSpec((1, Kg, TN), lambda i, j, lr: (lr[0], 0, j)),
+            ],
+            out_specs=pl.BlockSpec((TM, TN), lambda i, j, lr: (i, j)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), xi, xs_rep, packed, scale)
+
+
 class StackedInt4:
     """Marker placed in a layer's param dict by the model's layer scan:
     the UNSLICED stacked int4 weights + the traced layer index, so
@@ -375,8 +443,15 @@ def dequant_matmul_stacked_int4(x: jax.Array, ref: StackedInt4
     M = x2.shape[0]
     if (jax.default_backend() != "cpu"
             and M % 8 == 0 and K % 256 == 0 and N % 128 == 0):
-        out = _dequant_matmul_int4_stacked_pallas(
-            x2, ref.packed, ref.scale, ref.layer, out_dtype=x.dtype)
+        min_rows = _w8a8_min_rows()
+        if min_rows and M >= min_rows:
+            # Prefill-sized: W4A8 (int8 activations, 2x MXU rate) — the
+            # int4 analogue of the int8 W8A8 route; same threshold knob.
+            out = _dequant_matmul_int4_w4a8_stacked(
+                x2, ref.packed, ref.scale, ref.layer, out_dtype=x.dtype)
+        else:
+            out = _dequant_matmul_int4_stacked_pallas(
+                x2, ref.packed, ref.scale, ref.layer, out_dtype=x.dtype)
     else:
         out = _dequant_matmul_int4_jnp(
             x2, ref.packed[ref.layer], ref.scale[ref.layer], x.dtype)

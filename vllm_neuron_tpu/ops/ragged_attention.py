@@ -572,6 +572,46 @@ def _pallas_decode_sharded(q, kv_pages_l, lo, hi, page_indices, *,
     return f(*args)
 
 
+def _flash_prefill_sharded(q, k, v, q_start, kv_len, *, sm_scale: float,
+                           interpret: bool = False):
+    """Flash CE kernel under the mesh: like decode, prefill attention is
+    embarrassingly parallel across KV-head groups, so each model-axis shard
+    runs the kernel on its local heads — zero collectives."""
+    from jax.sharding import PartitionSpec as P
+
+    from vllm_neuron_tpu.ops.prefill_attention import flash_prefill
+    from vllm_neuron_tpu.parallel.mesh import MODEL_AXIS
+
+    mesh = get_attention_mesh()
+
+    def body(q, k, v, qs, kl):
+        return flash_prefill(q, k, v, qs, kl, sm_scale=sm_scale,
+                             interpret=interpret)
+
+    f = jax.shard_map(
+        body, mesh=mesh, axis_names={MODEL_AXIS},
+        in_specs=(P(None, MODEL_AXIS, None), P(None, MODEL_AXIS, None),
+                  P(None, MODEL_AXIS, None), P(), P()),
+        out_specs=P(None, MODEL_AXIS, None),
+        check_vma=False)
+    return f(q, k, v, jnp.asarray(q_start, jnp.int32),
+             jnp.asarray(kv_len, jnp.int32))
+
+
+def _can_flash_shard(q, kv_pages_l) -> bool:
+    """Head layout splits cleanly over the model axis (GQA groups intact on
+    every shard)."""
+    mesh = get_attention_mesh()
+    if mesh is None:
+        return True
+    from vllm_neuron_tpu.parallel.mesh import MODEL_AXIS
+    tp = mesh.shape.get(MODEL_AXIS, 1)
+    pages = kv_pages_l.pages if isinstance(kv_pages_l, FP8KVCache) \
+        else kv_pages_l
+    hkv = pages.shape[2] // 2
+    return hkv % tp == 0 and q.shape[1] % tp == 0
+
+
 def _scaled_kernel_eligible(pages, page_indices) -> bool:
     """Scaled-FP8 pages take the kernel path for the flat/fused variants
     (they DMA the scales page array alongside and dequantize in VMEM) and
@@ -663,20 +703,27 @@ def ragged_attention(q: jax.Array, kv_pages_l: jax.Array, meta: RaggedMeta,
                                                  sm_scale, sliding_window,
                                                  chunk_size)
         elif (backend == "pallas" and sliding_window is None
-              and chunk_size is None and get_attention_mesh() is None
-              and q.shape[0] >= _flash_prefill_min_t()):
+              and chunk_size is None
+              and q.shape[0] >= _flash_prefill_min_t()
+              and _can_flash_shard(q, kv_pages_l)):
             # Long-context CE: the dense path materializes [T, C] scores
             # (~2 GB f32/head-group at T=C=4k on 8B); the flash kernel
             # streams kv tiles with an online-softmax carry instead
             # (reference analogue: the NKI CE kernel, kv tile 4096 —
             # SURVEY N2). Pages are XLA-gathered densely once (the same
-            # traffic the dense path pays).
+            # traffic the dense path pays). Under a mesh it shard_maps
+            # over the head axis (zero collectives).
             from vllm_neuron_tpu.ops.prefill_attention import flash_prefill
             k, v = _gather_ctx(kv_pages_l, meta.page_indices[:1])
             q_len = meta.cu_q_lens[1]
-            out = flash_prefill(q, k[0], v[0],
-                                meta.kv_lens[0] - q_len, meta.kv_lens[0],
-                                sm_scale=sm_scale)
+            if get_attention_mesh() is not None:
+                out = _flash_prefill_sharded(
+                    q, k[0], v[0], meta.kv_lens[0] - q_len,
+                    meta.kv_lens[0], sm_scale=sm_scale)
+            else:
+                out = flash_prefill(q, k[0], v[0],
+                                    meta.kv_lens[0] - q_len,
+                                    meta.kv_lens[0], sm_scale=sm_scale)
         else:
             out = _prefill_attention_dense(q, kv_pages_l, meta, sm_scale,
                                            sliding_window, chunk_size)
