@@ -447,8 +447,13 @@ def _decode_kernel_fn():
         if cpg_env != "auto":
             return int(cpg_env)
         # Largest chunk whose 2-slot double-buffer stays within ~10 MB of
-        # the 16 MB scoped-VMEM budget (headroom for q/out/score tiles).
-        return max(1, min(PP, (10 * 2**20) // (2 * slot_bytes)))
+        # the 16 MB scoped-VMEM budget (headroom for q/out/score tiles),
+        # hard-capped at 20: the kernel's fused-GQA matmul keeps a third
+        # chunk-sized VMEM view, and C=40 (reachable when 2*Hkv is small,
+        # e.g. GQA-8 at 4k-context page buckets) measured 17.3 MB scoped —
+        # a compile-time VMEM OOM. C=20 is also the measured-fastest chunk
+        # (round-3 in-program sweep: C20 0.594 ms vs C8 0.639).
+        return max(1, min(PP, 20, (10 * 2**20) // (2 * slot_bytes)))
     if variant == "rowblock":
         # Whole rows per iteration + single-pass softmax; needs the
         # R-row double-buffer to fit scoped VMEM — falls back to the
