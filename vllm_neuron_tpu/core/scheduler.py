@@ -338,7 +338,19 @@ class Scheduler:
     def _schedule_chunked(self, out: SchedulerOutput) -> None:
         """Token-budget scheduling: decodes first (1 token each), then prompt
         chunks up to the budget (reference capability: model_runner.py:938-1051
-        concatenated-row chunked prefill)."""
+        concatenated-row chunked prefill).
+
+        With no prompt chunk pending, a chunked-mode step is just a decode
+        step — take the windowed decode path (multi-step fused dispatch)
+        instead of 1-token steps, whose per-step host sync capped chunked
+        decode at 148 tok/s vs 362 on the same workload (round-4 4k bench,
+        docs/PERF_NOTES.md)."""
+        any_prefill = bool(self.waiting) or any(
+            r.num_computed_tokens < r.num_context_tokens
+            for r in self.running)
+        if not any_prefill:
+            self._schedule_decodes(out)
+            return
         budget = min(self.max_num_batched_tokens, self.chunk_size)
         cached = out.scheduled_cached_reqs
         for request in self.running:
