@@ -226,6 +226,7 @@ def _flat_kernel(
     *rest,
     page_size: int, pages_per_chunk: int, num_kv_heads: int,
     sm_scale: float, fused_gqa: bool = False, has_scales: bool = False,
+    clamp_dma: bool = False,
 ):
     """Flat-stream variant: ONE grid instance walks the concatenated
     (row, chunk) stream of every sequence with a single globally
@@ -287,28 +288,57 @@ def _flat_kernel(
         mask_k = slotid == rowslot                        # [Hq, 2Hkv, 1]
         mask_v = slotid == rowslot + 1
 
-    def start_chunk_dma(t, slot):
-        r = crow_ref[t]
-        pstart = p0_ref[r] + clocal_ref[t] * C
-        for j in range(C):
-            @pl.when(pstart + j < p1_ref[r])
-            def _():
-                page = page_indices_ref[r, pstart + j]
+    PP = page_indices_ref.shape[1]
+
+    if clamp_dma:
+        # Unconditional C copies per chunk with the page index CLAMPED into
+        # range for the tail: the per-iteration cost is dominated by the
+        # 2*C predicated DMA issues/waits (scalar branches around every
+        # page), not the bytes — tail chunks re-copy one in-range page a
+        # few extra times and the visibility mask zeroes its scores. This
+        # also guarantees every buffer slot is freshly written (no stale
+        # NaN concern).
+        def start_chunk_dma(t, slot):
+            r = crow_ref[t]
+            pstart = p0_ref[r] + clocal_ref[t] * C
+            for j in range(C):
+                page = page_indices_ref[
+                    r, jnp.minimum(pstart + j, PP - 1)]
                 pltpu.make_async_copy(
                     kv_hbm_ref.at[page],
                     kv_buf.at[slot, j],
                     sem.at[slot, j],
                 ).start()
 
-    def wait_chunk(t, slot):
-        r = crow_ref[t]
-        pstart = p0_ref[r] + clocal_ref[t] * C
-        for j in range(C):
-            @pl.when(pstart + j < p1_ref[r])
-            def _():
+        def wait_chunk(t, slot):
+            for j in range(C):
                 pltpu.make_async_copy(
                     kv_hbm_ref.at[0], kv_buf.at[slot, j], sem.at[slot, j],
                 ).wait()
+    else:
+        def start_chunk_dma(t, slot):
+            r = crow_ref[t]
+            pstart = p0_ref[r] + clocal_ref[t] * C
+            for j in range(C):
+                @pl.when(pstart + j < p1_ref[r])
+                def _():
+                    page = page_indices_ref[r, pstart + j]
+                    pltpu.make_async_copy(
+                        kv_hbm_ref.at[page],
+                        kv_buf.at[slot, j],
+                        sem.at[slot, j],
+                    ).start()
+
+        def wait_chunk(t, slot):
+            r = crow_ref[t]
+            pstart = p0_ref[r] + clocal_ref[t] * C
+            for j in range(C):
+                @pl.when(pstart + j < p1_ref[r])
+                def _():
+                    pltpu.make_async_copy(
+                        kv_hbm_ref.at[0], kv_buf.at[slot, j],
+                        sem.at[slot, j],
+                    ).wait()
 
     @pl.when(T > 0)
     def _():
@@ -435,10 +465,23 @@ def _flat_kernel(
     jax.lax.fori_loop(0, T, body, (m0, l0, a0))
 
 
+@functools.cache
+def _clamp_dma_default() -> bool:
+    # Unconditional clamped-index chunk DMAs (see _flat_kernel). Measured
+    # on chip (fused C20, B=64 kv=576, AB_SCAN=8): 0.292 ms/call vs the
+    # predicated issues' 0.279 — the per-page @pl.when branches are NOT
+    # the per-iteration cost, so predicated stays the default. The same
+    # session showed fusedC20 at 0.279 ms/call is within ~15% of the
+    # 64-row HBM read floor — decode attention is essentially at
+    # speed-of-light; remaining step time is the weight stream.
+    import os
+    return os.environ.get("VLLM_TPU_DECODE_DMA", "when") == "clamp"
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_kv_heads", "sm_scale", "pages_per_chunk",
-                     "interpret", "fused_gqa"))
+                     "interpret", "fused_gqa", "clamp_dma"))
 def decode_paged_attention_flat(q: jax.Array, kv_pages_l: jax.Array,
                                 lo: jax.Array, hi: jax.Array,
                                 page_indices: jax.Array, *,
@@ -446,7 +489,8 @@ def decode_paged_attention_flat(q: jax.Array, kv_pages_l: jax.Array,
                                 pages_per_chunk: int = 4,
                                 fused_gqa: bool = False,
                                 interpret: bool = False,
-                                kv_scales: jax.Array = None) -> jax.Array:
+                                kv_scales: jax.Array = None,
+                                clamp_dma: bool = None) -> jax.Array:
     """Flat-stream decode attention (see _flat_kernel). Same contract as
     decode_paged_attention. kv_scales: optional [pages, ps, SCALE_LANES]
     per-slot lane-replicated dequant scales (scaled-FP8 cache)."""
@@ -502,10 +546,12 @@ def decode_paged_attention_flat(q: jax.Array, kv_pages_l: jax.Array,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=scratch,
     )
+    if clamp_dma is None:
+        clamp_dma = _clamp_dma_default()
     kernel = functools.partial(
         _flat_kernel, page_size=ps, pages_per_chunk=C,
         num_kv_heads=num_kv_heads, sm_scale=sm_scale, fused_gqa=fused_gqa,
-        has_scales=has_scales)
+        has_scales=has_scales, clamp_dma=clamp_dma)
     args = (p0, p1, lo.astype(jnp.int32), hi.astype(jnp.int32), crow,
             clocal, total, page_indices, q, kv_pages_l)
     if has_scales:
