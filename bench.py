@@ -29,9 +29,9 @@ GEN_TOKENS = 128
 MAX_MODEL_LEN = 2048
 BLOCK_SIZE = 32
 # Best previously recorded value on the 8B INT8 b64 p512 g128 config:
-# 1333.4 tok/s e2e (BENCH_r03.json median-of-3; BENCH_r01 was 576.6,
-# BENCH_r02 701.6).
-PREV_BEST = 1333.4
+# 1394.0 tok/s e2e (round-4 cold-start admission burst, median-of-3;
+# BENCH_r01 576.6, BENCH_r02 701.6, BENCH_r03 1333.4).
+PREV_BEST = 1394.0
 # Variant knobs (experiments): BENCH_QUANT=int8|fp8|int4, BENCH_KV_DTYPE=fp8,
 # BENCH_DECODE_WINDOW=16, BENCH_MODEL=tinyllama|llama8b|tinypy,
 # BENCH_SPEC=K (tinypy only: Eagle speculation with the trained

@@ -108,12 +108,28 @@ def main():
             lambda x, wi, si: _dequant_matmul_int4_pallas(
                 x, wi, si, out_dtype=x.dtype, variant="v1"), w4s, s4s), x0)
 
+        # Stacked (copy-free, layer index via scalar prefetch): N-tiled
+        # block layout vs K-tiled contiguous chunks.
+        from vllm_neuron_tpu.ops.quant import (
+            _dequant_matmul_int4_ktiled_stacked,
+            _dequant_matmul_int4_stacked_pallas)
+
+        def stacked(fn):
+            def call(x):
+                i = (x[0, :1].astype(jnp.int32)[0] & 0x7FFF) % L
+                return fn(x, w4s, s4s, i, out_dtype=x.dtype)
+            return call
+
+        t_blk = chain(stacked(_dequant_matmul_int4_stacked_pallas), x0)
+        t_kt = chain(stacked(_dequant_matmul_int4_ktiled_stacked), x0)
+
         hbm_bf = K * N * 2 / 460e9 * 1e6  # measured practical bw
         print(f"[{K:6d}x{N:6d}] bf16 {t_bf*1e6:8.1f}us  "
               f"int8 {t_i8*1e6:8.1f}us  "
               f"int4 v1 {t4['v1']*1e6:8.1f} v2 {t4['v2']*1e6:8.1f} "
               f"v3 {t4['v3']*1e6:8.1f}us  "
               f"sliced: int8 {t_i8s*1e6:8.1f} int4 {t_i4s*1e6:8.1f}us  "
+              f"stacked: blk {t_blk*1e6:8.1f} ktiled {t_kt*1e6:8.1f}us  "
               f"(bf16 HBM floor ~{hbm_bf:.0f}us; int4 target ~{hbm_bf/4:.0f}us)")
 
 

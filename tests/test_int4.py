@@ -245,6 +245,37 @@ def test_int4_stacked_kernel_interpret():
                                    rtol=2e-2, atol=2e-2)
 
 
+def test_int4_ktiled_stacked_kernel_interpret():
+    """The K-tiled stacked kernel (contiguous full-N weight chunks, f32
+    accumulation over the K grid) matches the per-layer jnp fallback for
+    every layer index, including shapes where K/2 spans multiple chunks."""
+    import jax.numpy as jnp
+
+    from vllm_neuron_tpu.ops.quant import (_dequant_matmul_int4_jnp,
+                                           _dequant_matmul_int4_ktiled_stacked,
+                                           quantize_int4_grouped)
+
+    rng = np.random.default_rng(7)
+    # K=1024 with group 128 -> K/2=512 packed rows = 4 groups per half;
+    # the chunk picker lands on a multi-chunk grid at small target sizes.
+    L, K, N, M = 3, 1024, 256, 16
+    packed, scales = [], []
+    for l in range(L):
+        w = rng.normal(size=(K, N)).astype(np.float32)
+        pk, sc = quantize_int4_grouped(w, group_size=128)
+        packed.append(pk)
+        scales.append(sc)
+    pk = jnp.asarray(np.stack(packed))
+    sc = jnp.asarray(np.stack(scales))
+    x = jnp.asarray((rng.normal(size=(M, K)) * 0.1), jnp.bfloat16)
+    for l in range(L):
+        got = _dequant_matmul_int4_ktiled_stacked(
+            x, pk, sc, l, out_dtype=jnp.float32, interpret=True)
+        want = _dequant_matmul_int4_jnp(x, pk[l], sc[l], jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-2, atol=2e-2)
+
+
 def test_int4_w4a8_stacked_kernel_interpret():
     """W4A8 stacked kernel (prefill path): int8 activations x unpacked
     int4 weights with post-dot (row x group) scales matches the w4a16

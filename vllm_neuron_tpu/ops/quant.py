@@ -22,6 +22,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
 
 INT8_MAX = 127.0
 FP8_MAX = 448.0  # float8_e4m3fn finite max
@@ -306,6 +307,22 @@ def _int4_kernel_variant() -> str:
     return os.environ.get("VLLM_TPU_INT4_KERNEL", "v1")
 
 
+@functools.cache
+def _int4_stacked_variant() -> str:
+    # Decode-path stacked-kernel layout: "ktiled" (contiguous full-N weight
+    # chunks, grid over K — sequential HBM stream) vs "block" (N-tiled
+    # blocks — strided segment DMAs). A/B'd on chip before defaulting.
+    import os
+    return os.environ.get("VLLM_TPU_INT4_STACKED", "block")
+
+
+def _ktiled_eligible(K: int, Kg: int) -> bool:
+    # Groups must not straddle the packed halves: K/2 a multiple of the
+    # group size (always true for the g128 default at 8B shapes).
+    gs = K // Kg
+    return K % 2 == 0 and gs > 0 and K % gs == 0 and (K // 2) % gs == 0
+
+
 def _int4_stacked_kernel(l_ref, x_ref, w_ref, s_ref, o_ref):
     _dequant_matmul_int4_kernel(x_ref, w_ref.at[0], s_ref.at[0], o_ref)
 
@@ -348,6 +365,97 @@ def _dequant_matmul_int4_stacked_pallas(x, packed, scale, layer, *,
         ),
         out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
         compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), x, packed, scale)
+
+
+def _int4_ktiled_stacked_kernel(TK2, gs, l_ref, x_ref, w_ref, s_ref, o_ref,
+                                acc_ref):
+    # K-tiled variant of the stacked kernel: the grid walks K (not N), each
+    # weight block is [TK2 packed rows, FULL N] — a single CONTIGUOUS HBM
+    # region (the N-tiled block layout DMAs ~K/2 strided 256-byte segments
+    # per block, measured ~490 GB/s vs the XLA int8 dot's ~740 sequential;
+    # docs/PERF_NOTES.md round-4 int4 accounting). Partial products
+    # accumulate in a VMEM f32 scratch across grid steps.
+    k = pl.program_id(0)
+    nk = pl.num_programs(0)
+    w32 = w_ref[0].astype(jnp.int32)  # [TK2, N]
+    lo = jnp.right_shift(jnp.left_shift(w32, 28), 28)
+    hi = jnp.right_shift(w32, 4)
+    N = w32.shape[1]
+    G2 = TK2 // gs  # groups per half-chunk
+    K2 = x_ref.shape[1] // 2
+    KG2 = K2 // gs  # groups in the whole lo half
+    s_lo = s_ref[0, pl.ds(k * G2, G2), :]  # [G2, N] f32
+    s_hi = s_ref[0, pl.ds(KG2 + k * G2, G2), :]
+    w_lo = (lo.astype(jnp.float32).reshape(G2, gs, N)
+            * s_lo[:, None, :]).reshape(TK2, N).astype(jnp.bfloat16)
+    w_hi = (hi.astype(jnp.float32).reshape(G2, gs, N)
+            * s_hi[:, None, :]).reshape(TK2, N).astype(jnp.bfloat16)
+    x_lo = x_ref[:, pl.ds(k * TK2, TK2)].astype(jnp.bfloat16)
+    x_hi = x_ref[:, pl.ds(K2 + k * TK2, TK2)].astype(jnp.bfloat16)
+    part = (jnp.dot(x_lo, w_lo, preferred_element_type=jnp.float32)
+            + jnp.dot(x_hi, w_hi, preferred_element_type=jnp.float32))
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[...] = part
+
+    @pl.when(k > 0)
+    def _acc():
+        acc_ref[...] += part
+
+    @pl.when(k == nk - 1)
+    def _out():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def _ktiled_chunk(K2: int, gs: int, N: int,
+                  target_bytes: int = 2 * 1024 * 1024) -> int:
+    """Largest packed-row count that (a) is a multiple of the group size,
+    (b) divides K/2, (c) keeps the contiguous chunk near ``target_bytes``."""
+    t = max(gs, (target_bytes // max(N, 1)) // gs * gs)
+    t = min(t, K2)
+    while K2 % t != 0:
+        t -= gs
+    return t
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("out_dtype", "interpret"))
+def _dequant_matmul_int4_ktiled_stacked(x, packed, scale, layer, *,
+                                        out_dtype, interpret=False):
+    """K-tiled layer-indexed fused dequant-GEMM over stacked int4 weights:
+    contiguous full-width weight DMAs (sequential across the K grid) instead
+    of the N-tiled block layout's strided segments. packed: [L, K/2, N];
+    scale: [L, Kg, N]; layer: traced scalar."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, K = x.shape
+    K2 = K // 2
+    N = packed.shape[-1]
+    Kg = scale.shape[-2]
+    gs2 = K2 // (Kg // 2)  # packed rows per group (= unpacked group size)
+    TK2 = _ktiled_chunk(K2, gs2, N)
+    grid = (K2 // TK2,)
+    return pl.pallas_call(
+        functools.partial(_int4_ktiled_stacked_kernel, TK2, gs2),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((M, K), lambda k, lr: (0, 0)),
+                pl.BlockSpec((1, TK2, N), lambda k, lr: (lr[0], k, 0)),
+                pl.BlockSpec((1, Kg, N), lambda k, lr: (lr[0], 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((M, N), lambda k, lr: (0, 0)),
+            scratch_shapes=[pltpu.VMEM((M, N), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(jnp.asarray(layer, jnp.int32).reshape(1), x, packed, scale)
@@ -448,6 +556,10 @@ def dequant_matmul_stacked_int4(x: jax.Array, ref: StackedInt4
             # Prefill-sized: W4A8 (int8 activations, 2x MXU rate) — the
             # int4 analogue of the int8 W8A8 route; same threshold knob.
             out = _dequant_matmul_int4_w4a8_stacked(
+                x2, ref.packed, ref.scale, ref.layer, out_dtype=x.dtype)
+        elif (_int4_stacked_variant() == "ktiled"
+              and _ktiled_eligible(K, ref.scale.shape[-2])):
+            out = _dequant_matmul_int4_ktiled_stacked(
                 x2, ref.packed, ref.scale, ref.layer, out_dtype=x.dtype)
         else:
             out = _dequant_matmul_int4_stacked_pallas(
