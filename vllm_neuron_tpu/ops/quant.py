@@ -370,33 +370,33 @@ def _dequant_matmul_int4_stacked_pallas(x, packed, scale, layer, *,
     )(jnp.asarray(layer, jnp.int32).reshape(1), x, packed, scale)
 
 
-def _int4_ktiled_stacked_kernel(TK2, gs, l_ref, x_ref, w_ref, s_ref, o_ref,
-                                acc_ref):
+def _int4_ktiled_stacked_kernel(l_ref, xlo_ref, xhi_ref, w_ref, slo_ref,
+                                shi_ref, o_ref, acc_ref):
     # K-tiled variant of the stacked kernel: the grid walks K (not N), each
     # weight block is [TK2 packed rows, FULL N] — a single CONTIGUOUS HBM
     # region (the N-tiled block layout DMAs ~K/2 strided 256-byte segments
     # per block, measured ~490 GB/s vs the XLA int8 dot's ~740 sequential;
     # docs/PERF_NOTES.md round-4 int4 accounting). Partial products
-    # accumulate in a VMEM f32 scratch across grid steps.
+    # accumulate in a VMEM f32 scratch across grid steps. The lo/hi
+    # activation columns and group scales arrive as SEPARATE inputs whose
+    # BlockSpec index maps do the chunk slicing (Mosaic cannot lower
+    # dynamic sublane/lane-offset vector loads inside the kernel).
     k = pl.program_id(0)
     nk = pl.num_programs(0)
     w32 = w_ref[0].astype(jnp.int32)  # [TK2, N]
     lo = jnp.right_shift(jnp.left_shift(w32, 28), 28)
     hi = jnp.right_shift(w32, 4)
-    N = w32.shape[1]
-    G2 = TK2 // gs  # groups per half-chunk
-    K2 = x_ref.shape[1] // 2
-    KG2 = K2 // gs  # groups in the whole lo half
-    s_lo = s_ref[0, pl.ds(k * G2, G2), :]  # [G2, N] f32
-    s_hi = s_ref[0, pl.ds(KG2 + k * G2, G2), :]
+    TK2, N = w32.shape
+    G2 = slo_ref.shape[2]  # groups per half-chunk
+    gs = TK2 // G2
     w_lo = (lo.astype(jnp.float32).reshape(G2, gs, N)
-            * s_lo[:, None, :]).reshape(TK2, N).astype(jnp.bfloat16)
+            * slo_ref[0, 0][:, None, :]).reshape(TK2, N).astype(jnp.bfloat16)
     w_hi = (hi.astype(jnp.float32).reshape(G2, gs, N)
-            * s_hi[:, None, :]).reshape(TK2, N).astype(jnp.bfloat16)
-    x_lo = x_ref[:, pl.ds(k * TK2, TK2)].astype(jnp.bfloat16)
-    x_hi = x_ref[:, pl.ds(K2 + k * TK2, TK2)].astype(jnp.bfloat16)
-    part = (jnp.dot(x_lo, w_lo, preferred_element_type=jnp.float32)
-            + jnp.dot(x_hi, w_hi, preferred_element_type=jnp.float32))
+            * shi_ref[0, 0][:, None, :]).reshape(TK2, N).astype(jnp.bfloat16)
+    part = (jnp.dot(xlo_ref[:].astype(jnp.bfloat16), w_lo,
+                    preferred_element_type=jnp.float32)
+            + jnp.dot(xhi_ref[:].astype(jnp.bfloat16), w_hi,
+                      preferred_element_type=jnp.float32))
 
     @pl.when(k == 0)
     def _init():
@@ -439,16 +439,24 @@ def _dequant_matmul_int4_ktiled_stacked(x, packed, scale, layer, *,
     Kg = scale.shape[-2]
     gs2 = K2 // (Kg // 2)  # packed rows per group (= unpacked group size)
     TK2 = _ktiled_chunk(K2, gs2, N)
-    grid = (K2 // TK2,)
+    NK = K2 // TK2  # chunk count (= x-hi block offset in TK2 units)
+    G2 = TK2 // gs2
+    L = packed.shape[0]
+    # Chunk-blocked scale view: the sliced axis becomes a LEADING block dim
+    # (Mosaic requires the last two block dims be 8/128-aligned or full).
+    s4 = scale.reshape(L, Kg // G2, G2, N)
     return pl.pallas_call(
-        functools.partial(_int4_ktiled_stacked_kernel, TK2, gs2),
+        _int4_ktiled_stacked_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=grid,
+            grid=(NK,),
             in_specs=[
-                pl.BlockSpec((M, K), lambda k, lr: (0, 0)),
+                pl.BlockSpec((M, TK2), lambda k, lr: (0, k)),
+                pl.BlockSpec((M, TK2), lambda k, lr: (0, NK + k)),
                 pl.BlockSpec((1, TK2, N), lambda k, lr: (lr[0], k, 0)),
-                pl.BlockSpec((1, Kg, N), lambda k, lr: (lr[0], 0, 0)),
+                pl.BlockSpec((1, 1, G2, N), lambda k, lr: (lr[0], k, 0, 0)),
+                pl.BlockSpec((1, 1, G2, N),
+                             lambda k, lr: (lr[0], NK + k, 0, 0)),
             ],
             out_specs=pl.BlockSpec((M, N), lambda k, lr: (0, 0)),
             scratch_shapes=[pltpu.VMEM((M, N), jnp.float32)],
@@ -458,7 +466,7 @@ def _dequant_matmul_int4_ktiled_stacked(x, packed, scale, layer, *,
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(jnp.asarray(layer, jnp.int32).reshape(1), x, packed, scale)
+    )(jnp.asarray(layer, jnp.int32).reshape(1), x, x, packed, s4, s4)
 
 
 def _int4_w4a8_stacked_kernel(l_ref, x_ref, xs_ref, w_ref, s_ref, o_ref):
@@ -506,7 +514,11 @@ def _dequant_matmul_int4_w4a8_stacked(x, packed, scale, layer, *,
     xs = jnp.maximum(absmax / INT8_MAX, 1e-12)  # [M, 1]
     xi = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
     xs_rep = jnp.broadcast_to(xs, (M, 128)).astype(jnp.float32)
-    TM = _pick_tile(M, 128)
+    # Large M tiles: the kernel unpacks + per-group-dots the SAME weight
+    # block once per M tile (grid iterates j fastest), so prefill-sized
+    # calls at TM=128 redid the nibble unpack M/128 times. TM=512 quarters
+    # that VPU work and feeds the MXU [512,128]x[128,TN] dots.
+    TM = _pick_tile(M, 512)
     TN = _pick_tile(N, 256)
     grid = (M // TM, N // TN)
     return pl.pallas_call(
