@@ -276,6 +276,41 @@ def test_int4_ktiled_stacked_kernel_interpret():
                                    rtol=2e-2, atol=2e-2)
 
 
+def test_int4_w4a8_rq_kernel_interpret(monkeypatch):
+    """The requantize-chunk W4A8 variant (8-group chunks on a common int8
+    grid, one s8 dot per chunk) stays within combined int4+activation+
+    requant tolerance of the w4a16 reference."""
+    import jax.numpy as jnp
+
+    from vllm_neuron_tpu.ops import quant as Q
+
+    monkeypatch.setenv("VLLM_TPU_W4A8_KERNEL", "rq")
+    Q._w4a8_kernel_variant.cache_clear()
+    Q._dequant_matmul_int4_w4a8_stacked._clear_cache()
+    try:
+        rng = np.random.default_rng(11)
+        L, K, N, M = 2, 2048, 256, 64  # Kg=16 groups -> 2 chunks of 8
+        packed, scales = [], []
+        for l in range(L):
+            w = rng.normal(size=(K, N)).astype(np.float32)
+            pk, sc = Q.quantize_int4_grouped(w, group_size=128)
+            packed.append(pk)
+            scales.append(sc)
+        pk = jnp.asarray(np.stack(packed))
+        sc = jnp.asarray(np.stack(scales))
+        x = jnp.asarray((rng.normal(size=(M, K)) * 0.1), jnp.float32)
+        for l in range(L):
+            got = Q._dequant_matmul_int4_w4a8_stacked(
+                x, pk, sc, l, out_dtype=jnp.float32, interpret=True)
+            want = Q._dequant_matmul_int4_jnp(x, pk[l], sc[l], jnp.float32)
+            rel = float(jnp.max(jnp.abs(got - want))
+                        / (jnp.max(jnp.abs(want)) + 1e-9))
+            assert rel < 0.06, rel
+    finally:
+        Q._w4a8_kernel_variant.cache_clear()
+        Q._dequant_matmul_int4_w4a8_stacked._clear_cache()
+
+
 def test_int4_w4a8_stacked_kernel_interpret():
     """W4A8 stacked kernel (prefill path): int8 activations x unpacked
     int4 weights with post-dot (row x group) scales matches the w4a16

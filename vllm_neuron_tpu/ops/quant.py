@@ -503,6 +503,53 @@ def _int4_w4a8_stacked_kernel(l_ref, x_ref, xs_ref, w_ref, s_ref, o_ref):
     o_ref[:] = (acc * xs).astype(o_ref.dtype)
 
 
+def _int4_w4a8rq_stacked_kernel(groups_per_chunk, l_ref, x_ref, xs_ref,
+                                w_ref, s_ref, o_ref):
+    # W4A8 "requantize-chunk" variant: the per-group kernel issues Kg
+    # (32-112) small s8 dots whose pipeline drains + f32 accumulate adds
+    # cost ~10% of prefill throughput vs int8-W8A8's single big dot.
+    # Here each CHUNK of `groups_per_chunk` groups is requantized in VMEM
+    # onto a common int8 grid (step = 7*max_g s_gn / 127), so the MXU runs
+    # one [TM, chunk]x[chunk, TN] s8 dot per chunk — 8x fewer dots — with
+    # ONE post-dot scale per chunk. Requant error is bounded by the
+    # chunk-LOCAL group-scale spread (spread > 18x would alias a group's
+    # own grid; adjacent g128 groups measured far tighter — ppl-gated).
+    w32 = w_ref[0].astype(jnp.int32)
+    lo = jnp.right_shift(jnp.left_shift(w32, 28), 28)
+    hi = jnp.right_shift(w32, 4)
+    q = jnp.concatenate([lo, hi], axis=0)  # [K, TN] int32
+    x = x_ref[:]  # [TM, K] int8
+    xs = xs_ref[:, :1]  # [TM, 1] f32 row scales
+    s = s_ref[0]  # [Kg, TN] f32 group scales
+    Kg, TN = s.shape
+    K = q.shape[0]
+    gs = K // Kg
+    G = groups_per_chunk
+    C = Kg // G
+    cs = K // C  # rows per chunk
+    acc = jnp.zeros(o_ref.shape, jnp.float32)
+    for c in range(C):
+        sc = s[c * G:(c + 1) * G]  # [G, TN]
+        smax = jnp.max(sc, axis=0, keepdims=True)  # [1, TN]
+        f = sc / jnp.maximum(smax, 1e-12) * (127.0 / 7.0)  # [G, TN] <= 127/7
+        qc = q[c * cs:(c + 1) * cs].astype(jnp.float32)
+        w8 = jnp.round(qc.reshape(G, gs, TN) * f[:, None, :]) \
+            .reshape(cs, TN).astype(jnp.int8)
+        part = jax.lax.dot_general(
+            x[:, c * cs:(c + 1) * cs], w8, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        acc = acc + part.astype(jnp.float32) * (smax * (7.0 / 127.0))
+    o_ref[:] = (acc * xs).astype(o_ref.dtype)
+
+
+@functools.cache
+def _w4a8_kernel_variant() -> str:
+    # "group" = one s8 dot per scale group (exact); "rq" = requantize
+    # 8-group chunks to a common int8 grid, 8x fewer dots (A/B knob).
+    import os
+    return os.environ.get("VLLM_TPU_W4A8_KERNEL", "group")
+
+
 @functools.partial(jax.jit,
                    static_argnames=("out_dtype", "interpret"))
 def _dequant_matmul_int4_w4a8_stacked(x, packed, scale, layer, *,
@@ -530,8 +577,14 @@ def _dequant_matmul_int4_w4a8_stacked(x, packed, scale, layer, *,
     TM = _pick_tile(M, 512)
     TN = _pick_tile(N, _w4a8_tn())
     grid = (M // TM, N // TN)
+    kern = _int4_w4a8_stacked_kernel
+    if _w4a8_kernel_variant() == "rq":
+        G = 8
+        while Kg % G != 0:
+            G //= 2
+        kern = functools.partial(_int4_w4a8rq_stacked_kernel, G)
     return pl.pallas_call(
-        _int4_w4a8_stacked_kernel,
+        kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
