@@ -69,3 +69,22 @@ def test_grouping_with_prefix_cache(tiny_llama_dir):
     outs = llm.generate([{"prompt_token_ids": p} for p in conts], [sp] * 2)
     for p, out in zip(conts, outs):
         assert out.outputs[0].token_ids == hf_greedy(tiny_llama_dir, p, 8)
+
+
+def test_non_pow2_group_size_stays_warm(tiny_llama_dir):
+    """A non-power-of-2 prefill_group_size clamps to power-of-2 group
+    sizes at runtime (4+2 here), matching warmup's enumeration — no
+    serve-time compiles (round-4 review finding)."""
+    from tests.test_warmup_coverage import _spy
+    llm6 = LLM(model=tiny_llama_dir, dtype="float32", max_model_len=128,
+               max_num_seqs=8, block_size=16, skip_tokenizer_init=True,
+               override_tpu_config={"prefill_group_size": 6})
+    llm6.engine.warmup()
+    misses = _spy(llm6)
+    rng = np.random.default_rng(4)
+    prompts = [rng.integers(1, 512, size=20).tolist() for _ in range(6)]
+    sp = SamplingParams(temperature=0.0, max_tokens=4, ignore_eos=True)
+    outs = llm6.generate([{"prompt_token_ids": p} for p in prompts],
+                         [sp] * 6)
+    assert all(len(o.outputs[0].token_ids) == 4 for o in outs)
+    assert misses == [], f"cold compiles from non-pow2 grouping: {misses}"

@@ -207,9 +207,11 @@ def test_min_tokens_stop_matrix():
 
 
 def test_window_shortens_when_admission_imminent():
-    """TTFT policy (VERDICT-r3 #7): with a request waiting and free batch
-    slots, decode windows shorten to decode_window_when_waiting so the next
-    prefill is not gated behind a full window."""
+    """TTFT policy (VERDICT-r3 #7, round-4 refinement): windows shorten
+    only when the waiting request could actually be admitted soon. A
+    KV-starved waiting queue keeps FULL windows (free seats do not imply
+    free blocks); a predictably-near finish shortens them (that finish
+    frees the KV the prefill needs)."""
     cfg = make_config(max_num_seqs=4, decode_window=4, num_blocks=8,
                       max_model_len=64, block_size=8)
     cfg.scheduler.decode_window_when_waiting = 1
@@ -224,15 +226,20 @@ def test_window_shortens_when_admission_imminent():
     # No one waiting: full window.
     out = sched.schedule()
     assert all(n == 4 for n in out.num_scheduled_tokens.values())
-    # Third request waiting + free slots (batch 2/4, KV-blocked admission):
-    # window shortens. Use a prompt too big for the remaining blocks so the
-    # prefill pass cannot admit it.
+    # Third request waiting with free seats but NO allocatable KV (prompt
+    # bigger than the free blocks): admission cannot happen -> full window.
     sched.add_request(req(9, n_prompt=60, max_tokens=4))
     out = sched.schedule()
     if out.is_prefill_step:
         pytest.skip("prompt unexpectedly admitted; KV sizing changed")
-    assert all(n == 1 for n in out.num_scheduled_tokens.values()), \
+    assert all(n == 4 for n in out.num_scheduled_tokens.values()), \
         out.num_scheduled_tokens
+    # A running request one token from its max: finish (and the KV free)
+    # is imminent -> window shortens.
+    sched.running[0].sampling_params.max_tokens = \
+        sched.running[0].num_output_tokens + 1
+    out = sched.schedule()
+    assert max(out.num_scheduled_tokens.values()) <= 1
 
 
 def test_window_stays_full_when_batch_saturated():
@@ -275,3 +282,30 @@ def test_cold_start_admission_burst():
         r.append_output_token_ids(1)
     out2 = sched.schedule()
     assert len(out2.scheduled_new_reqs) == 2
+
+
+def test_kv_starved_admission_keeps_full_windows():
+    """Adaptive windows must not shorten while the waiting queue is blocked
+    on KV blocks: free decode SEATS do not imply free KV, and shortened
+    windows would multiply host syncs with no admission possible until a
+    finish frees blocks (round-4 review finding)."""
+    cfg = make_config(num_blocks=8, max_num_seqs=4, max_model_len=64,
+                      decode_window=4)
+    sched = Scheduler(cfg)
+    sched.add_request(req(0, n_prompt=40, max_tokens=16))  # 5 of 8 blocks
+    out = sched.schedule()
+    from vllm_neuron_tpu.core.sched_output import ModelRunnerOutput
+    ro = ModelRunnerOutput(req_ids=["r0"], req_id_to_index={"r0": 0},
+                           sampled_token_ids=[[5]], logprobs=[None])
+    sched.update_from_output(out, ro)
+    sched.add_request(req(1, n_prompt=40))  # needs 5 blocks, only 3 free
+    out2 = sched.schedule()
+    assert len(out2.scheduled_new_reqs) == 0
+    assert sched._kv_starved
+    # Decode window stays FULL despite the (unadmittable) waiting request.
+    assert out2.num_scheduled_tokens["r0"] == 4
+    # Freeing blocks clears the starvation and admission resumes.
+    sched.abort_request("r0")
+    assert not sched._kv_starved
+    out3 = sched.schedule()
+    assert len(out3.scheduled_new_reqs) == 1

@@ -112,3 +112,21 @@ def test_warmup_covers_chunked_prefill(tiny_llama_dir):
               override_tpu_config={"chunk_size": 32})
     llm.engine.warmup()
     _assert_no_compiles(llm, 512, 128)
+
+
+def test_warmup_covers_sibling_adoption(tiny_llama_dir):
+    """n>1 children adopt the parent's full prompt blocks even with prefix
+    caching OFF (kv_cache_manager.get_sibling_blocks), dispatching with
+    num_new in [1, block_size] but end = the whole prompt — the smallest
+    token bucket must therefore cover every page bucket (round-4 review
+    finding: the narrowed warmup range missed these keys)."""
+    llm = LLM(model=tiny_llama_dir, dtype="float32", max_model_len=128,
+              max_num_seqs=4, block_size=16, enable_prefix_caching=False,
+              skip_tokenizer_init=True)
+    llm.engine.warmup()
+    misses = _spy(llm)
+    rng = np.random.default_rng(2)
+    prompt = rng.integers(1, 512, size=100).tolist()
+    _gen(llm, [prompt], [SamplingParams(temperature=0.8, seed=3, n=2,
+                                        max_tokens=8, ignore_eos=True)])
+    assert misses == [], f"cold compiles on sibling adoption: {misses}"

@@ -63,6 +63,10 @@ class Scheduler:
         self.chunked_prefill = config.scheduler.enable_chunked_prefill
         self.chunk_size = config.scheduler.chunk_size
         self.block_size = config.cache.block_size
+        # True while the last admission attempt failed on KV-block
+        # allocation (cleared when blocks free or an admission succeeds);
+        # gates the adaptive-window free-seat heuristic.
+        self._kv_starved = False
 
         self.kv_manager = KVCacheManager(
             num_blocks=config.cache.num_blocks,
@@ -112,6 +116,9 @@ class Scheduler:
         self._finish(request)
 
     def _finish(self, request: Request) -> None:
+        # Freed blocks may unblock a KV-starved admission (see
+        # _admission_imminent).
+        self._kv_starved = False
         self.kv_manager.free(request)
         self._finished_to_report.add(request.req_id)
         # Drop the engine-lifetime reference (a long-running server would
@@ -201,8 +208,13 @@ class Scheduler:
                 request, num_new_tokens, computed_blocks)
             if new_block_ids is None:
                 # Not enough KV blocks right now: wait for running decodes to
-                # finish instead of thrashing them with preemption.
+                # finish instead of thrashing them with preemption. Flag the
+                # starvation so the adaptive-window policy stops shortening
+                # windows for an admission that cannot happen (free decode
+                # SEATS do not imply free KV — long-context regime).
+                self._kv_starved = True
                 break
+            self._kv_starved = False
             self.waiting.popleft()
             request.status = RequestStatus.RUNNING
             request.num_computed_tokens = num_cached
@@ -293,8 +305,12 @@ class Scheduler:
         window of a KNOWN finish (max_tokens / max_model_len). A saturated
         batch with no predictable finish keeps full windows — stop-token
         finishes are unpredictable and shortening would only cost sync
-        overhead."""
-        if len(self.running) < self.max_num_seqs:
+        overhead. ``_kv_starved`` (set when the last admission attempt
+        failed on block allocation, cleared when blocks free) guards the
+        free-seat check: seats without KV cannot admit, and shortened
+        windows would otherwise persist for hundreds of steps at ~4x the
+        host syncs."""
+        if len(self.running) < self.max_num_seqs and not self._kv_starved:
             return True
         for r in self.running:
             sp = r.sampling_params

@@ -898,12 +898,18 @@ class ModelExecutor:
         The runner picks PP = page_bucket(cdiv(end, block_size)); without
         prefix caching or chunking, end == num_new in (prev_bucket, N], so
         only the buckets covering that page range are reachable. Cache hits
-        and chunked continuations make end range up to max_model_len."""
+        and chunked continuations make end range up to max_model_len —
+        and so does n>1 sibling block adoption (kv_cache_manager
+        .get_sibling_blocks works with prefix caching OFF): a sibling
+        child dispatches with num_new in [1, block_size] but end = the
+        full prompt, i.e. the smallest token bucket must cover every page
+        bucket or the child cold-compiles mid-serving."""
         b = self.config.bucketing
-        if (self.config.cache.enable_prefix_caching
-                or self.config.scheduler.enable_chunked_prefill):
-            return list(b.page_buckets)
         bs = self.config.cache.block_size
+        if (self.config.cache.enable_prefix_caching
+                or self.config.scheduler.enable_chunked_prefill
+                or N <= b.token_bucket(bs)):
+            return list(b.page_buckets)
         prev = max((t for t in b.token_buckets if t < N), default=0)
         lo = b.page_bucket(max(cdiv(prev + 1, bs), 1))
         hi = b.page_bucket(min(cdiv(N, bs), self.kv_spec.max_blocks_per_seq))
@@ -930,9 +936,16 @@ class ModelExecutor:
         group_sizes = []
         if (sched.prefill_group_size > 1 and not spec_on
                 and self.cross_kv is None and not mm):
+            # Per-step prefill count can reach the cold-start admission
+            # burst cap (scheduler._can_admit: max_num_seqs // 2 when
+            # nothing is decoding), not just max_prompt_batch_size; group
+            # sizes beyond it would cold-compile at exactly the cold-start
+            # moment. Runtime clamps the cap to a power of 2 (runner
+            # _form_prefill_groups), mirrored here.
             gmax = min(sched.prefill_group_size,
                        sched.max_num_seqs if sched.enable_chunked_prefill
-                       else sched.max_prompt_batch_size)
+                       else max(sched.max_prompt_batch_size,
+                                sched.max_num_seqs // 2))
             g = 2
             while g <= gmax:
                 group_sizes.append(g)
@@ -956,8 +969,15 @@ class ModelExecutor:
                     self._dummy_step("prefill", N, 1, PP, True, mm=True)
                 if spec_on:
                     self._dummy_spec_prefill(N, PP)
-                for G in group_sizes:
-                    self._dummy_step("prefill", G * N, G, PP, False)
+                # Grouped programs only exist below the flash-CE threshold
+                # (the runner routes long-context prompts to single-seq
+                # dispatch, which has the flash path; the grouped program
+                # is dense-scores only).
+                from vllm_neuron_tpu.ops.ragged_attention import \
+                    _flash_prefill_min_t
+                if N < _flash_prefill_min_t():
+                    for G in group_sizes:
+                        self._dummy_step("prefill", G * N, G, PP, False)
         if _packed_h2d():
             # Window unpack programs are keyed on (K, N, PP); K is the
             # window's step count (2..decode_window — K=1 takes the

@@ -321,18 +321,29 @@ class ModelRunner:
         image-bearing requests always dispatch singly."""
         if not self._groupable_prefills():
             return [], items
+        from vllm_neuron_tpu.ops.ragged_attention import _flash_prefill_min_t
         ib = self.input_batch
         by_bucket: dict[int, list[tuple[str, int]]] = {}
         singles: list[tuple[str, int]] = []
+        # Long-context prompts stay single: the grouped program only has
+        # the dense-scores attention path ([S*T, C] f32 materialization —
+        # the exact cliff the flash CE kernel avoids), while single-seq
+        # prefill takes flash at buckets >= this threshold.
+        flash_min = _flash_prefill_min_t()
         for req_id, num_new in items:
             state = ib.requests[req_id]
-            if self._needs_host(state) or state.mm_inputs:
+            bucket = self.config.bucketing.token_bucket(num_new)
+            if (self._needs_host(state) or state.mm_inputs
+                    or bucket >= flash_min):
                 singles.append((req_id, num_new))
             else:
-                bucket = self.config.bucketing.token_bucket(num_new)
                 by_bucket.setdefault(bucket, []).append((req_id, num_new))
         groups = []
+        # Power-of-2 cap: warmup enumerates power-of-2 group sizes only
+        # (config.py's documented invariant); a non-pow2 prefill_group_size
+        # would otherwise form group sizes with no precompiled program.
         cap = self.config.scheduler.prefill_group_size
+        cap = 1 << (cap.bit_length() - 1)
         for bucket, members in by_bucket.items():
             i = 0
             while len(members) - i >= 2:
