@@ -74,6 +74,9 @@ def build_engine():
         MAX_MODEL_LEN = 512
         repo = os.path.dirname(os.path.abspath(__file__))
         spec_k = int(os.environ.get("BENCH_SPEC", "0"))
+        # BENCH_SPEC_ROUNDS=W fuses W draft/verify/accept rounds into one
+        # device program (one host RTT per W rounds instead of per round).
+        spec_w = int(os.environ.get("BENCH_SPEC_ROUNDS", "1"))
         config = build_engine_config(
             os.path.join(repo, "ckpt_tinypy"), dtype="bfloat16",
             max_model_len=MAX_MODEL_LEN, max_num_seqs=BATCH,
@@ -81,7 +84,8 @@ def build_engine():
             kv_cache_dtype=KV_DTYPE,
             speculative_config=(
                 {"model": os.path.join(repo, "ckpt_tinypy_eagle"),
-                 "num_speculative_tokens": spec_k, "method": "eagle"}
+                 "num_speculative_tokens": spec_k, "method": "eagle",
+                 "num_fused_rounds": spec_w}
                 if spec_k else None),
             override_tpu_config={
                 "context_encoding_buckets": [PROMPT_LEN],

@@ -127,3 +127,41 @@ def test_spec_with_quantized_target(tiny_llama_dir, tiny_eagle_dir):
         assert s.outputs[0].token_ids == b.outputs[0].token_ids
     assert any(k[0] == "spec_decode"
                for k in spec.engine.worker.model_runner.executor._fns)
+
+
+def test_spec_multi_round_greedy_identical(tiny_llama_dir, tiny_eagle_dir):
+    """W fused rounds per dispatch (device-resident acceptance state —
+    positions, kv lens, slot math advance on device between rounds) must
+    produce greedy output token-identical to the non-speculative baseline,
+    exactly like the single-round program."""
+    prompts = [
+        [5, 77, 301, 44, 12, 99, 8],
+        [401, 3, 3, 17],
+        [250, 251, 252, 253, 254, 255, 256, 100, 101],
+    ]
+    sp = SamplingParams(temperature=0.0, max_tokens=21, ignore_eos=True)
+
+    base = LLM(model=tiny_llama_dir, dtype="float32", max_model_len=128,
+               max_num_seqs=4, block_size=16, skip_tokenizer_init=True)
+    base_out = base.generate([{"prompt_token_ids": p} for p in prompts],
+                             [sp] * len(prompts))
+
+    spec = LLM(model=tiny_llama_dir, dtype="float32", max_model_len=128,
+               max_num_seqs=4, block_size=16, skip_tokenizer_init=True,
+               speculative_config={"model": tiny_eagle_dir,
+                                   "num_speculative_tokens": 3,
+                                   "method": "eagle",
+                                   "num_fused_rounds": 4})
+    spec_out = spec.generate([{"prompt_token_ids": p} for p in prompts],
+                             [sp] * len(prompts))
+
+    for p, b, s in zip(prompts, base_out, spec_out):
+        assert s.outputs[0].token_ids == b.outputs[0].token_ids, \
+            f"prompt {p}: multi-spec {s.outputs[0].token_ids} " \
+            f"vs base {b.outputs[0].token_ids}"
+
+    fns = spec.engine.worker.model_runner.executor._fns
+    assert any(k[0] == "spec_decode_multi" for k in fns)
+    snap = spec.engine.metrics.snapshot()
+    assert snap["spec_decode_rounds"] > 0
+    assert snap["spec_decode_acceptance_rate"] >= 0.0

@@ -370,6 +370,14 @@ class SpeculativeConfig:
     model: Optional[str] = None  # draft model path
     num_speculative_tokens: int = 0
     method: str = "eagle"
+    # Fused ROUNDS per host round trip: W>1 runs W draft/verify/accept
+    # rounds inside ONE device program with device-resident acceptance
+    # state (positions, kv lens, slot math). On hardware with a large
+    # host<->device RTT (tunneled v5e: 20-55 ms) single-round speculation
+    # pays one RTT per ~1.65 tokens while plain decode windows amortize 8
+    # steps per RTT — W-round fusion restores the amortization
+    # (docs/PERF_NOTES.md "speculation on the TPU").
+    num_fused_rounds: int = 1
 
     @property
     def enabled(self) -> bool:

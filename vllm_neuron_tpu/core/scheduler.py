@@ -242,8 +242,10 @@ class Scheduler:
         skipped: list[Request] = []
         window = self.scheduler_config.decode_window
         if self.config.speculative.enabled:
-            # One fused speculation round consumes up to 1 + K positions.
-            window = 1 + self.config.speculative.num_speculative_tokens
+            # One fused dispatch consumes up to W rounds x (1 + K)
+            # positions (num_fused_rounds=1: the single classic round).
+            window = (self.config.speculative.num_fused_rounds
+                      * (1 + self.config.speculative.num_speculative_tokens))
         elif self.waiting and self._admission_imminent(window):
             # TTFT policy: a waiting request could be admitted within a
             # couple of steps — shorten the window so the prefill is not

@@ -69,6 +69,7 @@ def build_engine_config(
             num_speculative_tokens=speculative_config.get(
                 "num_speculative_tokens", 0),
             method=speculative_config.get("method", "eagle"),
+            num_fused_rounds=speculative_config.get("num_fused_rounds", 1),
         )
     sampler = SamplerConfig()
     if on_device_sampling is not None:

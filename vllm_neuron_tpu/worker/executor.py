@@ -651,6 +651,171 @@ class ModelExecutor:
 
         return jax.jit(fn, donate_argnums=(2, 3, 4))
 
+    def _build_spec_decode_multi(self, K: int, W: int, lora: bool = False):
+        """W fused speculation rounds in ONE program (lax.scan over rounds)
+        with DEVICE-RESIDENT acceptance state: each round's positions,
+        kv lens, and KV slot mappings derive from the previous round's
+        acceptance count, so the host pays one round trip per W rounds
+        instead of per round — the RTT amortization plain decode windows
+        already have (docs/PERF_NOTES.md "speculation on the TPU": one
+        20-55 ms RTT per ~1.65 tokens was the structural loss). Round
+        internals mirror _build_spec_decode; slot tables are computed
+        in-program from the page table instead of arriving from the host.
+        Returns accepted tokens [N, W, K+1] (-1 past each round's
+        acceptance); rejected rounds' stale KV entries sit beyond kv_len
+        and are overwritten by the next round's verify."""
+        model = self.model
+        draft = self.draft_model
+        attn_backend = self.attn_backend
+        ps = self.config.cache.block_size
+        from vllm_neuron_tpu.sampling.spec import (filtered_probs,
+                                                   sample_from_probs,
+                                                   spec_acceptance)
+
+        def fn(params, dparams, kv, kv_d, spec_hidden, row_ids, first_tokens,
+               positions0, slot_caps, kv_lens0, page_indices, num_seqs,
+               temperature, top_k, top_p, step_seed, adapter_ids=None):
+            N = first_tokens.shape[0]
+            T = K + 1
+            PP = page_indices.shape[1]
+            embed_fn = lambda t: params["embed"][t]  # noqa: E731
+            active = kv_lens0 > 0
+            base_key = jax.random.PRNGKey(step_seed)
+            feats0 = spec_hidden[row_ids].astype(model.dtype)  # [N, H]
+
+            def slots_for(pos):
+                # pos: [N] absolute token positions -> KV slots; -1 (write
+                # skipped / dead row) when beyond the row's reserved blocks.
+                blk = jnp.clip(pos // ps, 0, PP - 1)
+                s = jnp.take_along_axis(page_indices, blk[:, None],
+                                        axis=1)[:, 0] * ps + pos % ps
+                ok = active & (pos >= 0) & (pos < slot_caps)
+                return jnp.where(ok, s, -1)
+
+            def round_body(carry, r):
+                tok, pos0, feats, kv, kv_d = carry
+                key = jax.random.fold_in(base_key, r)
+                kv_lens = jnp.where(active, pos0 + 1, 0)
+                cu1 = jnp.arange(N + 1, dtype=jnp.int32)
+                drafted, q_list = [], []
+                ftok = tok
+                for j in range(K):
+                    meta_d = RaggedMeta(
+                        slot_mapping=slots_for(pos0 - 1 + j),
+                        kv_lens=jnp.where(active, kv_lens - 1 + j, 0),
+                        page_indices=page_indices,
+                        cu_q_lens=cu1,
+                        num_seqs=num_seqs,
+                    )
+                    feats, kv_d = draft.forward(
+                        dparams, embed_fn, ftok, feats, pos0 - 1 + j,
+                        kv_d, meta_d, kind="decode",
+                        attn_backend=attn_backend)
+                    dlogits = jnp.dot(feats.astype(model.dtype),
+                                      params["lm_head"],
+                                      preferred_element_type=jnp.float32)
+                    q = filtered_probs(dlogits, temperature, top_k, top_p)
+                    ftok = sample_from_probs(q, jax.random.fold_in(key, j))
+                    ftok = jnp.where(temperature <= 0,
+                                     jnp.argmax(dlogits, axis=-1).astype(
+                                         jnp.int32), ftok)
+                    drafted.append(ftok)
+                    q_list.append(q)
+                drafted = jnp.stack(drafted, axis=1)  # [N, K]
+                q_probs = jnp.stack(q_list, axis=1)   # [N, K, V]
+
+                ver_tokens = jnp.concatenate([tok[:, None], drafted],
+                                             axis=1)  # [N, T]
+                pos_grid = (pos0[:, None]
+                            + jnp.arange(T, dtype=jnp.int32)[None])
+                slot_grid = jax.vmap(slots_for, in_axes=1,
+                                     out_axes=1)(pos_grid)  # [N, T]
+                meta_v = RaggedMeta(
+                    slot_mapping=slot_grid.reshape(-1),
+                    kv_lens=jnp.where(active, kv_lens + K, 0),
+                    page_indices=page_indices,
+                    cu_q_lens=jnp.arange(N + 1, dtype=jnp.int32) * T,
+                    num_seqs=num_seqs,
+                    adapter_ids=(jnp.repeat(adapter_ids, T)
+                                 if lora else None),
+                )
+                hidden, kv = model.forward(
+                    params, ver_tokens.reshape(N * T),
+                    pos_grid.reshape(-1), kv, meta_v, kind="spec_verify",
+                    attn_backend=attn_backend)
+                logits = model.compute_logits(params, hidden)  # [N*T, V]
+                p_probs = filtered_probs(
+                    logits, jnp.repeat(temperature, T),
+                    jnp.repeat(top_k, T),
+                    jnp.repeat(top_p, T)).reshape(N, T, -1)
+                tokens_out = spec_acceptance(
+                    drafted, q_probs, p_probs, jax.random.fold_in(key, K))
+                m = jnp.sum((tokens_out >= 0).astype(jnp.int32), axis=1)
+                m = jnp.where(active, jnp.maximum(m, 1), 0)
+
+                hidden = hidden.reshape(N, T, -1)
+                last_feat = jnp.take_along_axis(
+                    hidden, jnp.maximum(m - 1, 0)[:, None, None],
+                    axis=1)[:, 0]
+                next_tok = jnp.take_along_axis(
+                    tokens_out, jnp.maximum(m - 1, 0)[:, None],
+                    axis=1)[:, 0]
+                tok = jnp.where(active, next_tok, tok)
+                feats = jnp.where(active[:, None], last_feat, feats)
+                return (tok, pos0 + m, feats, kv, kv_d), tokens_out
+
+            (tok, pos0, feats, kv, kv_d), rounds_out = jax.lax.scan(
+                round_body, (first_tokens, positions0, feats0, kv, kv_d),
+                jnp.arange(W, dtype=jnp.int32))
+            spec_hidden = spec_hidden.at[row_ids].set(
+                jnp.where(active[:, None],
+                          feats.astype(spec_hidden.dtype),
+                          spec_hidden[row_ids]))
+            # [W, N, T] -> [N, W, T] for per-request round processing.
+            return (jnp.transpose(rounds_out, (1, 0, 2)), spec_hidden,
+                    kv, kv_d)
+
+        return jax.jit(fn, donate_argnums=(2, 3, 4))
+
+    def run_spec_decode_multi(self, row_ids, first_tokens, positions0,
+                              slot_caps, kv_lens0, page_indices,
+                              num_seqs: int, K: int, W: int,
+                              temperature=None, top_k=None, top_p=None,
+                              adapter_ids=None) -> np.ndarray:
+        """W fused speculation rounds, one host round trip. slot_caps: [N]
+        int32 block-capacity (in slots) per row. Returns accepted tokens
+        [N, W, K+1] (-1 past each round's acceptance)."""
+        N = first_tokens.shape[0]
+        if temperature is None:
+            temperature = np.zeros(N, np.float32)
+        if top_k is None:
+            top_k = np.full(N, -1, np.int32)
+        if top_p is None:
+            top_p = np.ones(N, np.float32)
+        self._replicate("run_spec_decode_multi", dict(
+            row_ids=row_ids, first_tokens=first_tokens,
+            positions0=positions0, slot_caps=slot_caps, kv_lens0=kv_lens0,
+            page_indices=page_indices, num_seqs=num_seqs, K=K, W=W,
+            temperature=temperature, top_k=top_k, top_p=top_p,
+            adapter_ids=adapter_ids))
+        lora = adapter_ids is not None
+        key = ("spec_decode_multi", K, W, N, page_indices.shape, lora)
+        fn = self._get_fn(key,
+                          lambda: self._build_spec_decode_multi(K, W, lora))
+        self._step_counter += 1
+        seed = np.uint32((self.config.model.seed + self._step_counter)
+                         & 0xFFFFFFFF)
+        extra = (jnp.asarray(adapter_ids),) if lora else ()
+        tokens, self.spec_hidden, self.kv_pages, self.kv_draft = fn(
+            self.params, self.draft_params, self.kv_pages, self.kv_draft,
+            self.spec_hidden, jnp.asarray(row_ids),
+            jnp.asarray(first_tokens), jnp.asarray(positions0),
+            jnp.asarray(slot_caps), jnp.asarray(kv_lens0),
+            jnp.asarray(page_indices),
+            jnp.asarray([num_seqs], jnp.int32), jnp.asarray(temperature),
+            jnp.asarray(top_k), jnp.asarray(top_p), seed, *extra)
+        return np.asarray(jax.device_get(tokens))
+
     def run_prefill_spec(self, token_ids, positions, slot_mapping, kv_len,
                          page_indices, num_new, row, temperature, top_k,
                          top_p, keep_device: bool = False,
@@ -872,6 +1037,18 @@ class ModelExecutor:
 
     def _dummy_spec_decode(self, N: int, PP: int, K: int) -> None:
         lora = "lora" in self.params
+        W = self.config.speculative.num_fused_rounds
+        if W > 1:
+            self.run_spec_decode_multi(
+                row_ids=np.zeros(N, np.int32),
+                first_tokens=np.zeros(N, np.int32),
+                positions0=np.zeros(N, np.int32),
+                slot_caps=np.zeros(N, np.int32),
+                kv_lens0=np.zeros(N, np.int32),
+                page_indices=np.zeros((N, PP), np.int32),
+                num_seqs=0, K=K, W=W,
+                adapter_ids=np.zeros(N, np.int32) if lora else None)
+            return
         self.run_spec_decode(
             row_ids=np.zeros(N, np.int32),
             first_tokens=np.zeros(N, np.int32),

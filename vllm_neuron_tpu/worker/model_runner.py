@@ -565,9 +565,13 @@ class ModelRunner:
                 # past block capacity are -1 (KV write skipped), and
                 # positions written above an accepted token are rewritten
                 # by the round that actually consumes them.
+                spec = self.config.speculative
+                if spec.num_fused_rounds > 1:
+                    return self._run_spec_multi(
+                        items, states, spec.num_speculative_tokens,
+                        spec.num_fused_rounds)
                 return self._run_spec(
-                    items, states,
-                    self.config.speculative.num_speculative_tokens)
+                    items, states, spec.num_speculative_tokens)
             K = max(n for _, n in items)
             if K > 1:
                 return self._run_decode_window(items, states, K)
@@ -584,6 +588,48 @@ class ModelRunner:
             [items[i] for i in dev], [states[i] for i in dev], K_dev,
             overlap=lambda: self._run_decode_single(host_items,
                                                     host_states))
+        return results
+
+    def _run_spec_multi(self, items, states, K: int, W: int
+                        ) -> dict[str, tuple[list[int], object]]:
+        """W fused speculation rounds per host round trip: acceptance
+        state (positions, kv lens, slot math) lives on device
+        (executor._build_spec_decode_multi); the host walks the [N, W, T]
+        accepted grid round by round and trims to each request's
+        scheduled-token budget (same truncation contract as the fixed-K
+        single round)."""
+        (N, token_ids, positions, _slot_table, kv_lens, page_indices,
+         temperature, top_k, top_p, adapter_ids, _) = self._decode_arrays(
+             states, K + 1)
+        ib = self.input_batch
+        row_ids = np.zeros(N, np.int32)
+        slot_caps = np.zeros(N, np.int32)
+        for i, state in enumerate(states):
+            row_ids[i] = state.row
+            slot_caps[i] = len(state.block_ids) * self.block_size
+        accepted = self.executor.run_spec_decode_multi(
+            row_ids, token_ids, positions, slot_caps, kv_lens,
+            page_indices, num_seqs=len(states), K=K, W=W,
+            temperature=temperature, top_k=top_k, top_p=top_p,
+            adapter_ids=adapter_ids)  # [N, W, K+1]
+        results = {}
+        self.spec_stats["rounds"] += W
+        for i, ((req_id, num_new), state) in enumerate(zip(items, states)):
+            toks: list[int] = []
+            rounds_used = 0
+            for r in range(W):
+                if len(toks) >= num_new:
+                    break
+                rtoks = [int(t) for t in accepted[i, r] if t >= 0]
+                toks.extend(rtoks)
+                rounds_used += 1
+            toks = toks[:num_new]
+            state.num_computed_tokens += len(toks)
+            for tok in toks:
+                self._record_token(state, tok)
+            self.spec_stats["drafted"] += K * rounds_used
+            self.spec_stats["accepted"] += max(0, len(toks) - rounds_used)
+            results[req_id] = (toks, None)
         return results
 
     def _run_spec(self, items, states, K: int
