@@ -567,6 +567,13 @@ class ModelRunner:
                 # by the round that actually consumes them.
                 spec = self.config.speculative
                 if spec.num_fused_rounds > 1:
+                    # Fixed W every dispatch. A budget-aware ladder
+                    # (downshift W when the remaining budget < the window
+                    # capacity) was A/B'd on chip and LOST 7% e2e: window
+                    # CAPACITY overestimates progress (~1.8 accepted
+                    # tokens/round), so tail downshifts added round trips,
+                    # and the RTT they cost exceeds the device time a
+                    # smaller W saves (docs/PERF_NOTES.md spec sweep).
                     return self._run_spec_multi(
                         items, states, spec.num_speculative_tokens,
                         spec.num_fused_rounds)
