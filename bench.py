@@ -5,7 +5,7 @@ Drives the REAL serving stack — continuous-batching scheduler, paged block-KV
 cache, pipelined multi-step decode windows, on-device sampling — on the
 BASELINE.json north-star config by default: a Llama-3.1-8B-architecture
 model with INT8 weights (8B does not fit one 16 GB chip unquantized at all),
-64 concurrent requests, 512-token prompts, 128 generated tokens each,
+80 concurrent requests, 512-token prompts, 128 generated tokens each,
 greedy. BENCH_MODEL=tinyllama selects the small CPU-runnable config
 (BASELINE config 1 class).
 
@@ -93,16 +93,24 @@ def build_engine():
                 "decode_window": DECODE_WINDOW})
         return EngineCore(config)
     if MODEL_VARIANT == "llama8b":
-        # b64 is the measured-best batch (quiet-machine median-of-3:
-        # b32 ~930 / b48 1199 / b64 1298 tok/s e2e — the int8 weight
+        # b80 is the measured-best batch (quiet-machine median-of-3:
+        # b32 ~930 / b48 1199 / b64 1394 / b80 1468 / b88 1297 (prefill
+        # degrades under KV pressure) / b96 device-OOM — the int8 weight
         # stream dominates the decode step and amortizes over rows).
-        BATCH = int(os.environ.get("BENCH_BATCH", "64"))
+        BATCH = int(os.environ.get("BENCH_BATCH", "80"))
         PROMPT_LEN = int(os.environ.get("BENCH_PROMPT_LEN", "512"))
-        # The workload peaks at 512+128=640 tokens/seq; b64 bf16 KV only
-        # fits the 16 GB chip at max_model_len <= 768 (24 blocks/seq).
-        need = ((PROMPT_LEN + GEN_TOKENS + 255) // 256) * 256
+        # The workload peaks at 512+128=640 tokens/seq; bf16 KV fits the
+        # 16 GB chip at max_model_len <= 768 for b64 (24 blocks/seq) and
+        # <= 704 for b80 (22 blocks/seq).
+        # need rounds to BLOCK granularity, not 256: at b80 a 256-rounded
+        # need (768) forced a 24-block/seq pool (7.50 GiB) whose lost
+        # headroom collapsed prefill 15.8k -> 11.6k tok/s (A/B'd: 704 =
+        # 22 blocks/seq, 6.88 GiB, is the fast config).
+        need = ((PROMPT_LEN + GEN_TOKENS + BLOCK_SIZE - 1)
+                // BLOCK_SIZE) * BLOCK_SIZE
+        default_len = 1024 if BATCH <= 48 else (768 if BATCH <= 64 else 704)
         MAX_MODEL_LEN = int(os.environ.get(
-            "BENCH_MAX_LEN", str(max(768 if BATCH > 48 else 1024, need))))
+            "BENCH_MAX_LEN", str(max(default_len, need))))
         QUANT = QUANT or "int8"
         hf = LlamaConfig(max_position_embeddings=MAX_MODEL_LEN,
                          tie_word_embeddings=False, **LLAMA8B)
