@@ -165,3 +165,30 @@ def test_spec_multi_round_greedy_identical(tiny_llama_dir, tiny_eagle_dir):
     snap = spec.engine.metrics.snapshot()
     assert snap["spec_decode_rounds"] > 0
     assert snap["spec_decode_acceptance_rate"] >= 0.0
+
+
+def test_spec_multi_round_crosses_page_bucket(tiny_llama_dir,
+                                              tiny_eagle_dir):
+    """A multi-round window that CROSSES a page-bucket boundary must stay
+    token-identical to the baseline: the host sizes the dispatch's page
+    bucket for the full W*(K+1) window (a one-round bucket would let later
+    rounds' page lookups clip into the last listed page and overwrite live
+    context KV — round-4 review finding). Prompt 55 @ block 16: nct=55
+    starts in the 4-page (64-token) bucket; W=4 x (K+1)=16 positions cross
+    into pages 4-5."""
+    rng = np.random.default_rng(6)
+    prompt = rng.integers(1, 512, size=55).tolist()
+    sp = SamplingParams(temperature=0.0, max_tokens=40, ignore_eos=True)
+
+    base = LLM(model=tiny_llama_dir, dtype="float32", max_model_len=128,
+               max_num_seqs=4, block_size=16, skip_tokenizer_init=True)
+    b = base.generate({"prompt_token_ids": prompt}, sp)[0]
+
+    spec = LLM(model=tiny_llama_dir, dtype="float32", max_model_len=128,
+               max_num_seqs=4, block_size=16, skip_tokenizer_init=True,
+               speculative_config={"model": tiny_eagle_dir,
+                                   "num_speculative_tokens": 3,
+                                   "method": "eagle",
+                                   "num_fused_rounds": 4})
+    s = spec.generate({"prompt_token_ids": prompt}, sp)[0]
+    assert s.outputs[0].token_ids == b.outputs[0].token_ids

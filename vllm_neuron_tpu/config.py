@@ -522,6 +522,13 @@ class EngineConfig:
             raise ValueError(
                 "speculative decoding is not supported with chunked prefill "
                 "(the Eagle draft stream cannot span prefill chunks yet)")
+        if self.speculative.enabled and \
+                self.speculative.num_fused_rounds < 1:
+            raise ValueError(
+                f"num_fused_rounds must be >= 1, got "
+                f"{self.speculative.num_fused_rounds} (a 0/negative value "
+                "would zero the scheduler window and silently disable "
+                "speculation)")
         # LoRA composes with speculation: adapter ids ride the target's
         # prefill/verify metas (the Eagle draft stays base-model — stale
         # drafts lower acceptance, the adapted verify stays authoritative).

@@ -685,11 +685,16 @@ class ModelExecutor:
 
             def slots_for(pos):
                 # pos: [N] absolute token positions -> KV slots; -1 (write
-                # skipped / dead row) when beyond the row's reserved blocks.
+                # skipped / dead row) when beyond the row's reserved blocks
+                # OR beyond the dispatch's page bucket (the clip would
+                # otherwise redirect the write into the LAST listed page,
+                # overwriting live context KV — the host sizes PP for the
+                # full W-round window, this guard is the backstop).
                 blk = jnp.clip(pos // ps, 0, PP - 1)
                 s = jnp.take_along_axis(page_indices, blk[:, None],
                                         axis=1)[:, 0] * ps + pos % ps
-                ok = active & (pos >= 0) & (pos < slot_caps)
+                ok = (active & (pos >= 0) & (pos < slot_caps)
+                      & (pos // ps < PP))
                 return jnp.where(ok, s, -1)
 
             def round_body(carry, r):

@@ -605,10 +605,14 @@ class ModelRunner:
         accepted grid round by round and trims to each request's
         scheduled-token budget (same truncation contract as the fixed-K
         single round)."""
-        (N, token_ids, positions, _slot_table, kv_lens, page_indices,
+        # Page-bucket sizing must cover the FULL multi-round window: the
+        # device advances up to W*(K+1) positions in one dispatch, so the
+        # bucket request is W*(K+1) tokens past nct (a one-round bucket
+        # would let later rounds' page lookups clip into the last listed
+        # page and overwrite live context KV).
+        (N, token_ids, positions, _, kv_lens, page_indices,
          temperature, top_k, top_p, adapter_ids, _) = self._decode_arrays(
-             states, K + 1)
-        ib = self.input_batch
+             states, W * (K + 1), skip_slot_table=True)
         row_ids = np.zeros(N, np.int32)
         slot_caps = np.zeros(N, np.int32)
         for i, state in enumerate(states):
@@ -620,22 +624,25 @@ class ModelRunner:
             temperature=temperature, top_k=top_k, top_p=top_p,
             adapter_ids=adapter_ids)  # [N, W, K+1]
         results = {}
+        # The device executes all W rounds for every row regardless of
+        # budgets; acceptance-rate accounting counts only rounds whose
+        # tokens were (at least partly) consumed, mirroring the
+        # single-round bookkeeping (1 bonus + accepted drafts per round).
         self.spec_stats["rounds"] += W
         for i, ((req_id, num_new), state) in enumerate(zip(items, states)):
             toks: list[int] = []
-            rounds_used = 0
             for r in range(W):
-                if len(toks) >= num_new:
+                remaining = num_new - len(toks)
+                if remaining <= 0:
                     break
-                rtoks = [int(t) for t in accepted[i, r] if t >= 0]
-                toks.extend(rtoks)
-                rounds_used += 1
-            toks = toks[:num_new]
+                take = [int(t) for t in accepted[i, r]
+                        if t >= 0][:remaining]
+                toks.extend(take)
+                self.spec_stats["drafted"] += K
+                self.spec_stats["accepted"] += max(0, len(take) - 1)
             state.num_computed_tokens += len(toks)
             for tok in toks:
                 self._record_token(state, tok)
-            self.spec_stats["drafted"] += K * rounds_used
-            self.spec_stats["accepted"] += max(0, len(toks) - rounds_used)
             results[req_id] = (toks, None)
         return results
 
@@ -679,7 +686,8 @@ class ModelRunner:
             results[req_id] = (toks, None)
         return results
 
-    def _decode_arrays(self, states, K: int, nct_offset: int = 0):
+    def _decode_arrays(self, states, K: int, nct_offset: int = 0,
+                       skip_slot_table: bool = False):
         """Assemble one decode window's host arrays — fully vectorized over
         the InputBatch's dense per-row mirrors (the reference's pure-Python
         per-token input prep, model_runner.py:757-763, is the anti-pattern
@@ -700,14 +708,16 @@ class ModelRunner:
         kv_lens[:n] = nct + 1
 
         bt = ib.block_tables[rows]  # [n, P]
-        pos = nct[None, :] + np.arange(K, dtype=np.int32)[:, None]  # [K, n]
-        cap = (ib.num_blocks[rows] * bs)[None, :]
-        blk = np.minimum(pos // bs, self.max_blocks_per_seq - 1)
-        slots = bt[np.arange(n)[None, :], blk] * bs + pos % bs
-        slot_table = np.full((K, N), -1, np.int32)
-        # Rows clamped by block capacity get -1 (KV write skipped; sampled
-        # overshoot discarded by the scheduler).
-        slot_table[:, :n] = np.where(pos < cap, slots, -1)
+        slot_table = None
+        if not skip_slot_table:
+            pos = nct[None, :] + np.arange(K, dtype=np.int32)[:, None]
+            cap = (ib.num_blocks[rows] * bs)[None, :]
+            blk = np.minimum(pos // bs, self.max_blocks_per_seq - 1)
+            slots = bt[np.arange(n)[None, :], blk] * bs + pos % bs
+            slot_table = np.full((K, N), -1, np.int32)
+            # Rows clamped by block capacity get -1 (KV write skipped;
+            # sampled overshoot discarded by the scheduler).
+            slot_table[:, :n] = np.where(pos < cap, slots, -1)
 
         temperature = np.zeros(N, np.float32)
         top_k = np.full(N, -1, np.int32)
