@@ -108,7 +108,11 @@ def build_engine():
         # 22 blocks/seq, 6.88 GiB, is the fast config).
         need = ((PROMPT_LEN + GEN_TOKENS + BLOCK_SIZE - 1)
                 // BLOCK_SIZE) * BLOCK_SIZE
-        default_len = 1024 if BATCH <= 48 else (768 if BATCH <= 64 else 704)
+        # 672 (21 blocks/seq) over 704 for b80: same throughput within
+        # noise (1449 vs 1462 median-of-3) and ~300 MB more headroom —
+        # 8.6 GiB weights + 6.88 GiB pool at 704 measured flaky-OOM at
+        # engine warm (~15.5/16 GiB).
+        default_len = 1024 if BATCH <= 48 else (768 if BATCH <= 64 else 672)
         MAX_MODEL_LEN = int(os.environ.get(
             "BENCH_MAX_LEN", str(max(default_len, need))))
         QUANT = QUANT or "int8"
