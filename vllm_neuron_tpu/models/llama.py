@@ -373,11 +373,17 @@ class LlamaForCausalLM:
         from vllm_neuron_tpu.ops.ragged_attention import get_attention_mesh
         layers_xs = params["layers"]
         stacked_i4 = {}
-        if get_attention_mesh() is None:
+        # Dispatch is keyed on the QUANT CONFIG (int4 + a quantizable
+        # projection name), not on scale rank alone — a future stacked
+        # per-group scale for some other scheme must not silently route
+        # into the nibble-unpack kernel.
+        if (get_attention_mesh() is None and self.quant is not None
+                and self.quant.quantization == "int4"):
             stacked_i4 = {
                 k: (layers_xs[k], layers_xs[k + "_scale"])
                 for k, v in layers_xs.items()
-                if (k + "_scale") in layers_xs
+                if k in self.QUANTIZABLE
+                and (k + "_scale") in layers_xs
                 and getattr(layers_xs[k + "_scale"], "ndim", 0) == 3
                 and layers_xs[k + "_scale"].shape[1] > 1
             }

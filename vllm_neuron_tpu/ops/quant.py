@@ -332,7 +332,11 @@ def _ktiled_eligible(K: int, Kg: int) -> bool:
 
 
 def _int4_stacked_kernel(l_ref, x_ref, w_ref, s_ref, o_ref):
-    _dequant_matmul_int4_kernel(x_ref, w_ref.at[0], s_ref.at[0], o_ref)
+    # Honor the VLLM_TPU_INT4_KERNEL v1/v2/v3 A/B knob on the stacked
+    # (production decode) path too — it used to hardwire v1, silently
+    # making A/B runs here measure v1 regardless of the env setting.
+    _INT4_KERNELS[_int4_kernel_variant()](x_ref, w_ref.at[0], s_ref.at[0],
+                                          o_ref)
 
 
 @functools.partial(jax.jit,

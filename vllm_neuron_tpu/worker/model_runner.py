@@ -638,7 +638,15 @@ class ModelRunner:
                 take = [int(t) for t in accepted[i, r]
                         if t >= 0][:remaining]
                 toks.extend(take)
-                self.spec_stats["drafted"] += K
+                # Drafted = the round's USABLE draft positions, mirroring
+                # the device's slot_caps guard (executor slots_for: draft
+                # writes past the row's reserved blocks are skipped) and
+                # the single-round dslot_table>=0 accounting — counting a
+                # flat K per round skewed acceptance-rate low between the
+                # two modes (ADVICE r4).
+                cur = int(kv_lens[i]) + (len(toks) - len(take))
+                self.spec_stats["drafted"] += max(
+                    0, min(K, int(slot_caps[i]) - cur))
                 self.spec_stats["accepted"] += max(0, len(take) - 1)
             state.num_computed_tokens += len(toks)
             for tok in toks:
