@@ -132,7 +132,13 @@ def build_engine():
             tie_word_embeddings=False,
         )
     hf.architectures = ["LlamaForCausalLM"]
-    from vllm_neuron_tpu.config import QuantConfig
+    from vllm_neuron_tpu.config import QuantConfig, SpeculativeConfig
+    # BENCH_SPEC on the random-weight configs: a random 1-layer Eagle
+    # draft (acceptance ~ 1/vocab ~ 0) — measures the fused multi-round
+    # machinery's WORST-CASE device overhead at 8B geometry (VERDICT r4
+    # #3), not a realistic speedup.
+    spec_k = int(os.environ.get("BENCH_SPEC", "0"))
+    spec_w = int(os.environ.get("BENCH_SPEC_ROUNDS", "1"))
     config = EngineConfig(
         model=ModelConfig(model="__random__", tokenizer="__random__",
                           dtype="bfloat16", max_model_len=MAX_MODEL_LEN,
@@ -148,6 +154,9 @@ def build_engine():
             context_encoding_buckets=[b for b in (512, 1024, 2048)
                                       if b <= MAX_MODEL_LEN],
             token_generation_buckets=[BATCH]),
+        speculative=(SpeculativeConfig(
+            model="__random__", num_speculative_tokens=spec_k,
+            num_fused_rounds=spec_w) if spec_k else SpeculativeConfig()),
         quant=QuantConfig(
             quantization=QUANT,
             # W8A8/W4A8 dynamic per-token activations on prefill-sized
@@ -285,9 +294,11 @@ def main():
     total = BATCH * GEN_TOKENS
     vs = tokens_per_sec / PREV_BEST if PREV_BEST else 1.0
     if MODEL_VARIANT == "llama8b":
+        spec_k = int(os.environ.get("BENCH_SPEC", "0"))
+        spec_tag = f"_spec{spec_k}" if spec_k else ""
         name = (f"engine_decode_tokens_per_sec_per_chip_llama3.1-8b_"
                 f"{QUANT}_b{BATCH}_p{PROMPT_LEN}_g{GEN_TOKENS}"
-                f"{'_chunked' if CHUNKED else ''}")
+                f"{'_chunked' if CHUNKED else ''}{spec_tag}")
     elif MODEL_VARIANT == "tinypy":
         spec_k = int(os.environ.get("BENCH_SPEC", "0"))
         tag = f"_spec{spec_k}" if spec_k else ""

@@ -37,7 +37,11 @@ HQ, HKV, DP = 32, 8, 128
 PS = int(os.environ.get("AB_PAGE_SIZE", "32"))
 assert PS > 0 and 32 * 1024 % PS == 0, \
     f"AB_PAGE_SIZE={PS} must be positive and divide 32768"
-NUM_PAGES = 32 * 1024 // PS + 1
+KV_LEN_EARLY = int(sys.argv[2]) if len(sys.argv) > 2 else 640
+# Pool sized to fit one contiguous run per row (engine-like layout) even
+# at large B; the old fixed 1025-page pool capped contiguous mode at b50.
+NUM_PAGES = max(32 * 1024 // PS + 1,
+                B * (-(-KV_LEN_EARLY // PS)) + 1)
 # NOTE: the default AB_FUSED_CS / AB_ROWBLOCK_RS chunk lists below assume
 # PS=32; with a larger AB_PAGE_SIZE the same C/R values move proportionally
 # more KV per iteration and can blow the ~16MB scoped-VMEM double-buffer
@@ -61,9 +65,20 @@ def setup(dtype=jnp.bfloat16):
                      dtype)
     kv_lens = jnp.full((B,), KV_LEN, jnp.int32)
     pages = np.zeros((B, PP_BUCKET), np.int32)
-    for b in range(B):
-        pages[b] = rng.choice(np.arange(1, NUM_PAGES), PP_BUCKET,
-                              replace=False)
+    if os.environ.get("AB_PAGES", "contig") == "contig":
+        # Consecutive pool pages per row — the ENGINE's real layout (the
+        # allocator hands out a prefill's blocks as one ascending run),
+        # which the flat kernel's contiguous-run DMA fast path detects.
+        # AB_PAGES=random measures the per-page-DMA fallback.
+        nxt = 1
+        for b in range(B):
+            pages[b] = np.arange(nxt, nxt + PP_BUCKET)
+            nxt += PP_BUCKET
+        assert nxt <= NUM_PAGES, "pool too small for contiguous rows"
+    else:
+        for b in range(B):
+            pages[b] = rng.choice(np.arange(1, NUM_PAGES), PP_BUCKET,
+                                  replace=False)
     return q, kv, kv_lens, jnp.asarray(pages)
 
 

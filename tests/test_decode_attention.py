@@ -331,3 +331,37 @@ def test_engine_fp8_kv_with_rowblock_kernel(tiny_llama_dir):
         del os.environ["VLLM_TPU_DECODE_KERNEL"]
         ra._decode_kernel_fn.cache_clear()
     assert got == base
+
+
+def test_flat_contiguous_run_dma_paths():
+    """The contiguous-run fast path (one C-page DMA per chunk when the
+    pool pages are consecutive) must be exact against the dense oracle for
+    every run structure: fully contiguous rows (fast path), scrambled rows
+    (per-page fallback), a row whose run breaks mid-chunk, and a
+    contiguous row whose slice would run off the END of the pool
+    (start+C > num_pages -> fallback)."""
+    import numpy as np
+    B, Hq, Hkv, Dp, ps, PP, num_pages = 4, 8, 2, 128, 16, 6, 32
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.standard_normal((B, Hq, Dp)), jnp.float32)
+    kv_pages = jnp.asarray(
+        rng.standard_normal((num_pages, ps, 2 * Hkv, Dp)), jnp.float32)
+    kv_lens = jnp.asarray([90, 95, 96, 70], jnp.int32)
+    pages = np.zeros((B, PP), np.int32)
+    pages[0] = np.arange(1, 7)            # fully contiguous
+    pages[1] = [20, 9, 3, 15, 25, 11]     # scrambled: per-page fallback
+    pages[2] = [7, 8, 9, 17, 18, 19]      # run breaks at chunk boundary
+    pages[3] = [28, 29, 30, 31, 1, 2]     # tail slice would exceed pool
+    pages = jnp.asarray(pages)
+    sm = 1.0 / np.sqrt(Dp)
+    lo, hi = visible_range(kv_lens)
+    ref = _dense_oracle(q, kv_pages, kv_lens, pages, sm)
+    for C in (2, 3, 6):
+        for fused in (False, True):
+            out = decode_paged_attention_flat(
+                q, kv_pages, lo, hi, pages, num_kv_heads=Hkv,
+                sm_scale=sm, pages_per_chunk=C, fused_gqa=fused,
+                interpret=True)
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref), atol=2e-5,
+                err_msg=f"C={C} fused={fused}")

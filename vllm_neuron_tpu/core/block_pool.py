@@ -131,6 +131,14 @@ class BlockPool:
             self._evict(block)
             block.ref_count = 1
             out.append(block)
+        # Ascending-id order within one allocation: requests free their
+        # blocks tail-first (kv_cache_manager.free reverses for LRU prefix
+        # retention), so a multi-block grab often pops a DESCENDING
+        # consecutive run — sorting re-forms the ascending run the decode
+        # kernel's contiguous-chunk DMA fast path detects
+        # (ops/decode_attention._flat_kernel). Eviction choice is
+        # unchanged; only the position assignment within this call moves.
+        out.sort(key=lambda b: b.block_id)
         return out
 
     def _evict(self, block: KVBlock) -> None:

@@ -204,8 +204,29 @@ class Scheduler:
             # re-encodes its generated tokens too.
             num_new_tokens = request.num_tokens - num_cached
             assert num_new_tokens > 0
-            new_block_ids = self.kv_manager.allocate_slots(
-                request, num_new_tokens, computed_blocks)
+            # Contiguous full-sequence reservation: allocate the EXPECTED
+            # final length (prompt + generation budget) in one grab, so
+            # the row's pool pages form one ascending run — the decode
+            # kernel's contiguous-chunk DMA streams a whole row in ONE
+            # copy (ops/decode_attention, measured 0.354 vs 1.122 ms/call
+            # at b80). Incremental per-window block growth scatters pages
+            # and forfeits the fast path. Falls back to prompt-only
+            # allocation under pool pressure (reservation is a layout
+            # optimization, never an admission requirement).
+            new_block_ids = None
+            if self.scheduler_config.reserve_full_sequence:
+                sp = request.sampling_params
+                horizon = (sp.max_tokens
+                           if sp.max_tokens is not None
+                           else self.scheduler_config.decode_window)
+                reserve = min(request.num_tokens + horizon,
+                              self.max_model_len) - num_cached
+                if reserve > num_new_tokens:
+                    new_block_ids = self.kv_manager.allocate_slots(
+                        request, reserve, computed_blocks)
+            if new_block_ids is None:
+                new_block_ids = self.kv_manager.allocate_slots(
+                    request, num_new_tokens, computed_blocks)
             if new_block_ids is None:
                 # Not enough KV blocks right now: wait for running decodes to
                 # finish instead of thrashing them with preemption. Flag the

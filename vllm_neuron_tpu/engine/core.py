@@ -149,6 +149,11 @@ class EngineCore:
     def __init__(self, config: EngineConfig, tokenizer=None):
         self.config = config
         self.tokenizer = tokenizer
+        # Fail (or downshift the pool) BEFORE the scheduler's block pool
+        # and the device allocation exist — near-ceiling configs used to
+        # wedge the chip at first dispatch instead (VERDICT r4 #6).
+        from vllm_neuron_tpu.utils.membudget import apply_memory_budget
+        apply_memory_budget(config)
         self.scheduler = Scheduler(config)
         self.worker = Worker(config)
         self.worker.init_device()

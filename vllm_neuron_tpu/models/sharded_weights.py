@@ -232,3 +232,67 @@ def load_llama_sharded(model, model_dir: str, mesh) -> dict:
         import jax.numpy as jnp
         params["lm_head"] = jnp.transpose(params["embed"])
     return params
+
+
+def load_prequantized_sharded(model, model_dir: str, mesh):
+    """Lazy sharded load of a tools/quantize.py PRE-QUANTIZED checkpoint
+    (the 70B-class path: quantize once on a big host, then every serving
+    host range-reads only its own shards — fp8/int8/int4 weights + scales;
+    reference analogue: NxDI save_quantized_state_dict + per-rank shards,
+    model_loader.py:238-240). Returns None when the directory is not a
+    pre-quantized checkpoint.
+
+    The quantized file stores the model's OWN stacked layout (flat
+    dot-joined keys), so no HF-name mapping or transposes are needed —
+    each tensor is sliced directly with its at-rest sharding spec.
+    Non-standard dtypes (bf16 embed, fp8 weights) are stored as uint views
+    with the true dtype in the manifest; views reinterpret per slice."""
+    from vllm_neuron_tpu.tools.quantize import (MANIFEST, _restore_dtype)
+    manifest_path = os.path.join(model_dir, MANIFEST)
+    if not os.path.exists(manifest_path):
+        return None
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+    tensor_dtypes = manifest.get("tensor_dtypes", {})
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from safetensors import safe_open
+
+    from vllm_neuron_tpu.parallel.mesh import EXPERT_AXIS, MODEL_AXIS
+    from vllm_neuron_tpu.parallel.sharding import (LAYER_PARAM_SPECS,
+                                                   TOP_PARAM_SPECS,
+                                                   _divisible)
+    tp = mesh.shape[MODEL_AXIS]
+    ep = mesh.shape.get(EXPERT_AXIS, 1)
+    path = os.path.join(model_dir, "quantized.safetensors")
+    handle = safe_open(path, framework="numpy")
+
+    def load_one(key: str) -> jax.Array:
+        sl = handle.get_slice(key)
+        shape = tuple(sl.get_shape())
+        leaf = key.split(".")[-1]
+        spec = LAYER_PARAM_SPECS.get(leaf, TOP_PARAM_SPECS.get(leaf, P()))
+        spec = P(*spec[:len(shape)]) if len(spec) > len(shape) else spec
+        spec = _divisible(spec, shape, tp, ep)
+        true_dtype = tensor_dtypes.get(key)
+
+        def cb(idx):
+            t = handle.get_slice(key)[idx]
+            return np.ascontiguousarray(_restore_dtype(t, true_dtype))
+
+        arr = jax.make_array_from_callback(
+            shape, NamedSharding(mesh, spec), cb)
+        return arr
+
+    flat = {}
+    for key in handle.keys():
+        flat[key] = load_one(key)
+        logger.info("lazily sharded prequantized %s: %s", key,
+                    tuple(flat[key].shape))
+    from vllm_neuron_tpu.tools.quantize import _unflatten
+    params = _unflatten(flat)
+    if getattr(model, "tie_embeddings", False) and "lm_head" not in params:
+        params["lm_head"] = jnp.transpose(params["embed"])
+    return params

@@ -36,33 +36,47 @@ def sample_tokens(logits: jax.Array, temperature: jax.Array,
 
     Fully vectorized: top-256 window -> temperature -> top-k mask -> top-p
     mask -> Gumbel-max. Greedy rows (temp == 0) take pure argmax.
+
+    The whole top-k machinery sits under a ``lax.cond`` on ``any(temp >
+    0)``: XLA conditionals execute only the taken branch, and the lowered
+    TopK custom-call over [S, V] f32 measured **7.9 ms/step at b80/V=128k
+    — 26% of the whole decode step** (round-5 perfetto profile,
+    perf/step_profile.py) while serving an all-greedy batch that never
+    used its output. All-greedy steps now pay one argmax (~0.07 ms);
+    batches with any sampled row take the full path unchanged.
     """
     S, V = logits.shape
     K = min(MAX_ON_DEVICE_TOP_K, V)
 
-    top_vals, top_idx = jax.lax.top_k(logits, K)  # [S, K] sorted desc
-    j = jnp.arange(K, dtype=jnp.int32)[None, :]  # [1, K]
-
-    # top-k mask (disabled => full window).
-    k_eff = jnp.where(top_k <= 0, K, jnp.minimum(top_k, K))[:, None]
-    keep = j < k_eff
-
-    # Temperature (greedy rows guarded; resolved by the argmax select below).
-    safe_temp = jnp.where(temperature > 0, temperature, 1.0)[:, None]
-    scaled = top_vals / safe_temp
-
-    # top-p over the sorted window: keep tokens while the cumulative
-    # probability BEFORE them is < top_p (always keeps rank 0).
-    probs = jax.nn.softmax(jnp.where(keep, scaled, -jnp.inf), axis=-1)
-    cum_before = jnp.cumsum(probs, axis=-1) - probs
-    keep &= cum_before < top_p[:, None]
-
-    masked = jnp.where(keep, scaled, -jnp.inf)
-    gumbel = jax.random.gumbel(step_key, (S, K), dtype=jnp.float32)
-    sampled_rank = jnp.argmax(masked + gumbel, axis=-1)
-    sampled = jnp.take_along_axis(top_idx, sampled_rank[:, None],
-                                  axis=-1)[:, 0]
     # Greedy via direct argmax over the full vocab: first-max tie-breaking,
     # bit-identical to the host sampler's np.argmax.
-    greedy = jnp.argmax(logits, axis=-1).astype(sampled.dtype)
-    return jnp.where(temperature <= 0, greedy, sampled)
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    def _sampled(_):
+        top_vals, top_idx = jax.lax.top_k(logits, K)  # [S, K] sorted desc
+        j = jnp.arange(K, dtype=jnp.int32)[None, :]  # [1, K]
+
+        # top-k mask (disabled => full window).
+        k_eff = jnp.where(top_k <= 0, K, jnp.minimum(top_k, K))[:, None]
+        keep = j < k_eff
+
+        # Temperature (greedy rows guarded; resolved by the argmax select
+        # below).
+        safe_temp = jnp.where(temperature > 0, temperature, 1.0)[:, None]
+        scaled = top_vals / safe_temp
+
+        # top-p over the sorted window: keep tokens while the cumulative
+        # probability BEFORE them is < top_p (always keeps rank 0).
+        probs = jax.nn.softmax(jnp.where(keep, scaled, -jnp.inf), axis=-1)
+        cum_before = jnp.cumsum(probs, axis=-1) - probs
+        keepp = keep & (cum_before < top_p[:, None])
+
+        masked = jnp.where(keepp, scaled, -jnp.inf)
+        gumbel = jax.random.gumbel(step_key, (S, K), dtype=jnp.float32)
+        sampled_rank = jnp.argmax(masked + gumbel, axis=-1)
+        sampled = jnp.take_along_axis(top_idx, sampled_rank[:, None],
+                                      axis=-1)[:, 0]
+        return jnp.where(temperature <= 0, greedy, sampled)
+
+    return jax.lax.cond(jnp.any(temperature > 0), _sampled,
+                        lambda _: greedy, None)

@@ -22,6 +22,28 @@ import numpy as np
 
 MANIFEST = "vllm_neuron_tpu_quant.json"
 
+# safetensors' numpy framework rejects ml_dtypes (bfloat16, float8_*):
+# non-standard dtypes are stored as same-itemsize uint views with the true
+# dtype recorded in the manifest ("tensor_dtypes"). Shapes are unchanged,
+# so lazy range reads (models/sharded_weights.py) slice the view and
+# reinterpret per slice.
+_VIEW_FOR = {"bfloat16": "uint16", "float8_e4m3fn": "uint8",
+             "float8_e5m2": "uint8"}
+
+
+def _to_savable(arr: np.ndarray) -> tuple[np.ndarray, str | None]:
+    name = arr.dtype.name
+    if name in _VIEW_FOR:
+        return arr.view(_VIEW_FOR[name]), name
+    return arr, None
+
+
+def _restore_dtype(arr: np.ndarray, dtype_name: str | None) -> np.ndarray:
+    if dtype_name is None:
+        return arr
+    import ml_dtypes  # noqa: F401  (registers the dtypes)
+    return arr.view(dtype_name)
+
 
 def _flatten(tree: dict, prefix: str = "") -> dict:
     flat = {}
@@ -63,6 +85,11 @@ def quantize_and_save(model_dir: str, output_dir: str, quantization: str,
     model = MODEL_REGISTRY[arch](_Cfg)
     params = model.load_params(model_dir)  # quantizes during load
     flat = _flatten(jax_to_numpy(params))
+    tensor_dtypes = {}
+    for k in list(flat):
+        flat[k], true_dtype = _to_savable(flat[k])
+        if true_dtype:
+            tensor_dtypes[k] = true_dtype
     os.makedirs(output_dir, exist_ok=True)
     save_file(flat, os.path.join(output_dir, "quantized.safetensors"))
     with open(os.path.join(output_dir, MANIFEST), "w") as f:
@@ -71,6 +98,7 @@ def quantize_and_save(model_dir: str, output_dir: str, quantization: str,
             "dtype": dtype,
             "architecture": arch,
             "source": os.path.abspath(model_dir),
+            "tensor_dtypes": tensor_dtypes,
         }, f, indent=2)
     # The HF config rides along so the output dir is self-contained.
     model_config.hf_config.save_pretrained(output_dir)
@@ -90,7 +118,12 @@ def load_prequantized(model_dir: str) -> dict | None:
     import jax
     from safetensors.numpy import load_file
 
+    with open(path) as f:
+        manifest = json.load(f)
+    tensor_dtypes = manifest.get("tensor_dtypes", {})
     flat = load_file(os.path.join(model_dir, "quantized.safetensors"))
+    flat = {k: _restore_dtype(v, tensor_dtypes.get(k))
+            for k, v in flat.items()}
     return jax.tree.map(jax.numpy.asarray, _unflatten(flat))
 
 

@@ -77,10 +77,16 @@ class ModelRunner:
                     jax.random.PRNGKey(self.config.model.seed))
             elif self._use_sharded_load():
                 from vllm_neuron_tpu.models.sharded_weights import (
-                    load_llama_sharded)
-                params = load_llama_sharded(self.model,
-                                            self.config.model.model,
-                                            self.mesh)
+                    load_llama_sharded, load_prequantized_sharded)
+                # Pre-quantized checkpoints (tools/quantize.py) take the
+                # lazy quantized-shard path — the 70B-class fp8 recipe:
+                # quantize once, every host range-reads only its shards.
+                params = load_prequantized_sharded(
+                    self.model, self.config.model.model, self.mesh)
+                if params is None:
+                    params = load_llama_sharded(self.model,
+                                                self.config.model.model,
+                                                self.mesh)
                 presharded = True
             else:
                 from vllm_neuron_tpu.tools.quantize import load_prequantized
@@ -151,9 +157,10 @@ class ModelRunner:
         """Lazy per-host sharded loading (models/sharded_weights.py): on for
         multi-host serving (full host-side tensors would not fit nor be
         needed), opt-in via VLLM_TPU_SHARDED_LOAD=1 on one host. Covers the
-        dense Llama/Qwen stacked layout; quantize-on-load is excluded (use
-        tools/quantize.py to pre-quantize) as per-channel scales need full
-        input columns."""
+        dense Llama/Qwen stacked layout. Quantized serving shard-loads only
+        PRE-quantized checkpoints (tools/quantize.py — the 70B fp8 recipe);
+        quantize-on-LOAD is excluded, as per-channel scales need full input
+        columns."""
         import os
 
         from vllm_neuron_tpu.models.llama import LlamaForCausalLM
@@ -161,11 +168,15 @@ class ModelRunner:
         if self.mesh is None or type(self.model) is not LlamaForCausalLM:
             return False
         if self.config.quant.enabled:
-            if multihost.num_hosts() > 1:
+            from vllm_neuron_tpu.tools.quantize import MANIFEST
+            prequant = os.path.exists(
+                os.path.join(self.config.model.model, MANIFEST))
+            if multihost.num_hosts() > 1 and not prequant:
                 raise NotImplementedError(
                     "multi-host + quantize-on-load is unsupported: "
                     "pre-quantize the checkpoint with tools/quantize.py")
-            return False
+            if not prequant:
+                return False
         return (multihost.num_hosts() > 1
                 or os.environ.get("VLLM_TPU_SHARDED_LOAD") == "1")
 
@@ -173,6 +184,15 @@ class ModelRunner:
         mm = (self.vision is not None
               and getattr(self.vision, "merge", "embeds") != "cross")
         self.executor.warmup(mm=mm)
+        if mm and hasattr(self.vision, "image_size"):
+            # Pre-compile the vision encoder at the canonical one-image
+            # pixel shape — the first image request otherwise pays the
+            # ViT compile at serve time (multi-image requests still
+            # compile their n_images variant on first sight).
+            import jax
+            s = self.vision.image_size
+            jax.block_until_ready(self._vision_fwd(
+                self.vision_params, np.zeros((1, 3, s, s), np.float32)))
 
     # ------------------------------------------------------------------
     # Persistent-batch sync (reference: _update_states, :381-510)
