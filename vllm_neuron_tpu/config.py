@@ -209,11 +209,14 @@ class SchedulerConfig:
     # platforms where per-program overhead dominates.
     prefill_group_size: int = 1
     # Allocate a request's EXPECTED final length (prompt + max_tokens) in
-    # one grab at admission so its KV pages form one ascending pool run —
-    # the decode kernel's contiguous-chunk DMA then streams a whole row
-    # per copy (3.2x kernel speedup at b80; ops/decode_attention.py).
-    # Purely a layout preference: under pool pressure admission falls back
-    # to prompt-only allocation, and preemption semantics are unchanged.
+    # one grab at admission so its KV pages form one ascending pool run:
+    # physically-consecutive pages stream near the sequential HBM rate and
+    # the decode kernel's contiguous-chunk DMA collapses a chunk's page
+    # copies into one (together ~1.2 ms/step at b80, and growing with
+    # context; ops/decode_attention.py + docs/PERF_NOTES.md round-5
+    # correction). Purely a layout preference: under pool pressure
+    # admission falls back to prompt-only allocation, and preemption
+    # semantics are unchanged.
     reserve_full_sequence: bool = True
     enable_chunked_prefill: bool = False
     chunk_size: int = 2048  # tokens per chunked-prefill step

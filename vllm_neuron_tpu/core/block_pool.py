@@ -136,8 +136,9 @@ class BlockPool:
         # retention), so a multi-block grab often pops a DESCENDING
         # consecutive run — sorting re-forms the ascending run the decode
         # kernel's contiguous-chunk DMA fast path detects
-        # (ops/decode_attention._flat_kernel). Eviction choice is
-        # unchanged; only the position assignment within this call moves.
+        # (ops/decode_attention._flat_kernel) and keeps a row's pages
+        # physically consecutive (near-sequential HBM streaming). Eviction is
+        # unchanged; only position assignment within this call moves.
         out.sort(key=lambda b: b.block_id)
         return out
 
