@@ -365,3 +365,54 @@ def test_flat_contiguous_run_dma_paths():
             np.testing.assert_allclose(
                 np.asarray(out), np.asarray(ref), atol=2e-5,
                 err_msg=f"C={C} fused={fused}")
+
+
+def test_verify_kernel_matches_dense_oracle():
+    """Multi-token paged verify kernel vs _spec_verify_attention_dense:
+    ragged kv_lens, pad rows (kv_len 0), contiguous AND scrambled page
+    tables, T in {1, 3, 5}."""
+    import numpy as np
+
+    from vllm_neuron_tpu.ops.decode_attention import (
+        decode_paged_attention_verify)
+    from vllm_neuron_tpu.ops.ragged_attention import (
+        RaggedMeta, _spec_verify_attention_dense)
+
+    B, Hq, Hkv, Dp, ps, PP, num_pages = 4, 8, 2, 128, 16, 6, 40
+    rng = np.random.default_rng(9)
+    kv_pages = jnp.asarray(
+        rng.standard_normal((num_pages, ps, 2 * Hkv, Dp)), jnp.float32)
+    pages = np.zeros((B, PP), np.int32)
+    pages[0] = np.arange(1, 7)           # contiguous
+    pages[1] = [20, 9, 3, 15, 25, 11]    # scrambled
+    pages[2] = np.arange(30, 36)         # contiguous near pool end
+    pages[3] = [7, 8, 9, 17, 18, 19]
+    pages = jnp.asarray(pages)
+    sm = 1.0 / np.sqrt(Dp)
+    for T in (1, 3, 5):
+        kv_lens = jnp.asarray([90, 95, T, 0], jnp.int32)  # row3 = pad
+        q = jnp.asarray(rng.standard_normal((B * T, Hq, Dp)), jnp.float32)
+        meta = RaggedMeta(
+            slot_mapping=jnp.full((B * T,), -1, jnp.int32),
+            kv_lens=kv_lens, page_indices=pages,
+            cu_q_lens=jnp.arange(B + 1, dtype=jnp.int32) * T,
+            num_seqs=jnp.asarray([B], jnp.int32))
+        ref = np.asarray(_spec_verify_attention_dense(
+            q, kv_pages, meta, sm, None))
+        got = np.asarray(decode_paged_attention_verify(
+            q, kv_pages, jnp.zeros_like(kv_lens), kv_lens, pages,
+            num_kv_heads=Hkv, sm_scale=sm, tokens_per_row=T,
+            interpret=True))
+        # Pad row (kv_len 0) outputs are discarded by the caller; compare
+        # active rows only (the dense path computes garbage there too).
+        act = np.repeat(np.asarray(kv_lens) > 0, T)
+        np.testing.assert_allclose(got[act], ref[act], atol=2e-5,
+                                   err_msg=f"T={T}")
+        # Small-chunk variants exercise the flash carry across chunks.
+        for C in (1, 2):
+            got_c = np.asarray(decode_paged_attention_verify(
+                q, kv_pages, jnp.zeros_like(kv_lens), kv_lens, pages,
+                num_kv_heads=Hkv, sm_scale=sm, tokens_per_row=T,
+                pages_per_chunk=C, interpret=True))
+            np.testing.assert_allclose(got_c[act], ref[act], atol=2e-5,
+                                       err_msg=f"T={T} C={C}")

@@ -262,3 +262,41 @@ def test_spec_tp2_multi_round_greedy_exact(tiny_llama_dir, tiny_eagle_dir):
             f"vs base {b.outputs[0].token_ids}"
     fns = spec.engine.worker.model_runner.executor._fns
     assert any(k[0] == "spec_decode_multi" for k in fns)
+
+
+def test_spec_verify_kernel_route_greedy_exact(tiny_llama_dir,
+                                               tiny_eagle_dir, monkeypatch):
+    """The multi-token paged verify KERNEL route (kind='spec_verify' ->
+    decode_paged_attention_verify) must keep greedy spec output
+    token-identical to baseline. Off-TPU the dispatcher defaults to the
+    dense path; forcing backend='pallas' runs the kernel in interpret
+    mode through the FULL fused spec programs (single-round and
+    multi-round)."""
+    from vllm_neuron_tpu.ops import ragged_attention as ra
+
+    prompts = [
+        [5, 77, 301, 44, 12, 99, 8],
+        [250, 251, 252, 253, 254, 255, 256, 100, 101],
+    ]
+    sp = SamplingParams(temperature=0.0, max_tokens=12, ignore_eos=True)
+
+    base = LLM(model=tiny_llama_dir, dtype="float32", max_model_len=128,
+               max_num_seqs=4, block_size=16, skip_tokenizer_init=True)
+    base_out = base.generate([{"prompt_token_ids": p} for p in prompts],
+                             [sp] * len(prompts))
+
+    monkeypatch.setattr(ra, "default_backend", lambda: "pallas")
+    for rounds in (1, 2):
+        spec = LLM(model=tiny_llama_dir, dtype="float32", max_model_len=128,
+                   max_num_seqs=4, block_size=16, skip_tokenizer_init=True,
+                   speculative_config={"model": tiny_eagle_dir,
+                                       "num_speculative_tokens": 3,
+                                       "method": "eagle",
+                                       "num_fused_rounds": rounds})
+        spec_out = spec.generate(
+            [{"prompt_token_ids": p} for p in prompts],
+            [sp] * len(prompts))
+        for p, b, s in zip(prompts, base_out, spec_out):
+            assert s.outputs[0].token_ids == b.outputs[0].token_ids, \
+                f"W={rounds} prompt {p}: {s.outputs[0].token_ids} " \
+                f"vs {b.outputs[0].token_ids}"

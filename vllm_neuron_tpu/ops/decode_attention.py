@@ -901,3 +901,255 @@ def visible_range(kv_lens: jax.Array, sliding_window=None, chunk_size=None
     if chunk_size is not None:
         lo = jnp.maximum(lo, (q_pos // chunk_size) * chunk_size)
     return lo, hi
+
+
+def _verify_kernel(
+    # scalar prefetch
+    p0_ref, p1_ref, lo_ref, hi_ref, crow_ref, clocal_ref, contig_ref,
+    total_ref, page_indices_ref,
+    # inputs, outputs, scratch
+    q_ref, kv_hbm_ref, o_ref, kv_buf, sem,
+    *, page_size: int, pages_per_chunk: int, num_kv_heads: int,
+    sm_scale: float, tokens_per_row: int,
+):
+    """Multi-token paged verify attention — the speculative-verification
+    analogue of the fused flat-stream decode kernel. Row r carries T =
+    tokens_per_row query tokens at positions hi_r - T .. hi_r - 1 sharing
+    ONE page stream (the draft + bonus tokens of a fused spec round), so
+    the HBM traffic equals a decode call while the matmul M grows to
+    T*Hq. Visibility is per TOKEN: token t of row r sees keys
+    [lo_r, hi_r - (T-1) + t).
+
+    Rationale (round-5, measured): the dense spec-verify path made one 8B
+    fused spec ROUND cost ~204 ms at b64 (vs a ~21 ms plain decode step)
+    — spec could never win at 8B regardless of acceptance. With the paged
+    verify kernel a round's attention is decode-priced.
+    """
+    ps = page_size
+    C = pages_per_chunk
+    cs = C * ps
+    TH, Dp = q_ref.shape[1], q_ref.shape[2]
+    Hkv = num_kv_heads
+    T = tokens_per_row
+    Hq = TH // T
+    G = Hq // Hkv
+    TT = total_ref[0]
+    MAXC = crow_ref.shape[0]
+
+    o_ref[:] = jnp.zeros_like(o_ref)
+    kv_buf[...] = jnp.zeros(kv_buf.shape, kv_buf.dtype)  # stale-NaN guard
+
+    # Row i (= t*Hq + h) has K slot 2*(h//G), V slot 2*(h//G)+1.
+    hrow = jax.lax.broadcasted_iota(jnp.int32, (TH, 2 * Hkv, 1), 0) % Hq
+    slotid = jax.lax.broadcasted_iota(jnp.int32, (TH, 2 * Hkv, 1), 1)
+    mask_k = slotid == (hrow // G) * 2
+    mask_v = slotid == (hrow // G) * 2 + 1
+    # Per-query-row token index (t = i // Hq) for the causal offset.
+    tok_of_row = jax.lax.broadcasted_iota(
+        jnp.int32, (TH, cs), 0) // Hq                     # [TH, cs]
+    col = jax.lax.broadcasted_iota(jnp.int32, (TH, cs), 1)
+
+    def start_chunk_dma(t, slot):
+        cg = contig_ref[t]
+
+        @pl.when(cg >= 0)
+        def _():
+            pltpu.make_async_copy(
+                kv_hbm_ref.at[pl.ds(cg, C)], kv_buf.at[slot],
+                sem.at[slot, 0],
+            ).start()
+
+        @pl.when(cg < 0)
+        def _():
+            r = crow_ref[t]
+            pstart = p0_ref[r] + clocal_ref[t] * C
+            for j in range(C):
+                @pl.when(pstart + j < p1_ref[r])
+                def _():
+                    page = page_indices_ref[r, pstart + j]
+                    pltpu.make_async_copy(
+                        kv_hbm_ref.at[page], kv_buf.at[slot, j],
+                        sem.at[slot, j],
+                    ).start()
+
+    def wait_chunk(t, slot):
+        cg = contig_ref[t]
+
+        @pl.when(cg >= 0)
+        def _():
+            pltpu.make_async_copy(
+                kv_hbm_ref.at[pl.ds(0, C)], kv_buf.at[slot],
+                sem.at[slot, 0],
+            ).wait()
+
+        @pl.when(cg < 0)
+        def _():
+            r = crow_ref[t]
+            pstart = p0_ref[r] + clocal_ref[t] * C
+            for j in range(C):
+                @pl.when(pstart + j < p1_ref[r])
+                def _():
+                    pltpu.make_async_copy(
+                        kv_hbm_ref.at[0], kv_buf.at[slot, j],
+                        sem.at[slot, j],
+                    ).wait()
+
+    @pl.when(TT > 0)
+    def _():
+        start_chunk_dma(0, 0)
+
+    def body(t, carry):
+        m_prev, l_prev, acc = carry
+        slot = jax.lax.rem(t, 2)
+
+        @pl.when(t + 1 < TT)
+        def _():
+            start_chunk_dma(t + 1, 1 - slot)
+
+        wait_chunk(t, slot)
+        r = crow_ref[t]
+        cl = clocal_ref[t]
+        lo = lo_ref[r]
+        hi = hi_ref[r]
+        first = cl == 0
+        m_prev = jnp.where(first, jnp.full_like(m_prev, -jnp.inf), m_prev)
+        l_prev = jnp.where(first, jnp.zeros_like(l_prev), l_prev)
+        acc = jnp.where(first, jnp.zeros_like(acc), acc)
+
+        q = (q_ref[r].astype(jnp.float32) * sm_scale).astype(q_ref.dtype)
+        q_exp = (q[:, None, :] *
+                 mask_k.astype(q.dtype)).reshape(TH, 2 * Hkv * Dp)
+        kvf = kv_buf[slot].reshape(cs, 2 * Hkv * Dp)
+        s = jax.lax.dot_general(
+            q_exp, kvf,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [TH, cs]
+        base = (p0_ref[r] + cl * C) * ps
+        kpos = base + col
+        # Token t of the row sees keys < hi - (T-1) + t.
+        vis = (kpos >= lo) & (kpos < hi - (T - 1) + tok_of_row)
+        s = jnp.where(vis, s, _MASK)
+
+        m_cur = jnp.max(s, axis=-1, keepdims=True)        # [TH, 1]
+        m_next = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)
+        l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        p_lo = p.astype(kv_buf.dtype)
+        o16 = jax.lax.dot_general(
+            p_lo, kvf,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [TH, 2Hkv*Dp]
+        o = jnp.sum(o16.reshape(TH, 2 * Hkv, Dp) * mask_v, axis=1)
+        acc = acc * alpha + o                             # [TH, Dp]
+
+        t_nxt = jnp.minimum(t + 1, MAXC - 1)
+        is_last = jnp.logical_or(t + 1 >= TT, crow_ref[t_nxt] != r)
+
+        @pl.when(is_last)
+        def _():
+            l_inv = jnp.where(l_next == 0.0, 0.0, 1.0 / l_next)
+            o_ref[r] = (acc * l_inv).astype(o_ref.dtype)
+
+        return m_next, l_next, acc
+
+    m0 = jnp.full((TH, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((TH, 1), jnp.float32)
+    a0 = jnp.zeros((TH, Dp), jnp.float32)
+    jax.lax.fori_loop(0, TT, body, (m0, l0, a0))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_kv_heads", "sm_scale", "tokens_per_row",
+                     "pages_per_chunk", "interpret"))
+def decode_paged_attention_verify(q: jax.Array, kv_pages_l: jax.Array,
+                                  lo: jax.Array, hi: jax.Array,
+                                  page_indices: jax.Array, *,
+                                  num_kv_heads: int, sm_scale: float,
+                                  tokens_per_row: int,
+                                  pages_per_chunk: int = None,
+                                  interpret: bool = False) -> jax.Array:
+    """Multi-token paged verify attention (see _verify_kernel).
+
+    q: [B*T, Hq, Dp] with row r's T tokens at r*T..r*T+T-1 (t-ascending);
+    lo/hi: [B] visible key range where hi is the row's FINAL kv_len (after
+    all T writes; hi <= 0 pads); page_indices: [B, PP].
+    Returns [B*T, Hq, Dp].
+    """
+    BT, Hq, Dp = q.shape
+    T = tokens_per_row
+    B = BT // T
+    assert B * T == BT
+    _, ps, two_hkv, Dp2 = kv_pages_l.shape
+    assert Dp == Dp2 and two_hkv == 2 * num_kv_heads
+    PP = page_indices.shape[1]
+    if pages_per_chunk is None:
+        # Like the decode auto-chunk, minus the [B, T*Hq, Dp] q block the
+        # verify kernel additionally keeps resident.
+        slot_bytes = ps * two_hkv * Dp * kv_pages_l.dtype.itemsize
+        q_bytes = B * T * Hq * Dp * q.dtype.itemsize
+        budget = max(1 * 2**20, 9 * 2**20 - q_bytes)
+        pages_per_chunk = max(1, min(PP, 20, budget // (2 * slot_bytes)))
+    C = min(pages_per_chunk, PP)
+    max_cpr = (PP + C - 1) // C
+    MAXC = B * max_cpr
+
+    # [B*T, Hq, Dp] t-fastest -> [B, T*Hq, Dp] rows (t-major inside a row).
+    qr = q.reshape(B, T * Hq, Dp)
+
+    active = hi > 0
+    p0 = jnp.where(active, lo // ps, 0).astype(jnp.int32)
+    p1 = jnp.where(active, (hi + ps - 1) // ps, 0).astype(jnp.int32)
+    nc = (p1 - p0 + C - 1) // C
+    cu = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                          jnp.cumsum(nc, dtype=jnp.int32)])
+    total = cu[-1:]
+    t = jnp.arange(MAXC, dtype=jnp.int32)
+    crow = jnp.sum((t[:, None] >= cu[None, 1:]).astype(jnp.int32), axis=1)
+    crow = jnp.minimum(crow, B - 1).astype(jnp.int32)
+    clocal = (t - cu[crow]).astype(jnp.int32)
+    npages = kv_pages_l.shape[0]
+    nxt = (page_indices[:, 1:] == page_indices[:, :-1] + 1)
+    csum = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32),
+         jnp.cumsum(nxt.astype(jnp.int32), axis=1)], axis=1)
+    pstart = p0[crow] + clocal * C
+    nvalid = jnp.clip(p1[crow] - pstart, 0, C)
+    last = jnp.clip(pstart + nvalid - 1, 0, PP - 1)
+    first = jnp.clip(pstart, 0, PP - 1)
+    run_ok = (csum[crow, last] - csum[crow, first]) == (nvalid - 1)
+    start_pg = page_indices[crow, first]
+    contig_ok = (run_ok & (nvalid >= 1) & (start_pg >= 0)
+                 & (start_pg + C <= npages))
+    contig = jnp.where(contig_ok, start_pg, -1).astype(jnp.int32)
+    if not _contig_dma_default():
+        contig = jnp.full_like(contig, -1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=9,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # q
+            pl.BlockSpec(memory_space=pl.ANY),       # kv pages in HBM
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, C, ps, two_hkv, Dp), kv_pages_l.dtype),
+            pltpu.SemaphoreType.DMA((2, C)),
+        ],
+    )
+    kernel = functools.partial(
+        _verify_kernel, page_size=ps, pages_per_chunk=C,
+        num_kv_heads=num_kv_heads, sm_scale=sm_scale, tokens_per_row=T)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, T * Hq, Dp), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(p0, p1, lo.astype(jnp.int32), hi.astype(jnp.int32), crow, clocal,
+      contig, total, page_indices, qr, kv_pages_l)
+    return out.reshape(BT, Hq, Dp)

@@ -577,6 +577,35 @@ def _pallas_decode_sharded(q, kv_pages_l, lo, hi, page_indices, *,
     return f(*args)
 
 
+def _pallas_verify_sharded(q, kv_pages_l, lo, hi, page_indices, *,
+                           num_kv_heads: int, sm_scale: float,
+                           tokens_per_row: int, interpret: bool = False):
+    """Head-parallel multi-token verify kernel over the mesh (same zero-
+    collective head split as _pallas_decode_sharded)."""
+    from jax.sharding import PartitionSpec as P
+
+    from vllm_neuron_tpu.parallel.mesh import MODEL_AXIS
+    from vllm_neuron_tpu.ops.decode_attention import (
+        decode_paged_attention_verify)
+
+    mesh = get_attention_mesh()
+    tp = mesh.shape[MODEL_AXIS]
+
+    def body(q, kv, lo, hi, pi):
+        return decode_paged_attention_verify(
+            q, kv, lo, hi, pi, num_kv_heads=num_kv_heads // tp,
+            sm_scale=sm_scale, tokens_per_row=tokens_per_row,
+            interpret=interpret)
+
+    f = jax.shard_map(
+        body, mesh=mesh, axis_names={MODEL_AXIS},
+        in_specs=(P(None, MODEL_AXIS, None),
+                  P(None, None, MODEL_AXIS, None), P(), P(), P()),
+        out_specs=P(None, MODEL_AXIS, None),
+        check_vma=False)
+    return f(q, kv_pages_l, lo, hi, page_indices)
+
+
 def _flash_prefill_sharded(q, k, v, q_start, kv_len, *, sm_scale: float,
                            interpret: bool = False):
     """Flash CE kernel under the mesh: like decode, prefill attention is
@@ -643,6 +672,17 @@ def _can_shard_decode(q, kv_pages_l) -> bool:
 
 
 @functools.cache
+@functools.cache
+def _interpret_default() -> bool:
+    """Run the in-repo Pallas kernels in interpret mode off-TPU (CPU
+    dryruns / virtual meshes force backend='pallas' to trace the kernels'
+    shard_map composition; Mosaic lowering needs real hardware)."""
+    try:
+        return jax.devices()[0].platform != "tpu"
+    except Exception:  # pragma: no cover
+        return True
+
+
 def default_backend() -> str:
     try:
         platform = jax.devices()[0].platform
@@ -693,12 +733,12 @@ def ragged_attention(q: jax.Array, kv_pages_l: jax.Array, meta: RaggedMeta,
                 out = _pallas_decode_sharded(
                     q, pages, lo, hi, meta.page_indices,
                     num_kv_heads=num_kv_heads, sm_scale=sm_scale,
-                    kv_scales=scales)
+                    kv_scales=scales, interpret=_interpret_default())
             else:
                 out = _decode_kernel_fn()(
                     q, pages, lo, hi, meta.page_indices,
                     num_kv_heads=num_kv_heads, sm_scale=sm_scale,
-                    kv_scales=scales)
+                    kv_scales=scales, interpret=_interpret_default())
         else:
             out = _decode_attention_dense(q, kv_pages_l, meta, sm_scale,
                                           sliding_window, chunk_size)
@@ -724,17 +764,49 @@ def ragged_attention(q: jax.Array, kv_pages_l: jax.Array, meta: RaggedMeta,
             if get_attention_mesh() is not None:
                 out = _flash_prefill_sharded(
                     q, k[0], v[0], meta.kv_lens[0] - q_len,
-                    meta.kv_lens[0], sm_scale=sm_scale)
+                    meta.kv_lens[0], sm_scale=sm_scale,
+                    interpret=_interpret_default())
             else:
                 out = flash_prefill(q, k[0], v[0],
                                     meta.kv_lens[0] - q_len,
-                                    meta.kv_lens[0], sm_scale=sm_scale)
+                                    meta.kv_lens[0], sm_scale=sm_scale,
+                                    interpret=_interpret_default())
         else:
             out = _prefill_attention_dense(q, kv_pages_l, meta, sm_scale,
                                            sliding_window, chunk_size)
     elif kind == "spec_verify":
-        out = _spec_verify_attention_dense(q, kv_pages_l, meta, sm_scale,
-                                           sliding_window, chunk_size)
+        # Multi-token paged verify kernel (round 5): the dense gather path
+        # made one 8B fused spec ROUND cost ~204 ms at b64 (vs ~21 ms for
+        # a plain decode step) — structurally unwinnable. The kernel
+        # streams each row's pages ONCE (decode-priced HBM traffic) while
+        # the fused-GQA matmul carries all T tokens. Sliding-window /
+        # chunked-local layers and scaled-FP8 caches fall back to dense.
+        B = meta.kv_lens.shape[0]
+        T = q.shape[0] // B if B else 0
+        if (backend == "pallas" and _use_pallas_decode()
+                and not isinstance(kv_pages_l, FP8KVCache)
+                and sliding_window is None and chunk_size is None
+                and T >= 1 and T * B == q.shape[0]
+                and _can_shard_decode(q, kv_pages_l)):
+            from vllm_neuron_tpu.ops.decode_attention import (
+                decode_paged_attention_verify)
+            num_kv_heads = kv_pages_l.shape[2] // 2
+            lo = jnp.zeros_like(meta.kv_lens)
+            hi = meta.kv_lens
+            if get_attention_mesh() is not None:
+                out = _pallas_verify_sharded(
+                    q, kv_pages_l, lo, hi, meta.page_indices,
+                    num_kv_heads=num_kv_heads, sm_scale=sm_scale,
+                    tokens_per_row=T, interpret=_interpret_default())
+            else:
+                out = decode_paged_attention_verify(
+                    q, kv_pages_l, lo, hi, meta.page_indices,
+                    num_kv_heads=num_kv_heads, sm_scale=sm_scale,
+                    tokens_per_row=T, interpret=_interpret_default())
+        else:
+            out = _spec_verify_attention_dense(q, kv_pages_l, meta,
+                                               sm_scale, sliding_window,
+                                               chunk_size)
     elif (backend == "pallas" and not isinstance(kv_pages_l, FP8KVCache)
           and get_attention_mesh() is None):
         out = _ragged_attention_pallas(q, kv_pages_l, meta, sm_scale,
