@@ -102,7 +102,14 @@ def main():
                    help="int4 quantization group size along K "
                         "(default 128; smaller = more accurate, more "
                         "scale traffic)")
+    p.add_argument("--platform", default=None,
+                   help="force a JAX platform (e.g. cpu) — the env var is "
+                        "pinned on axon hosts, a config update is required "
+                        "(CLAUDE.md)")
     args = p.parse_args()
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     if args.tokens:
         toks = np.load(args.tokens)
     elif args.text:
