@@ -20,10 +20,39 @@ Semantics (matching the host sampler / reference behavior):
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
 from vllm_neuron_tpu.sampling.params import MAX_ON_DEVICE_TOP_K
+
+
+@functools.cache
+def _topk_chunks() -> int:
+    """Vocab chunks for the two-stage exact top-k (0 disables). The lowered
+    XLA TopK over [S, 128k] f32 costs ~7.9 ms at b80 (round-5 profile);
+    splitting the vocab into nc chunks, taking top-K per chunk, and
+    re-top-K'ing the nc*K merged candidates is exact (any global top-K
+    element is top-K within its chunk) and lets the big sort run on a
+    fraction of the data. A/B'd on chip before changing the default."""
+    import os
+    return int(os.environ.get("VLLM_TPU_TOPK_CHUNKS", "0"))
+
+
+def _top_k(logits: jax.Array, K: int) -> tuple[jax.Array, jax.Array]:
+    """lax.top_k, optionally two-stage over vocab chunks (exact)."""
+    S, V = logits.shape
+    nc = _topk_chunks()
+    if nc <= 1 or V % nc != 0 or V // nc < K:
+        return jax.lax.top_k(logits, K)
+    cv = V // nc
+    cvals, cidx = jax.lax.top_k(logits.reshape(S * nc, cv), K)
+    base = (jnp.arange(nc, dtype=jnp.int32) * cv)[None, :, None]
+    gidx = (cidx.reshape(S, nc, K) + base).reshape(S, nc * K)
+    cand = cvals.reshape(S, nc * K)
+    vals, pos = jax.lax.top_k(cand, K)
+    return vals, jnp.take_along_axis(gidx, pos, axis=1)
 
 
 def sample_tokens(logits: jax.Array, temperature: jax.Array,
@@ -53,7 +82,7 @@ def sample_tokens(logits: jax.Array, temperature: jax.Array,
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     def _sampled(_):
-        top_vals, top_idx = jax.lax.top_k(logits, K)  # [S, K] sorted desc
+        top_vals, top_idx = _top_k(logits, K)  # [S, K] sorted desc
         j = jnp.arange(K, dtype=jnp.int32)[None, :]  # [1, K]
 
         # top-k mask (disabled => full window).

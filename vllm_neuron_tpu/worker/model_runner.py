@@ -193,6 +193,20 @@ class ModelRunner:
             s = self.vision.image_size
             jax.block_until_ready(self._vision_fwd(
                 self.vision_params, np.zeros((1, 3, s, s), np.float32)))
+        elif (self.vision is not None
+              and getattr(self.vision, "merge", "embeds") == "cross"
+              and hasattr(self.vision, "image_size")):
+            # Gated cross-attention family (Mllama): one image at the
+            # FULL tile count — the HF processor pads tiles, so this is
+            # the canonical serve shape (_set_cross_row).
+            import jax
+            s = self.vision.image_size
+            T = getattr(self.vision, "max_num_tiles", 1)
+            jax.block_until_ready(self._vision_fwd(
+                self.vision_params,
+                np.zeros((1, 1, T, 3, s, s), np.float32),
+                np.zeros((1, 1), np.int32),
+                np.ones((1, 1, T), np.int32)))
 
     # ------------------------------------------------------------------
     # Persistent-batch sync (reference: _update_states, :381-510)
