@@ -226,7 +226,11 @@ def run_workload(engine, n_requests: int, gen_tokens: int, tag: str,
     from vllm_neuron_tpu.sampling.params import SamplingParams
 
     rng = np.random.default_rng(seed)
-    sp = SamplingParams(temperature=0.0, max_tokens=gen_tokens,
+    # BENCH_TEMPERATURE > 0 exercises the SAMPLED on-device path (top-k
+    # machinery incl. the lowered TopK) instead of the greedy argmax
+    # fast path — the latency difference IS the sampling cost.
+    temp = float(os.environ.get("BENCH_TEMPERATURE", "0"))
+    sp = SamplingParams(temperature=temp, max_tokens=gen_tokens,
                         ignore_eos=True, detokenize=False)
     if MODEL_VARIANT == "tinypy":
         # Real text for the trained model (random bytes would make the
