@@ -38,3 +38,8 @@ sleep 30
 BENCH_TEMPERATURE=0.8 timeout 3000 python bench.py 2>/tmp/r5_sampled.err | tee /tmp/r5_sampled.out
 sleep 30
 VLLM_TPU_TOPK_CHUNKS=8 BENCH_TEMPERATURE=0.8 timeout 3000 python bench.py 2>/tmp/r5_sampled_chunktopk.err | tee /tmp/r5_sampled_chunktopk.out
+sleep 30
+# 10. Spec under ARRIVALS (VERDICT r4 #3 serving row): tinypy spec vs base
+BENCH_MODEL=tinypy SERVE_SECS=30 SERVE_GEN=64 timeout 1800 python perf/serving_bench.py 15 30 2>/tmp/r5_servtiny.err | tee /tmp/r5_servtiny.out
+sleep 30
+BENCH_MODEL=tinypy BENCH_SPEC=4 BENCH_SPEC_ROUNDS=8 SERVE_SECS=30 SERVE_GEN=64 timeout 1800 python perf/serving_bench.py 15 30 2>/tmp/r5_servtinyspec.err | tee /tmp/r5_servtinyspec.out
