@@ -416,3 +416,44 @@ def test_verify_kernel_matches_dense_oracle():
                 pages_per_chunk=C, interpret=True))
             np.testing.assert_allclose(got_c[act], ref[act], atol=2e-5,
                                        err_msg=f"T={T} C={C}")
+
+
+def test_verify_sharded_matches_unsharded():
+    """_pallas_verify_sharded (shard_map over the model-axis head split)
+    must match the single-device verify kernel — the TP path for fused
+    speculation's multi-token verify."""
+    import jax
+    import numpy as np
+
+    from vllm_neuron_tpu.ops.decode_attention import (
+        decode_paged_attention_verify)
+    from vllm_neuron_tpu.ops.ragged_attention import (
+        _pallas_verify_sharded, set_attention_mesh)
+    from vllm_neuron_tpu.parallel.mesh import MODEL_AXIS
+
+    devs = jax.devices()[:4]
+    mesh = jax.sharding.Mesh(np.array(devs).reshape(1, 1, 4),
+                             ("data", "expert", MODEL_AXIS))
+    B, T, Hq, Hkv, Dp, ps, PP, num_pages = 3, 3, 8, 4, 128, 16, 4, 24
+    rng = np.random.default_rng(12)
+    q = jnp.asarray(rng.standard_normal((B * T, Hq, Dp)), jnp.float32)
+    kv_pages = jnp.asarray(
+        rng.standard_normal((num_pages, ps, 2 * Hkv, Dp)), jnp.float32)
+    pages = jnp.asarray(
+        rng.choice(np.arange(1, num_pages), (B, PP), replace=False)
+        if num_pages > B * PP else
+        np.arange(1, 1 + B * PP).reshape(B, PP)).astype(jnp.int32)
+    kv_lens = jnp.asarray([50, 33, T], jnp.int32)
+    lo = jnp.zeros_like(kv_lens)
+    sm = 1.0 / np.sqrt(Dp)
+    want = np.asarray(decode_paged_attention_verify(
+        q, kv_pages, lo, kv_lens, pages, num_kv_heads=Hkv, sm_scale=sm,
+        tokens_per_row=T, interpret=True))
+    set_attention_mesh(mesh)
+    try:
+        got = np.asarray(jax.jit(lambda *a: _pallas_verify_sharded(
+            *a, num_kv_heads=Hkv, sm_scale=sm, tokens_per_row=T,
+            interpret=True))(q, kv_pages, lo, kv_lens, pages))
+    finally:
+        set_attention_mesh(None)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
