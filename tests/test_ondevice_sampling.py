@@ -65,3 +65,25 @@ def test_sampling_frequencies_track_probs():
     freq = np.bincount(got, minlength=64)[:3] / 3000
     expect = np.exp(logits[:3]) / np.exp(logits[:3]).sum()
     np.testing.assert_allclose(freq, expect, atol=0.05)
+
+
+def test_chunked_topk_exact(monkeypatch):
+    """VLLM_TPU_TOPK_CHUNKS two-stage top-k is EXACT vs lax.top_k (any
+    global top-K element is top-K within its vocab chunk); non-divisible
+    or too-small configurations fall back."""
+    import jax
+    import numpy as np
+
+    from vllm_neuron_tpu.sampling import ondevice
+
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.standard_normal((5, 2048)).astype(np.float32))
+    ref_v, ref_i = jax.lax.top_k(logits, 256)
+    for nc in ("2", "4", "8", "3", "64"):  # 3: non-divisible; 64: V/nc<K
+        monkeypatch.setenv("VLLM_TPU_TOPK_CHUNKS", nc)
+        ondevice._topk_chunks.cache_clear()
+        v, i = ondevice._top_k(logits, 256)
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(ref_v))
+        if nc in ("2", "4", "8"):
+            np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+    ondevice._topk_chunks.cache_clear()
