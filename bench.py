@@ -172,7 +172,7 @@ def build_engine():
     return EngineCore(config)
 
 
-def hbm_accounting(stats, total_tokens):
+def hbm_accounting(stats, total_tokens, config=None):
     """Achieved HBM bandwidth / MXU rate accounting (VERDICT-r4 #9): turn
     the phase timings into arithmetic so headroom claims are numbers, not
     narrative. Decode is HBM-bound: every step streams the full weight set
@@ -190,9 +190,20 @@ def hbm_accounting(stats, total_tokens):
     layer_params = (h * (h + 2 * kvh * head_dim)   # qkv
                     + h * h                        # o
                     + 3 * h * inter)               # gate, up, down
-    head_params = h * c["vocab_size"]
-    wbytes = {"int8": 1, "fp8": 1, "int4": 0.5}.get(QUANT, 2)
-    weight_bytes = layer_params * L * wbytes + head_params * wbytes
+    if config is not None:
+        # ONE owner for the analytic weight arithmetic: the memory-budget
+        # estimator (minus its allocator-slack factor — here we want pure
+        # streamed bytes, and the decode step re-reads the embed only for
+        # B rows, so drop it too).
+        from vllm_neuron_tpu.utils.membudget import (_WEIGHT_SLACK,
+                                                     estimate_weight_bytes)
+        est = estimate_weight_bytes(config)
+        embed = c["vocab_size"] * h * 2
+        weight_bytes = est / _WEIGHT_SLACK - embed
+    else:
+        head_params = h * c["vocab_size"]
+        wbytes = {"int8": 1, "fp8": 1, "int4": 0.5}.get(QUANT, 2)
+        weight_bytes = layer_params * L * wbytes + head_params * wbytes
     # Per-decode-step KV read: page-granular gather of each row's live
     # context (+1 slot write, negligible). Average kv_len over the decode
     # phase = prompt + gen/2, rounded up to page granularity.
@@ -332,7 +343,7 @@ def main():
         record["prefill_tokens_per_sec"] = round(
             BATCH * PROMPT_LEN / stats["prefill_phase_s"], 2)
     if MODEL_VARIANT == "llama8b":
-        record.update(hbm_accounting(stats, total))
+        record.update(hbm_accounting(stats, total, engine.config))
     snap = engine.metrics.snapshot()
     if snap.get("spec_decode_rounds"):
         record["spec_acceptance_rate"] = round(

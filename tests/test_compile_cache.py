@@ -4,10 +4,11 @@
 engine built on the same config must reload compiled artifacts and generate
 identical outputs).
 
-Here the artifact store is the JAX persistent compilation cache keyed by the
-engine-config hash (worker/executor.py _setup_compilation_cache, the
+Here the artifact store is the ONE shared content-addressed JAX persistent
+compilation cache — keyed internally by HLO hash, deliberately NOT by a
+per-config namespace (worker/executor.py _setup_compilation_cache; the
 analogue of the reference's md5-keyed neuron-compiled-artifacts dir,
-model_loader.py:180-212)."""
+model_loader.py:180-212, minus its per-config recompile trap)."""
 import os
 
 import jax
@@ -31,8 +32,8 @@ def test_second_engine_reuses_compiled_artifacts(tiny_llama_dir, tmp_path):
 
         def build_and_run():
             # JAX binds the persistent-cache handle to the first dir used
-            # in the process; drop it so this engine's config-hash dir
-            # takes effect even when earlier tests compiled things.
+            # in the process; drop it so this engine's cache dir takes
+            # effect even when earlier tests compiled things.
             from jax._src import compilation_cache as cc
             cc.reset_cache()
             llm = LLM(model=tiny_llama_dir, dtype="float32",

@@ -326,52 +326,9 @@ def _flat_kernel(
                     kv_hbm_ref.at[0], kv_buf.at[slot, j], sem.at[slot, j],
                 ).wait()
     else:
-        def start_chunk_dma(t, slot):
-            cg = contig_ref[t]
-
-            @pl.when(cg >= 0)
-            def _():
-                pltpu.make_async_copy(
-                    kv_hbm_ref.at[pl.ds(cg, C)],
-                    kv_buf.at[slot],
-                    sem.at[slot, 0],
-                ).start()
-
-            @pl.when(cg < 0)
-            def _():
-                r = crow_ref[t]
-                pstart = p0_ref[r] + clocal_ref[t] * C
-                for j in range(C):
-                    @pl.when(pstart + j < p1_ref[r])
-                    def _():
-                        page = page_indices_ref[r, pstart + j]
-                        pltpu.make_async_copy(
-                            kv_hbm_ref.at[page],
-                            kv_buf.at[slot, j],
-                            sem.at[slot, j],
-                        ).start()
-
-        def wait_chunk(t, slot):
-            cg = contig_ref[t]
-
-            @pl.when(cg >= 0)
-            def _():
-                pltpu.make_async_copy(
-                    kv_hbm_ref.at[pl.ds(0, C)], kv_buf.at[slot],
-                    sem.at[slot, 0],
-                ).wait()
-
-            @pl.when(cg < 0)
-            def _():
-                r = crow_ref[t]
-                pstart = p0_ref[r] + clocal_ref[t] * C
-                for j in range(C):
-                    @pl.when(pstart + j < p1_ref[r])
-                    def _():
-                        pltpu.make_async_copy(
-                            kv_hbm_ref.at[0], kv_buf.at[slot, j],
-                            sem.at[slot, j],
-                        ).wait()
+        start_chunk_dma, wait_chunk = _chunk_dma_fns(
+            contig_ref, crow_ref, clocal_ref, p0_ref, p1_ref,
+            page_indices_ref, kv_hbm_ref, kv_buf, sem, C, PP)
 
     @pl.when(T > 0)
     def _():
@@ -507,6 +464,100 @@ def _contig_dma_default() -> bool:
     return os.environ.get("VLLM_TPU_DECODE_CONTIG", "1") != "0"
 
 
+
+
+def _chunk_dma_fns(contig_ref, crow_ref, clocal_ref, p0_ref, p1_ref,
+                   page_indices_ref, kv_hbm_ref, kv_buf, sem, C: int,
+                   PP: int):
+    """Shared chunk DMA start/wait builders (flat + verify kernels): one
+    C-page copy when the chunk's pool pages are consecutive (contig_ref),
+    per-page predicated copies otherwise."""
+    def start_chunk_dma(t, slot):
+        cg = contig_ref[t]
+
+        @pl.when(cg >= 0)
+        def _():
+            pltpu.make_async_copy(
+                kv_hbm_ref.at[pl.ds(cg, C)], kv_buf.at[slot],
+                sem.at[slot, 0],
+            ).start()
+
+        @pl.when(cg < 0)
+        def _():
+            r = crow_ref[t]
+            pstart = p0_ref[r] + clocal_ref[t] * C
+            for j in range(C):
+                @pl.when(pstart + j < p1_ref[r])
+                def _():
+                    page = page_indices_ref[r, pstart + j]
+                    pltpu.make_async_copy(
+                        kv_hbm_ref.at[page], kv_buf.at[slot, j],
+                        sem.at[slot, j],
+                    ).start()
+
+    def wait_chunk(t, slot):
+        cg = contig_ref[t]
+
+        @pl.when(cg >= 0)
+        def _():
+            pltpu.make_async_copy(
+                kv_hbm_ref.at[pl.ds(0, C)], kv_buf.at[slot],
+                sem.at[slot, 0],
+            ).wait()
+
+        @pl.when(cg < 0)
+        def _():
+            r = crow_ref[t]
+            pstart = p0_ref[r] + clocal_ref[t] * C
+            for j in range(C):
+                @pl.when(pstart + j < p1_ref[r])
+                def _():
+                    pltpu.make_async_copy(
+                        kv_hbm_ref.at[0], kv_buf.at[slot, j],
+                        sem.at[slot, j],
+                    ).wait()
+
+    return start_chunk_dma, wait_chunk
+
+
+def _chunk_tables(p0, p1, page_indices, num_pages: int, C: int):
+    """Host-graph chunk stream tables for the flat/verify kernels:
+    (crow, clocal, contig, total) for per-row visible page ranges
+    [p0, p1) (inactive rows: p0 == p1 == 0). contig[t] = first pool page
+    of chunk t when its valid pages are consecutive AND a full C-page
+    slice stays in bounds (tail over-reads are masked by visibility),
+    else -1 (per-page DMA fallback). VLLM_TPU_DECODE_CONTIG=0 forces -1
+    for A/B runs.
+    """
+    B, PP = page_indices.shape
+    max_cpr = (PP + C - 1) // C
+    MAXC = B * max_cpr
+    nc = (p1 - p0 + C - 1) // C
+    cu = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                          jnp.cumsum(nc, dtype=jnp.int32)])
+    total = cu[-1:]
+    t = jnp.arange(MAXC, dtype=jnp.int32)
+    crow = jnp.sum((t[:, None] >= cu[None, 1:]).astype(jnp.int32), axis=1)
+    crow = jnp.minimum(crow, B - 1).astype(jnp.int32)
+    clocal = (t - cu[crow]).astype(jnp.int32)
+    nxt = (page_indices[:, 1:] == page_indices[:, :-1] + 1)
+    csum = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32),
+         jnp.cumsum(nxt.astype(jnp.int32), axis=1)], axis=1)
+    pstart = p0[crow] + clocal * C
+    nvalid = jnp.clip(p1[crow] - pstart, 0, C)
+    last = jnp.clip(pstart + nvalid - 1, 0, PP - 1)
+    first = jnp.clip(pstart, 0, PP - 1)
+    run_ok = (csum[crow, last] - csum[crow, first]) == (nvalid - 1)
+    start_pg = page_indices[crow, first]
+    contig_ok = (run_ok & (nvalid >= 1) & (start_pg >= 0)
+                 & (start_pg + C <= num_pages))
+    contig = jnp.where(contig_ok, start_pg, -1).astype(jnp.int32)
+    if not _contig_dma_default():
+        contig = jnp.full_like(contig, -1)  # A/B: force per-page DMAs
+    return crow, clocal, contig, total
+
+
 @functools.cache
 def _clamp_dma_default() -> bool:
     # Unconditional clamped-index chunk DMAs (see _flat_kernel). Measured
@@ -545,39 +596,13 @@ def decode_paged_attention_flat(q: jax.Array, kv_pages_l: jax.Array,
     MAXC = B * max_cpr
     has_scales = kv_scales is not None
 
-    # Chunk tables, computed in-graph (tiny XLA ops on [B]-sized arrays).
+    # Chunk + contiguous-run tables, computed in-graph (tiny XLA ops on
+    # [B]-sized arrays; shared with the verify kernel).
     active = hi > 0
     p0 = jnp.where(active, lo // ps, 0).astype(jnp.int32)
     p1 = jnp.where(active, (hi + ps - 1) // ps, 0).astype(jnp.int32)
-    nc = (p1 - p0 + C - 1) // C                               # [B]
-    cu = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                          jnp.cumsum(nc, dtype=jnp.int32)])   # [B+1]
-    total = cu[-1:]
-    t = jnp.arange(MAXC, dtype=jnp.int32)
-    crow = jnp.sum((t[:, None] >= cu[None, 1:]).astype(jnp.int32),
-                   axis=1)
-    crow = jnp.minimum(crow, B - 1).astype(jnp.int32)
-    clocal = (t - cu[crow]).astype(jnp.int32)
-    # Contiguous-run table (see _flat_kernel): contig[t] = first pool page
-    # of chunk t when its valid pages are consecutive pool indices AND a
-    # full C-page slice stays in bounds (tail chunks over-read masked
-    # pages), else -1 (per-page DMA fallback).
-    npages = kv_pages_l.shape[0]
-    nxt = (page_indices[:, 1:] == page_indices[:, :-1] + 1)   # [B, PP-1]
-    csum = jnp.concatenate(
-        [jnp.zeros((B, 1), jnp.int32),
-         jnp.cumsum(nxt.astype(jnp.int32), axis=1)], axis=1)  # [B, PP]
-    pstart = p0[crow] + clocal * C                            # [MAXC]
-    nvalid = jnp.clip(p1[crow] - pstart, 0, C)
-    last = jnp.clip(pstart + nvalid - 1, 0, PP - 1)
-    first = jnp.clip(pstart, 0, PP - 1)
-    run_ok = (csum[crow, last] - csum[crow, first]) == (nvalid - 1)
-    start_pg = page_indices[crow, first]
-    contig_ok = (run_ok & (nvalid >= 1) & (start_pg >= 0)
-                 & (start_pg + C <= npages))
-    contig = jnp.where(contig_ok, start_pg, -1).astype(jnp.int32)
-    if not _contig_dma_default():
-        contig = jnp.full_like(contig, -1)  # A/B: force per-page DMAs
+    crow, clocal, contig, total = _chunk_tables(
+        p0, p1, page_indices, kv_pages_l.shape[0], C)
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.VMEM),   # q (full)
@@ -949,50 +974,10 @@ def _verify_kernel(
         jnp.int32, (TH, cs), 0) // Hq                     # [TH, cs]
     col = jax.lax.broadcasted_iota(jnp.int32, (TH, cs), 1)
 
-    def start_chunk_dma(t, slot):
-        cg = contig_ref[t]
-
-        @pl.when(cg >= 0)
-        def _():
-            pltpu.make_async_copy(
-                kv_hbm_ref.at[pl.ds(cg, C)], kv_buf.at[slot],
-                sem.at[slot, 0],
-            ).start()
-
-        @pl.when(cg < 0)
-        def _():
-            r = crow_ref[t]
-            pstart = p0_ref[r] + clocal_ref[t] * C
-            for j in range(C):
-                @pl.when(pstart + j < p1_ref[r])
-                def _():
-                    page = page_indices_ref[r, pstart + j]
-                    pltpu.make_async_copy(
-                        kv_hbm_ref.at[page], kv_buf.at[slot, j],
-                        sem.at[slot, j],
-                    ).start()
-
-    def wait_chunk(t, slot):
-        cg = contig_ref[t]
-
-        @pl.when(cg >= 0)
-        def _():
-            pltpu.make_async_copy(
-                kv_hbm_ref.at[pl.ds(0, C)], kv_buf.at[slot],
-                sem.at[slot, 0],
-            ).wait()
-
-        @pl.when(cg < 0)
-        def _():
-            r = crow_ref[t]
-            pstart = p0_ref[r] + clocal_ref[t] * C
-            for j in range(C):
-                @pl.when(pstart + j < p1_ref[r])
-                def _():
-                    pltpu.make_async_copy(
-                        kv_hbm_ref.at[0], kv_buf.at[slot, j],
-                        sem.at[slot, j],
-                    ).wait()
+    start_chunk_dma, wait_chunk = _chunk_dma_fns(
+        contig_ref, crow_ref, clocal_ref, p0_ref, p1_ref,
+        page_indices_ref, kv_hbm_ref, kv_buf, sem, C,
+        page_indices_ref.shape[1])
 
     @pl.when(TT > 0)
     def _():
@@ -1101,30 +1086,8 @@ def decode_paged_attention_verify(q: jax.Array, kv_pages_l: jax.Array,
     active = hi > 0
     p0 = jnp.where(active, lo // ps, 0).astype(jnp.int32)
     p1 = jnp.where(active, (hi + ps - 1) // ps, 0).astype(jnp.int32)
-    nc = (p1 - p0 + C - 1) // C
-    cu = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                          jnp.cumsum(nc, dtype=jnp.int32)])
-    total = cu[-1:]
-    t = jnp.arange(MAXC, dtype=jnp.int32)
-    crow = jnp.sum((t[:, None] >= cu[None, 1:]).astype(jnp.int32), axis=1)
-    crow = jnp.minimum(crow, B - 1).astype(jnp.int32)
-    clocal = (t - cu[crow]).astype(jnp.int32)
-    npages = kv_pages_l.shape[0]
-    nxt = (page_indices[:, 1:] == page_indices[:, :-1] + 1)
-    csum = jnp.concatenate(
-        [jnp.zeros((B, 1), jnp.int32),
-         jnp.cumsum(nxt.astype(jnp.int32), axis=1)], axis=1)
-    pstart = p0[crow] + clocal * C
-    nvalid = jnp.clip(p1[crow] - pstart, 0, C)
-    last = jnp.clip(pstart + nvalid - 1, 0, PP - 1)
-    first = jnp.clip(pstart, 0, PP - 1)
-    run_ok = (csum[crow, last] - csum[crow, first]) == (nvalid - 1)
-    start_pg = page_indices[crow, first]
-    contig_ok = (run_ok & (nvalid >= 1) & (start_pg >= 0)
-                 & (start_pg + C <= npages))
-    contig = jnp.where(contig_ok, start_pg, -1).astype(jnp.int32)
-    if not _contig_dma_default():
-        contig = jnp.full_like(contig, -1)
+    crow, clocal, contig, total = _chunk_tables(
+        p0, p1, page_indices, kv_pages_l.shape[0], C)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=9,

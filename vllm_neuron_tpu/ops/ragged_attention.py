@@ -672,7 +672,6 @@ def _can_shard_decode(q, kv_pages_l) -> bool:
 
 
 @functools.cache
-@functools.cache
 def _interpret_default() -> bool:
     """Run the in-repo Pallas kernels in interpret mode off-TPU (CPU
     dryruns / virtual meshes force backend='pallas' to trace the kernels'
@@ -683,6 +682,7 @@ def _interpret_default() -> bool:
         return True
 
 
+@functools.cache
 def default_backend() -> str:
     try:
         platform = jax.devices()[0].platform

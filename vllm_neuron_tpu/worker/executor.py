@@ -643,10 +643,15 @@ class ModelExecutor:
             hidden = hidden.reshape(N, T, -1)
             last_feat = jnp.take_along_axis(
                 hidden, (m - 1)[:, None, None], axis=1)[:, 0]  # [N, H]
-            spec_hidden = spec_hidden.at[row_ids].set(
-                jnp.where(active[:, None],
-                          last_feat.astype(spec_hidden.dtype),
-                          spec_hidden[row_ids]))
+            # Padded batch rows share row_id 0 with a possibly-REAL row;
+            # duplicate-index scatters are order-undefined and the stale
+            # padding write can win, freezing row 0's draft features for
+            # the request's lifetime (acceptance silently collapses).
+            # Inactive rows scatter to a dropped out-of-bounds index
+            # instead.
+            safe_rows = jnp.where(active, row_ids, spec_hidden.shape[0])
+            spec_hidden = spec_hidden.at[safe_rows].set(
+                last_feat.astype(spec_hidden.dtype), mode="drop")
             return tokens_out, spec_hidden, kv, kv_d
 
         return jax.jit(fn, donate_argnums=(2, 3, 4))
@@ -772,10 +777,11 @@ class ModelExecutor:
             (tok, pos0, feats, kv, kv_d), rounds_out = jax.lax.scan(
                 round_body, (first_tokens, positions0, feats0, kv, kv_d),
                 jnp.arange(W, dtype=jnp.int32))
-            spec_hidden = spec_hidden.at[row_ids].set(
-                jnp.where(active[:, None],
-                          feats.astype(spec_hidden.dtype),
-                          spec_hidden[row_ids]))
+            # Dropped-index scatter for padded rows (see the single-round
+            # program: duplicate row_id 0 writes are order-undefined).
+            safe_rows = jnp.where(active, row_ids, spec_hidden.shape[0])
+            spec_hidden = spec_hidden.at[safe_rows].set(
+                feats.astype(spec_hidden.dtype), mode="drop")
             # [W, N, T] -> [N, W, T] for per-request round processing.
             return (jnp.transpose(rounds_out, (1, 0, 2)), spec_hidden,
                     kv, kv_d)
@@ -1103,9 +1109,10 @@ class ModelExecutor:
         so no serve-time request — logprobs/seeded/penalized (host-sampling
         gather variants), speculation rounds, chunked continuations,
         image-bearing prompts (``mm``) — hits a cold XLA compile. The
-        compiled executables land in the persistent cache (keyed by the
-        engine-config hash), so a redeploy of the same config warms from
-        disk. ``mm=True`` additionally warms the embeds-override prefill
+        compiled executables land in the ONE shared content-addressed
+        persistent cache (keyed internally by HLO hash —
+        _setup_compilation_cache), so a redeploy of the same config warms
+        from disk and config-knob changes re-use every unchanged program. ``mm=True`` additionally warms the embeds-override prefill
         variants (embedding-merge vision families)."""
         b = self.config.bucketing
         spec_on = self.draft_model is not None

@@ -678,9 +678,12 @@ class ModelRunner:
                 # the single-round dslot_table>=0 accounting — counting a
                 # flat K per round skewed acceptance-rate low between the
                 # two modes (ADVICE r4).
-                cur = int(kv_lens[i]) + (len(toks) - len(take))
+                # Device drafts at positions pos0-1+j (j<K) with pos0 =
+                # kv_len + consumed; usable = min(K, cap - pos0 + 1) —
+                # matching the single-round k_req formula exactly.
+                pos0 = int(kv_lens[i]) + (len(toks) - len(take))
                 self.spec_stats["drafted"] += max(
-                    0, min(K, int(slot_caps[i]) - cur))
+                    0, min(K, int(slot_caps[i]) - pos0 + 1))
                 self.spec_stats["accepted"] += max(0, len(take) - 1)
             state.num_computed_tokens += len(toks)
             for tok in toks:
