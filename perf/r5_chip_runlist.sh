@@ -43,3 +43,7 @@ sleep 30
 BENCH_MODEL=tinypy SERVE_SECS=30 SERVE_GEN=64 timeout 1800 python perf/serving_bench.py 15 30 2>/tmp/r5_servtiny.err | tee /tmp/r5_servtiny.out
 sleep 30
 BENCH_MODEL=tinypy BENCH_SPEC=4 BENCH_SPEC_ROUNDS=8 SERVE_SECS=30 SERVE_GEN=64 timeout 1800 python perf/serving_bench.py 15 30 2>/tmp/r5_servtinyspec.err | tee /tmp/r5_servtinyspec.out
+sleep 30
+# 11. Flash CE at the 512 bucket (bench prefill is 84% of W8A8 floor;
+# flash wins at >=1024 — check 512)
+VLLM_TPU_PREFILL_FLASH_MIN_T=512 BENCH_RUNS=2 timeout 3000 python bench.py 2>/tmp/r5_flash512.err | tee /tmp/r5_flash512.out
