@@ -23,6 +23,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 import numpy as np
 
 CKPT = os.environ.get("VISION_CKPT", "/tmp/vllm_tpu_vision_llava")
+# VISION_TINY=1: small tower + VISION_PLATFORM=cpu — mechanics smoke test
+# without the chip (the measurement run uses the defaults).
+TINY = os.environ.get("VISION_TINY") == "1"
 
 
 def build_checkpoint():
@@ -34,17 +37,27 @@ def build_checkpoint():
     from transformers import (CLIPVisionConfig, LlamaConfig, LlavaConfig,
                               LlavaForConditionalGeneration)
     torch.manual_seed(5)
-    # CLIP-L/14-336 geometry (the Llava-1.5 production tower).
-    vision = CLIPVisionConfig(
-        hidden_size=1024, intermediate_size=4096, num_hidden_layers=24,
-        num_attention_heads=16, image_size=336, patch_size=14,
-        projection_dim=768)
-    # Compact text decoder: the measurement target is the ViT + merge
-    # path on hardware, not text throughput (bench.py owns that).
-    text = LlamaConfig(
-        vocab_size=32000, hidden_size=2048, intermediate_size=5632,
-        num_hidden_layers=8, num_attention_heads=32,
-        num_key_value_heads=4, max_position_embeddings=2048)
+    if TINY:
+        vision = CLIPVisionConfig(
+            hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+            num_attention_heads=4, image_size=336, patch_size=14,
+            projection_dim=64)
+        text = LlamaConfig(
+            vocab_size=32000, hidden_size=128, intermediate_size=256,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=2048)
+    else:
+        # CLIP-L/14-336 geometry (the Llava-1.5 production tower).
+        vision = CLIPVisionConfig(
+            hidden_size=1024, intermediate_size=4096, num_hidden_layers=24,
+            num_attention_heads=16, image_size=336, patch_size=14,
+            projection_dim=768)
+        # Compact text decoder: the measurement target is the ViT + merge
+        # path on hardware, not text throughput (bench.py owns that).
+        text = LlamaConfig(
+            vocab_size=32000, hidden_size=2048, intermediate_size=5632,
+            num_hidden_layers=8, num_attention_heads=32,
+            num_key_value_heads=4, max_position_embeddings=2048)
     cfg = LlavaConfig(vision_config=vision.to_dict(),
                       text_config=text.to_dict(),
                       image_token_index=31999,
@@ -58,6 +71,9 @@ def build_checkpoint():
 
 
 def main():
+    if os.environ.get("VISION_PLATFORM"):
+        import jax
+        jax.config.update("jax_platforms", os.environ["VISION_PLATFORM"])
     build_checkpoint()
     from transformers import AutoConfig
 
