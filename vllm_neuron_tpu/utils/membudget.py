@@ -72,6 +72,10 @@ def estimate_weight_bytes(config) -> Optional[int]:
     head = 0 if getattr(hf, "tie_word_embeddings", False) else \
         v * h * head_item
     total = int(layer_params * L * witem + embed + head)
+    if config.speculative.enabled:
+        # Eagle draft: one decoder layer + the 2H->H feature fc, loaded in
+        # the model dtype (bf16) — ~0.5 GiB at 8B geometry.
+        total += int((layer_params + 2 * h * h) * 2)
     return int(total * _WEIGHT_SLACK)
 
 
