@@ -35,9 +35,11 @@ def _topk_chunks() -> int:
     splitting the vocab into nc chunks, taking top-K per chunk, and
     re-top-K'ing the nc*K merged candidates is exact (any global top-K
     element is top-K within its chunk) and lets the big sort run on a
-    fraction of the data. A/B'd on chip before changing the default."""
+    fraction of the data. Chip A/B (b80 8B temperature=0.8, median-of-2):
+    nc=8 2231.9 decode-phase vs 2128.6 plain (+4.9%, −1.7 ms/step);
+    greedy batches skip top-k entirely via lax.cond, unaffected."""
     import os
-    return int(os.environ.get("VLLM_TPU_TOPK_CHUNKS", "0"))
+    return int(os.environ.get("VLLM_TPU_TOPK_CHUNKS", "8"))
 
 
 def _top_k(logits: jax.Array, K: int) -> tuple[jax.Array, jax.Array]:
